@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark runner — the driver's per-round BENCH entry point.
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly one
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across the query set (each query
+timed to a full materialization via a count+collect of its result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from gmall_realtime_ck_spark import registry
+    from gmall_realtime_ck_spark.catalog import load_tables
+    from gmall_realtime_ck_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers outside the timed region
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
+        df.head(1)
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.BUILDERS):
+        t0 = time.perf_counter()
+        df = registry.BUILDERS[name](tables)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

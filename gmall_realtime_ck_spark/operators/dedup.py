@@ -1,0 +1,312 @@
+"""Deduplication operators over the documents table.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection —
+first-class training-data-pipeline operators (BASELINE.json north star),
+generalizing the reference's keyed dedup T1
+(DWS:trade-sku-order-window/app/DwsTradeSkuOrderWindow.java:196-233).
+
+Everything is pure column algebra (no Python UDFs): md5-based integer
+hashing, explode/groupBy pipelines, and self-joins on LSH buckets so the
+candidate set — not the n² pair space — drives the cost. At 100 TB the
+shuffles are keyed on (band_id, band_signature), which is
+high-cardinality and naturally balanced. The LSH shingle size is 2
+(word bigrams): on this corpus 1-gram token sets are degenerate (shared
+small vocabulary ⇒ ~half of all pairs collide), while 3-grams collide
+never — bigrams give a bounded, meaningful candidate set that stays
+sub-quadratic as the corpus grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import (
+    H28_DUCK,
+    H28_SPARK,
+    H60_DUCK,
+    H60_SPARK,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    shingles_from_tokens,
+)
+
+MOD_P = 1000000007
+
+#: Fixed MinHash coefficients (seed 42): h_i = (a*h + b) mod MOD_P with
+#: h a 28-bit shingle hash, so a*h < 2^58 never overflows int64.
+MINHASH_COEFFS = [
+    (686579304, 119540831),
+    (26855093, 796233790),
+    (295310486, 262950628),
+    (239670712, 149827706),
+    (790779947, 110053353),
+    (726600540, 795285932),
+    (957970517, 585582861),
+    (93349857, 634036506),
+    (453035111, 34126396),
+    (31994524, 100604502),
+    (234760739, 249817734),
+    (542621109, 646412689),
+    (28492781, 602632297),
+    (213500299, 768820204),
+    (697808099, 753041955),
+    (585126462, 450455977),
+]
+N_HASHES = len(MINHASH_COEFFS)
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+SHINGLE_K = 2
+SIMHASH_BITS = 60  # stay clear of the int64 sign bit
+
+
+def shingles_duck(tk: str, k: int = SHINGLE_K) -> str:
+    """DuckDB fragment over a token-list expression ``tk``."""
+    return (
+        f"CASE WHEN len({tk}) >= {k} THEN "
+        f"list_transform(range(1, len({tk}) - {k - 2}), i -> array_to_string(({tk})[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup by content hash with keep-first-by-id policy: one
+    shuffle on md5(text), row_number inside each hash group.
+    """
+    docs = t["documents"]
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") > 1).cast("bigint").alias("is_dup"))
+    )
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct rows — shared by minhash + jaccard.
+    Tokens are materialized as a column first so the shingle HOF doesn't
+    re-run the tokenizer per element (see text.shingles_from_tokens).
+    """
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    return tokenized.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", SHINGLE_K)))).alias("s"),
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 16 minhash values over the distinct shingle set.
+    One explode + one groupBy(doc_id) shuffle.
+    """
+    h = F.expr(H28_SPARK.format(c="s"))
+    exploded = _shingle_sets(docs).withColumn("h", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _band_buckets(sigs: DataFrame) -> DataFrame:
+    """Signatures → (band_id, band_key, doc_id) LSH bucket rows."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        bands.append(sigs.select(F.lit(b).alias("band_id"), key.alias("band_key"), "doc_id"))
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """MinHash + banded LSH candidate pairs with their estimated
+    Jaccard (matching signature positions out of 16). Candidates come
+    only from shared band buckets — the scale path: the self-join is on
+    (band_id, band_key), never all-pairs.
+    """
+    docs = t["documents"]
+    sigs = _minhash_signatures(docs)
+    buckets = _band_buckets(sigs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("bigint") for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.alias("sig_matches"))
+    )
+
+
+def simhash_docs(t: dict[str, DataFrame]) -> DataFrame:
+    """60-bit SimHash per document over its token multiset: per bit,
+    majority vote of token-hash bits (ties → 0 to keep both engines
+    exact). Computed as 60 map-side partial aggregates over the token
+    rows — no bit-position explode, so the shuffle stays |tokens|-sized
+    (the naive explode is 60× larger; the DuckDB oracle keeps that
+    shape for clarity).
+    """
+    docs = t["documents"]
+    toks = F.expr(TOKENS_SPARK.format(c="text"))
+    h = F.expr(H60_SPARK.format(c="tok"))
+    tok_rows = docs.select("doc_id", F.explode(toks).alias("tok")).withColumn("h", h)
+    vote_aggs = [
+        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = tok_rows.groupBy("doc_id").agg(*vote_aggs)
+    combine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact shingle-set Jaccard for the LSH candidate pairs: the
+    verify step of the dedup pipeline (candidates from
+    minhash_lsh_pairs, exact |A∩B| via an equi-join on shingle,
+    |A∪B| = |A|+|B|-|A∩B|). Output scaled to permille via a single
+    integer-ratio division.
+    """
+    docs = t["documents"]
+    sh_sets = _shingle_sets(docs)
+    sizes = sh_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    cand = minhash_lsh_pairs(t).select("doc_a", "doc_b")
+    ta = sh_sets.alias("ta")
+    tb = sh_sets.alias("tb")
+    inter = (
+        cand.join(ta, cand.doc_a == F.col("ta.doc_id"))
+        .join(tb, (cand.doc_b == F.col("tb.doc_id")) & (F.col("ta.s") == F.col("tb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, cand.doc_a == F.col("na.doc_id"))
+        .join(nb, cand.doc_b == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("inter_ct", F.lit(0)).alias("inter_ct"),
+            (F.col("na.n") + F.col("nb.n") - F.coalesce("inter_ct", F.lit(0))).alias("union_ct"),
+        )
+        .withColumn("jaccard_permille", F.expr("(inter_ct * 1000) DIV union_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS_D = TOKENS_DUCK.format(c="text")
+_SH_D = shingles_duck("tk")
+_H28_D = H28_DUCK.format(c="s")
+_H60_D = H60_DUCK.format(c="tok")
+
+_MINHASH_AGGS_D = ",\n            ".join(
+    f"min(({a} * h + {b}) % {MOD_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+_BAND_SELECTS_D = "\n            UNION ALL ".join(
+    "SELECT {b} AS band_id, ".format(b=b)
+    + " || '_' || ".join(f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))
+    + " AS band_key, doc_id FROM sigs"
+    for b in range(N_BANDS)
+)
+_SIG_MATCHES_D = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_MINHASH_CTE = f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest({_SH_D}) AS s FROM tk0
+        ), hashed AS (
+            SELECT doc_id, {_H28_D} AS h FROM sh
+        ), sigs AS (
+            SELECT doc_id, {_MINHASH_AGGS_D}
+            FROM hashed GROUP BY doc_id
+        ), buckets AS (
+            {_BAND_SELECTS_D}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT doc_id, (rn > 1)::BIGINT AS is_dup FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+    """,
+    "minhash_lsh_pairs": _MINHASH_CTE
+    + f"""
+        SELECT doc_a, doc_b, ({_SIG_MATCHES_D})::BIGINT AS sig_matches
+        FROM pairs
+        JOIN sigs sa ON pairs.doc_a = sa.doc_id
+        JOIN sigs sb ON pairs.doc_b = sb.doc_id
+    """,
+    "simhash_docs": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, {_H60_D} AS h FROM tok
+        ), bits AS (
+            SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hashed, range({SIMHASH_BITS}) r(j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "ngram_jaccard_pairs": _MINHASH_CTE
+    + f"""
+        , sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_ct
+            FROM pairs p
+            JOIN sh ta ON p.doc_a = ta.doc_id
+            JOIN sh tb ON p.doc_b = tb.doc_id AND ta.s = tb.s
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b,
+               coalesce(inter_ct, 0) AS inter_ct,
+               (na.n + nb.n - coalesce(inter_ct, 0)) AS union_ct,
+               (coalesce(inter_ct, 0) * 1000) // (na.n + nb.n - coalesce(inter_ct, 0)) AS jaccard_permille
+        FROM pairs p
+        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+        JOIN sizes na ON p.doc_a = na.doc_id
+        JOIN sizes nb ON p.doc_b = nb.doc_id
+    """,
+}
+
+BUILDERS = {
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_docs": simhash_docs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}

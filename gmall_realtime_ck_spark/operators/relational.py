@@ -1,0 +1,549 @@
+"""Relational operators: projections, filters, joins, windowed aggs.
+
+Each builder takes the dict of test-table DataFrames (catalog.load_tables)
+and returns a DataFrame; the equivalent DuckDB oracle SQL lives in
+``ORACLES`` keyed by the same name. Column names are aliased identically
+on both sides (the driver's hash compare sorts columns by name).
+
+Determinism conventions (shared with the oracles):
+- money/measure sums go through integer cents —
+  ``CAST(ROUND(x*100) AS BIGINT)`` — so parallel summation order cannot
+  produce float drift between Spark and DuckDB;
+- timestamps are rendered to strings with the session TZ pinned to UTC
+  (session.SESSION_TZ), matching DuckDB's naive-timestamp reading;
+- every ORDER BY ... LIMIT has a full deterministic tie-break.
+
+Reference parity notes cite /root/reference files as ``file:line``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared expression fragments (Spark SQL dialect)
+# ---------------------------------------------------------------------------
+
+
+def cents(col: str) -> F.Column:
+    """Exact integer cents of a dollar-valued double column."""
+    return F.expr(f"cast(round(({col}) * 100) as bigint)")
+
+
+def ts_str(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def date_str(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# A5/A7 — pricing summary (decimal sum reduce over a pushed-down scan)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg. Parity: the DWS decimal sum reduce
+    (DWS:trade-sku-order-window/app/DwsTradeSkuOrderWindow.java:280-306)
+    and serving-side SUM/GROUP BY (PUB/mapper/TradeStatsMapper.java:31).
+
+    Scale: single shuffle on 2 low-cardinality keys; partial aggregation
+    is map-side, the shipdate filter is pushed to the parquet scan.
+    """
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A7 — multi-way equi-join + group + deterministic top-k
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """3-table star join then top-k, the batch analogue of the 4-way
+    order-detail star join (DWD:trade-order-detail/db/app/
+    DwdTradeOrderDetail.java:77-98) feeding serving ORDER BY/LIMIT
+    (PUB/mapper/TrafficStatsMapper.java:24).
+
+    Scale: customer filter prunes before the join; orders⋈lineitem
+    shuffles on orderkey (co-partitioned); AQE handles skew.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"))
+        .select(
+            "o_orderkey",
+            date_str("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J6 — broadcast dimension-enrichment join chain
+# ---------------------------------------------------------------------------
+
+
+def q5_region_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue per region: fact stream enriched through a chain of small
+    dims — the Spark-first collapse of the reference's 6-deep async
+    Redis/HBase dim enrichment (COMMON/function/DimAsyncFunction.java:42-95,
+    chained at DwsTradeSkuOrderWindow.java:480-735) into broadcast hash
+    joins.
+
+    Scale: region/nation/customer/supplier are broadcast (hinted), so
+    the only shuffle is orders⋈lineitem on orderkey.
+    """
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    cust = F.broadcast(t["customer"].select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(t["nation"])
+    region = F.broadcast(t["region"])
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P4 — JSON envelope parse + map-access projection
+# ---------------------------------------------------------------------------
+
+
+def cdc_projection(t: dict[str, DataFrame]) -> DataFrame:
+    """Parse the events ``props`` JSON payload and project fields — the
+    analogue of parsing the Maxwell envelope and ``data['id'] AS id``
+    map-access projections (COMMON/base/BaseSQLApp.java:54-64,
+    DWD:interaction-comment-info/.../DwdInteractionCommentInfo.java:35-43).
+    Unparseable rows route to the dirty side (K10) — here they are
+    dropped by the null check, the streaming path writes them aside.
+    """
+    ev = t["events"]
+    parsed = ev.withColumn("props_map", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("props_map").isNotNull() & F.col("props_map.k").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.col("props_map.k").cast("int").alias("k"),
+            cents("value").alias("value_cents"),
+        )
+        .filter(F.col("k") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3/P7 — predicate stack (status + range + prefix filters)
+# ---------------------------------------------------------------------------
+
+
+def status_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """Status/range predicate stack, analogue of the CDC envelope ETL +
+    status-transition predicates (DIM/app/DimApp.java:212-237;
+    DWD:trade-order-cancel-detail/.../DwdTradeOrderCancelDetail.java:50-59).
+    All predicates push to the parquet scan.
+    """
+    o = t["orders"]
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 200000.0)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & F.col("o_orderpriority").startswith("1")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            cents("o_totalprice").alias("total_cents"),
+            date_str("o_orderdate").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — conditional increment / signed-delta arithmetic
+# ---------------------------------------------------------------------------
+
+
+def conditional_delta(t: dict[str, DataFrame]) -> DataFrame:
+    """Signed-delta accumulation per user: purchases add value, errors
+    subtract it — the cart-add ``IF(insert, sku_num, sku_num - old)``
+    delta pattern (DWD:trade-cart-add/db/app/DwdTradeCartAdd.java:28-40)
+    and the negated-amount retraction input pattern
+    (DwsTradeSkuOrderWindow.java:222-225): aggregation stays
+    sign-correct when deltas arrive negative.
+    """
+    ev = t["events"]
+    delta = (
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .when(F.col("event_type") == "error", -cents("value"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    return (
+        ev.withColumn("delta_cents", delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("delta_cents").alias("net_cents"),
+            F.count(F.lit(1)).alias("event_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — keyed tumbling window aggregation with window metadata
+# ---------------------------------------------------------------------------
+
+
+def window_tumbling_typed(t: dict[str, DataFrame]) -> DataFrame:
+    """Per event_type tumbling 1 h window with stt/edt stamps — the
+    keyed windowed reduce + window metadata pattern
+    (DWS:traffic-vc-ch-ar-is_new-page-view-window/app/
+    DwsTrafficVcChArIsNewPageViewWindow.java:125-174). Reference windows
+    are 10 s over a live stream; 1 h fits the 30-day batch fixture.
+
+    Scale: one shuffle on (window, type); partial agg map-side.
+    """
+    ev = t["events"]
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A6 — global window with exact distinct count
+# ---------------------------------------------------------------------------
+
+
+def window_global_uv(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-keyed tumbling window counting pv and exact uv — the
+    windowAll home/detail UV reduce (DWS:traffic-home-detail-page-view-
+    window/app/DwsTrafficHomeDetailPageViewWindow.java:139-164) with the
+    distinct-order-id set accumulator (DWS:trade-province-order-window/
+    app/DwsTradeProvinceOrderWindow.java:180-219) done as COUNT(DISTINCT)
+    instead of a driver-side Set (at 100 TB swap to
+    approx_count_distinct when exactness isn't required).
+    """
+    ev = t["events"]
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+        )
+        .select(
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "pv_ct",
+            "uv_ct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — interval (event-time range) join
+# ---------------------------------------------------------------------------
+
+
+def interval_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Equi-key + time-range join: lineitems shipped within 30 days of
+    the order date — the pay-success interval join
+    ``od.et BETWEEN pi.et - 30 min AND pi.et + 5 s``
+    (DWD:trade-order-pay-suc-detail/db/app/DwdTradeOrderPaySucDetail.java:91-94).
+
+    Scale: the equi-key keeps this a hash join; the range predicate is a
+    post-join filter, not a nested-loop — verify no BroadcastNestedLoop
+    in .explain.
+    """
+    o = t["orders"]
+    li = t["lineitem"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("li_ct"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — lookup-join chain against small dims (broadcast)
+# ---------------------------------------------------------------------------
+
+
+def lookup_join_dim(t: dict[str, DataFrame]) -> DataFrame:
+    """customer → nation → region lookup chain — the
+    FOR SYSTEM_TIME AS OF lookup join into HBase base_dic with partial
+    cache (COMMON/util/SQLUtil.java:24-36;
+    DwdInteractionCommentInfo.java:50-60). Broadcast joins make the
+    cache hierarchy unnecessary.
+    """
+    cust = t["customer"]
+    nation = F.broadcast(t["nation"])
+    region = F.broadcast(t["region"])
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(region, nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_ct"),
+            F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/F6 — serving-layer queries
+# ---------------------------------------------------------------------------
+
+
+def serving_gmv(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily GMV — ``SELECT SUM(order_amount) ... PARTITION parYYYYMMDD``
+    (PUB/mapper/TradeStatsMapper.java:27) with date-partition pruning
+    expressed as a date filter/group. At scale the DWS output table is
+    partitioned by cur_date so this prunes to one partition.
+    """
+    o = t["orders"]
+    return (
+        o.groupBy(date_str("o_orderdate").alias("cur_date"))
+        .agg(F.sum(cents("o_totalprice")).alias("gmv_cents"))
+    )
+
+
+def serving_topk_channel(t: dict[str, DataFrame]) -> DataFrame:
+    """Channel top-k — ``SUM(uv_ct) GROUP BY ch ORDER BY uv_ct DESC
+    LIMIT ?`` (PUB/mapper/TrafficStatsMapper.java:24) with a
+    deterministic tie-break added.
+    """
+    ev = t["events"]
+    return (
+        ev.groupBy(F.col("event_type").alias("ch"))
+        .agg(F.sum(cents("value")).alias("value_cents"))
+        .orderBy(F.desc("value_cents"), F.asc("ch"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — stream splitting / fan-out
+# ---------------------------------------------------------------------------
+
+
+def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
+    """5-way log split: one parsed stream fanned out into tagged
+    substreams (err/start/display/action/page) — DWD:base-log/log/split/
+    DwdBaseLog.java:75-175. Batch analogue: tagged filtered projections
+    unioned back for verification; the streaming path writes each branch
+    to its own sink.
+    """
+    ev = t["events"]
+    branches = {
+        "err": F.col("event_type") == "error",
+        "start": F.col("event_type") == "signup",
+        "action": F.col("event_type") == "purchase",
+        "page": F.col("event_type").isin("view", "click"),
+    }
+    out = None
+    for tag, pred in branches.items():
+        b = ev.filter(pred).select(
+            F.lit(tag).alias("stream"),
+            "event_id",
+            "user_id",
+            cents("value").alias("value_cents"),
+        )
+        out = b if out is None else out.unionAll(b)
+    return out
+
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_cents DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+    "cdc_projection": """
+        SELECT event_id, event_type,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events
+        WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) >= 50
+    """,
+    "status_filter": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_totalprice > 200000.0
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderpriority LIKE '1%'
+    """,
+    "conditional_delta": """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT)
+                        WHEN event_type = 'error' THEN -CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS net_cents,
+               COUNT(*) AS event_ct
+        FROM events
+        GROUP BY user_id
+    """,
+    "window_tumbling_typed": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               COUNT(*) AS pv_ct,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "window_global_uv": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
+               COUNT(*) AS pv_ct,
+               COUNT(DISTINCT user_id) AS uv_ct
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "interval_join": """
+        SELECT o_orderpriority,
+               COUNT(*) AS li_ct,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL '30 days'
+        GROUP BY o_orderpriority
+    """,
+    "lookup_join_dim": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               COUNT(*) AS customer_ct,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "serving_gmv": """
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS gmv_cents
+        FROM orders
+        GROUP BY 1
+    """,
+    "serving_topk_channel": """
+        SELECT event_type AS ch,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY value_cents DESC, ch ASC
+        LIMIT 3
+    """,
+    "log_split_fanout": """
+        SELECT 'err' AS stream, event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'start', event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'action', event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'page', event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) FROM events WHERE event_type IN ('view', 'click')
+    """,
+}
+
+BUILDERS = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "cdc_projection": cdc_projection,
+    "status_filter": status_filter,
+    "conditional_delta": conditional_delta,
+    "window_tumbling_typed": window_tumbling_typed,
+    "window_global_uv": window_global_uv,
+    "interval_join": interval_join,
+    "lookup_join_dim": lookup_join_dim,
+    "serving_gmv": serving_gmv,
+    "serving_topk_channel": serving_topk_channel,
+    "log_split_fanout": log_split_fanout,
+}

@@ -1,0 +1,237 @@
+"""Text-analysis operators for the documents table.
+
+Covers the reference's tokenizer UDTF (the ik_analyze Chinese word
+segmenter, DWS:traffic-source-keyword-page-view-window/function/
+KeywordUDTF.java:14-29 + util/KeywordUtil.java:18-32) re-expressed as a
+JVM-side split+explode (no Python UDF in the hot path), plus the
+training-data-pipeline text ops: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Hash-exactness: every expression here has a DuckDB twin in ``ORACLES``;
+the token regex, md5-based integer hashing and integer-only arithmetic
+are chosen so both engines produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The tokenizer: lowercase, split on non-alphanumeric runs, drop empties.
+# IK 'smart' segmentation is not reproducible bit-for-bit (SURVEY §7 H5);
+# this deterministic tokenizer is registered identically on both engines.
+TOKENS_SPARK = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+TOKENS_DUCK = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+# 60-bit integer hash of a string from its md5 hex — identical in Spark
+# (conv) and DuckDB (hex cast). Used by fingerprint/simhash/minhash.
+H60_SPARK = "cast(conv(substring(md5({c}), 1, 15), 16, 10) as bigint)"
+H60_DUCK = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
+# 28-bit variant where products with ~30-bit coefficients must stay in int64
+H28_SPARK = "cast(conv(substring(md5({c}), 1, 7), 16, 10) as bigint)"
+H28_DUCK = "(('0x' || substr(md5({c}), 1, 7))::BIGINT)"
+
+# k-shingles over an ALREADY-MATERIALIZED token-array column: HOF
+# lambdas re-evaluate their argument expression per element, so feeding
+# the raw tokenizer expression in here would re-run the regex split per
+# shingle (~500× per row — measured 7 s → 1 s at sf0.1 for fingerprints).
+def shingles_from_tokens(tk: str, k: int) -> str:
+    return (
+        f"CASE WHEN size({tk}) >= {k} THEN "
+        f"transform(sequence(1, size({tk}) - {k - 1}), i -> concat_ws(' ', slice({tk}, i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
+# "BPE-ish" token pattern: letter runs, digit runs, single punctuation.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+MOD_P = 1000000007
+
+
+def _stop_list_sql(quote: str = "'") -> str:
+    return ", ".join(f"{quote}{w}{quote}" for w in STOPWORDS)
+
+
+def keyword_tokenize_count(t: dict[str, DataFrame]) -> DataFrame:
+    """J7/A4 — tokenizer UDTF + lateral explode + keyword count:
+    ``FROM search_table, LATERAL TABLE(ik_analyze(fullword))`` then
+    TUMBLE count (DwsTrafficSourceKeywordPageViewWindow.java:60-76).
+    Batch analogue over documents; the windowed streaming variant is in
+    streaming/pipelines.py.
+    """
+    docs = t["documents"]
+    toks = F.expr(TOKENS_SPARK.format(c="text"))
+    return (
+        docs.select(F.explode(toks).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("keyword_count"))
+    )
+
+
+def token_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token count
+    per document (training-data pipeline op). JVM-side regexp — no
+    Python in the loop.
+    """
+    docs = t["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("n_tokens_ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_tokens_bpe"),
+    )
+
+
+def quality_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio —
+    integer-only arithmetic (permille) so both engines agree exactly.
+    Heuristics in the spirit of C4/Gopher quality filters.
+    """
+    docs = t["documents"]
+    toks = F.expr(TOKENS_SPARK.format(c="text"))
+    stop_hits = F.expr(
+        "size(filter(" + TOKENS_SPARK.format(c="text") + f", x -> x in ({_stop_list_sql()})))"
+    )
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        F.expr(
+            "aggregate(" + TOKENS_SPARK.format(c="text") + ", 0L, (acc, x) -> acc + length(x))"
+        ).alias("tok_chars"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.expr("CASE WHEN n_tokens > 0 THEN (tok_chars * 1000) DIV n_tokens ELSE 0 END").alias(
+            "avg_tok_len_permille"
+        ),
+        F.expr("CASE WHEN n_tokens > 0 THEN (stop_hits * 1000) DIV n_tokens ELSE 0 END").alias(
+            "stop_ratio_permille"
+        ),
+        F.expr(
+            "CASE WHEN n_tokens >= 10 AND (stop_hits * 1000) DIV n_tokens >= 20 THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+    """Language ID via stopword-hit heuristic (n-gram/profile methods
+    plug in the same shape). On the synthetic corpus every document is
+    ASCII so the signal is the English stopword ratio; the operator's
+    value is the deterministic, scale-safe plumbing (pure column ops).
+    """
+    docs = t["documents"]
+    n_tokens = F.expr("size(" + TOKENS_SPARK.format(c="text") + ")").cast("bigint")
+    stop_hits = F.expr(
+        "size(filter(" + TOKENS_SPARK.format(c="text") + f", x -> x in ({_stop_list_sql()})))"
+    ).cast("bigint")
+    d = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"), stop_hits.alias("stop_hits"))
+    pred = F.expr(
+        "CASE WHEN n_tokens > 0 AND (stop_hits * 1000) DIV n_tokens >= 50 THEN 'en' ELSE 'other' END"
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"),
+                    "stop_hits", "n_tokens")
+
+
+def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Document fingerprint: order-independent bag-of-shingles hash —
+    sum of (md5-based 60-bit shingle hashes mod P) over the distinct
+    3-token shingles, mod P. Commutative integer math ⇒ identical under
+    any parallel execution order (Spark partial aggs) and in DuckDB.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    h = H60_SPARK.format(c="s")
+    return (
+        tokenized.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(F.expr(shingles_from_tokens("tk", 3)))).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(f"({h}) % {MOD_P}")) % MOD_P, F.lit(0).cast("bigint")
+            ).alias("fingerprint"),
+            F.count("s").alias("n_shingles"),
+        )
+    )
+
+
+_TOKS_D = TOKENS_DUCK.format(c="text")
+_STOPS = _stop_list_sql()
+
+ORACLES: dict[str, str] = {
+    "keyword_tokenize_count": f"""
+        SELECT keyword, COUNT(*) AS keyword_count FROM (
+            SELECT unnest({_TOKS_D}) AS keyword FROM documents
+        ) GROUP BY keyword
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               len({_TOKS_D})::BIGINT AS n_tokens_ws,
+               len(regexp_extract_all(lower(text), '{BPE_RE}'))::BIGINT AS n_tokens_bpe
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   len({_TOKS_D})::BIGINT AS n_tokens,
+                   len(list_filter({_TOKS_D}, x -> x IN ({_STOPS})))::BIGINT AS stop_hits,
+                   coalesce(list_sum(list_transform({_TOKS_D}, x -> length(x))), 0)::BIGINT AS tok_chars
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_tokens > 0 THEN (tok_chars * 1000) // n_tokens ELSE 0 END AS avg_tok_len_permille,
+               CASE WHEN n_tokens > 0 THEN (stop_hits * 1000) // n_tokens ELSE 0 END AS stop_ratio_permille,
+               (CASE WHEN n_tokens >= 10 AND (stop_hits * 1000) // n_tokens >= 20 THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM d
+    """,
+    "lang_id": f"""
+        WITH d AS (
+            SELECT doc_id, lang AS lang_label,
+                   len({_TOKS_D})::BIGINT AS n_tokens,
+                   len(list_filter({_TOKS_D}, x -> x IN ({_STOPS})))::BIGINT AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, lang_label,
+               CASE WHEN n_tokens > 0 AND (stop_hits * 1000) // n_tokens >= 50 THEN 'en' ELSE 'other' END AS lang_pred,
+               stop_hits, n_tokens
+        FROM d
+    """,
+    "doc_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+                          ELSE [] END) AS s
+            FROM toks
+        ), allg AS (
+            SELECT doc_id, NULL AS s FROM toks
+            UNION ALL SELECT doc_id, s FROM sh
+        ), agg AS (
+            SELECT doc_id,
+                   coalesce(SUM({H60_DUCK.format(c='s')} % {MOD_P}) % {MOD_P}, 0)::BIGINT AS fingerprint,
+                   COUNT(s) AS n_shingles
+            FROM allg GROUP BY doc_id
+        )
+        SELECT doc_id, fingerprint, n_shingles FROM agg
+    """,
+}
+
+BUILDERS = {
+    "keyword_tokenize_count": keyword_tokenize_count,
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}

@@ -1,0 +1,54 @@
+"""Declared query inventory — the single source of truth consumed by
+``__spark_entry__.py`` and the tests.
+
+Each entry pairs a Spark builder (dict-of-DataFrames → DataFrame) with
+its DuckDB oracle SQL (None ⇒ non-SQL-expressible / approximate ⇒ the
+driver records a rows-only check). Keys map to SURVEY.md §2 operator
+rows via the builders' docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_tables
+from .operators import dedup, relational, similarity, stateful, text
+
+_MODULES = [relational, stateful, text, dedup, similarity]
+
+
+def _collect() -> tuple[dict[str, Callable], dict[str, str]]:
+    builders: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for mod in _MODULES:
+        for name, fn in mod.BUILDERS.items():
+            if name in builders:
+                raise ValueError(f"duplicate query name: {name}")
+            builders[name] = fn
+        oracles.update(mod.ORACLES)
+    return builders, oracles
+
+
+BUILDERS, ORACLES = _collect()
+
+
+def make_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    builder = BUILDERS[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return builder(tables)
+
+    run.__name__ = name
+    run.__doc__ = builder.__doc__
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: make_query(name) for name in BUILDERS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
