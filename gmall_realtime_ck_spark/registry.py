@@ -31,10 +31,24 @@ def _collect() -> tuple[dict[str, Callable], dict[str, str]]:
     return builders, oracles
 
 
+#: batch builders: dict-of-tables → DataFrame
 BUILDERS, ORACLES = _collect()
 
 
+def _collect_streaming() -> tuple[dict[str, Callable], dict[str, str]]:
+    from .streaming import pipelines
+
+    return dict(pipelines.STREAM_BUILDERS), pipelines.stream_oracles()
+
+
+#: streaming builders: (spark, sf_dir) → DataFrame (bounded run)
+STREAM_BUILDERS, STREAM_ORACLES = _collect_streaming()
+ORACLES = {**ORACLES, **STREAM_ORACLES}
+
+
 def make_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    if name in STREAM_BUILDERS:
+        return STREAM_BUILDERS[name]
     builder = BUILDERS[name]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,8 +60,12 @@ def make_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def all_query_names() -> list[str]:
+    return sorted([*BUILDERS, *STREAM_BUILDERS])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: make_query(name) for name in BUILDERS}
+    return {name: make_query(name) for name in all_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:

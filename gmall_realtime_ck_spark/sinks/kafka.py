@@ -1,0 +1,61 @@
+"""Kafka sinks (SURVEY.md §2.2 K1-K3, K10).
+
+K2's dynamic routing is native in Spark: the kafka sink reads a
+``topic`` column per row, so the reference's custom
+KafkaRecordSerializationSchema (FlinkSinkUtil.java:46-67) collapses to
+a column expression. K3 upsert semantics: Spark emits no retractions
+(SURVEY §7 H1), so keyed upserts are modeled as last-write-wins keyed
+writes; tombstones are only produced where a delete is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def to_kafka_fixed(df: DataFrame, topic: str, bootstrap_servers: str, value_col: str = "value"):
+    """K1 — fixed-topic append writer (FlinkSinkUtil.java:27-42)."""
+    return (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+def to_kafka_dynamic(df: DataFrame, bootstrap_servers: str, topic_col: str = "topic",
+                     value_col: str = "value"):
+    """K2 — per-row topic routing (FlinkSinkUtil.java:46-67): the sink
+    consumes the ``topic`` column produced by gmall.dwd.dynamic_split."""
+    return (
+        df.select(
+            F.col(topic_col).alias("topic"), F.col(value_col).cast("string").alias("value")
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+    )
+
+
+def to_kafka_upsert(df: DataFrame, topic: str, bootstrap_servers: str, key_col: str,
+                    value_col: str = "value"):
+    """K3 — keyed write (upsert-kafka analogue, SQLUtil.java:38-46):
+    key column set so compacted topics converge to the latest value; a
+    null ``value`` is an explicit tombstone."""
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+def split_dirty(parsed: DataFrame, raw_col: str = "raw", parsed_col: str = "e"):
+    """K10 — dirty-data side output (DwdBaseLog.java:231-258): returns
+    (clean, dirty); dirty keeps the raw line for the dirty_data topic."""
+    dirty = parsed.filter(F.col(parsed_col).isNull()).select(F.col(raw_col).alias("value"))
+    clean = parsed.filter(F.col(parsed_col).isNotNull())
+    return clean, dirty

@@ -1,0 +1,77 @@
+"""Kafka sources (SURVEY.md §2.1 S1/S2).
+
+The reference consumes every topic as strings with a null-tolerant
+deserializer (upsert-kafka tombstones must not crash —
+COMMON/util/FlinkSourceUtil.java:38-58) from latest offsets (:35).
+Spark's kafka source is already null-tolerant (``value`` is nullable
+binary); tombstone handling is an explicit filter so downstream code
+states its intent (P9).
+
+Requires the spark-sql-kafka package on the cluster; in this test
+container there is no broker, so these builders are exercised only for
+plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    group_id: str | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 — string stream over a topic, latest offsets, group id
+    (FlinkSourceUtil.java:25-62). ``value`` stays nullable; use
+    :func:`filter_tombstones` where the reference's null-deserializer
+    mattered."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if group_id:
+        reader = reader.option("kafka.group.id", group_id)
+    return reader.load().select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "timestamp",
+    )
+
+
+def read_kafka_json_table(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    schema: StructType,
+    watermark_delay: str = "3 seconds",
+    ts_col: str = "ts",
+    ts_unit: str = "seconds",
+) -> DataFrame:
+    """S2 — declarative JSON table over a topic with event time +
+    watermark, the ``readOdsDb`` pattern (SQLUtil.java:12-22,
+    BaseSQLApp.java:53-65): parse, add ``et`` from the epoch column
+    (seconds for topic_db, millis for topic_log), watermark 3 s.
+    """
+    raw = read_kafka_stream(spark, topic, bootstrap_servers)
+    to_ts = F.timestamp_seconds if ts_unit == "seconds" else F.timestamp_millis
+    return (
+        raw.filter(F.col("value").isNotNull())
+        .select(F.from_json("value", schema).alias("e"))
+        .select("e.*")
+        .withColumn("et", to_ts(F.col(ts_col)))
+        .withWatermark("et", watermark_delay)
+    )
+
+
+def filter_tombstones(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """P9 — drop upsert-kafka retraction tombstones before parsing
+    (DwsTradeSkuOrderWindow.java:138-147)."""
+    return df.filter(F.col(value_col).isNotNull())

@@ -1,0 +1,180 @@
+"""Runnable streaming pipelines (Structured Streaming).
+
+Every pipeline shares its transformation code with the batch layer, so
+batch ≡ stream is testable. Bounded runs use Trigger.AvailableNow with
+a memory sink; production swaps the source for Kafka and the sink for
+foreachBatch JDBC (sinks.jdbc) without touching the transforms —
+mirroring how each reference app is Kafka-in/Kafka-or-OLAP-out
+(COMMON/base/BaseApp.java:33-68).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import cents, ts_str
+from ..session import configure_runtime
+
+
+def _as_stream_dir(file_path: str) -> str:
+    """The file stream source requires a DIRECTORY; the driver tables
+    are single parquet files. Stage a symlink dir (no data copied)."""
+    d = tempfile.mkdtemp(prefix="streamsrc_")
+    os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+    return d
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6-style bounded file stream over the driver's events table
+    (nanos ts read as long — configure_runtime — and normalized)."""
+    configure_runtime(spark)
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a bounded streaming query into a memory sink, return the
+    final result table."""
+    name = "m" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 streaming — the tumbling per-type window aggregation run
+    as a real Structured Streaming query (complete mode → the final
+    table equals the batch result, so the batch oracle applies
+    verbatim). The append-mode + watermark variant is exercised in
+    tests (watermark withholds the last open window there).
+    """
+    ev = events_file_stream(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    agg = (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_cents",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming — applyInPandasWithState daily-UV flags over the
+    events stream, aggregated to per-day UV counts. Order-independent
+    (each (user, day) emits exactly one flag), so the daily_uv batch
+    oracle applies verbatim.
+    """
+    from .state import daily_uv_flags
+
+    ev = events_file_stream(spark, sf_dir).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("cur_date")
+    )
+    flags = daily_uv_flags(ev)
+    collected = _run_to_memory(flags, "append")
+    return (
+        collected.filter(F.col("uv") == 1)
+        .groupBy("cur_date")
+        .agg(F.count(F.lit(1)).alias("uv_ct"))
+    )
+
+
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 streaming — dropDuplicatesWithinWatermark over (user_id,
+    event_type). Keeps first ARRIVAL (arrival order ≈ file order, not
+    strictly event order), so this is declared rows-only: the count per
+    key is deterministic, the surviving record may differ from the
+    batch oracle's ts-ordered pick.
+    """
+    from .state import dedup_within_watermark
+
+    ev = events_file_stream(spark, sf_dir)
+    dd = dedup_within_watermark(ev, ["user_id", "event_type"], "ts", "1 hour")
+    out = dd.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id"),
+        ts_str("ts").alias("first_ts"),
+    )
+    return _run_to_memory(out, "append")
+
+
+def keyword_pipeline_stream(spark: SparkSession, log_dir: str, size: str = "10 seconds") -> DataFrame:
+    """The reference's flagship SQL app as a stream
+    (DwsTrafficSourceKeywordPageViewWindow.java:36-99): topic_log text
+    stream → 5-way split's page branch → search filter → tokenize →
+    tumbling count. Bounded run, complete mode.
+    """
+    from ..gmall.dwd import split_log
+    from ..gmall.dws import keyword_window
+
+    raw = spark.readStream.format("text").load(log_dir).withColumnRenamed("value", "value")
+    page = split_log(raw)["page"]
+    return _run_to_memory(keyword_window(page, size=size), "complete")
+
+
+# Declared streaming queries (driver contract): signature
+# (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
+# complete-mode / order-independent outputs are batch-equivalent.
+STREAM_BUILDERS = {
+    "stream_window_counts": stream_window_counts,
+    "stream_daily_uv": stream_daily_uv,
+    "stream_dedup_first": stream_dedup_first,  # rows-only: arrival-order pick
+}
+
+
+def stream_oracles() -> dict[str, str]:
+    from ..operators.relational import ORACLES as REL
+    from ..operators.stateful import ORACLES as ST
+
+    return {
+        "stream_window_counts": REL["window_tumbling_typed"],
+        "stream_daily_uv": ST["daily_uv"],
+    }
+
+
+def foreach_batch_pipeline(
+    source: DataFrame, transform, writer, checkpoint: str | None = None
+):
+    """K4-K9 harness — ``readStream → transform → foreachBatch(writer)``
+    with checkpointing: the engine's equivalent of each reference app's
+    main() (BaseApp.java:33-68; exactly-once via checkpoint + idempotent
+    writer replaces Flink's 2PC, FlinkSinkUtil.java:34-39).
+    ``writer(batch_df, batch_id)`` is any sinks.* batch writer.
+    """
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        writer(transform(batch_df), batch_id)
+
+    return (
+        source.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

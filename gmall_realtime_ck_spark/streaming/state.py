@@ -1,0 +1,168 @@
+"""Keyed stateful streaming operators (SURVEY.md §2.6, T1-T7).
+
+The reference implements these with Flink ValueState + TTL; here they
+are ``applyInPandasWithState`` (Arrow-batched, grouped state) or the
+built-in ``dropDuplicatesWithinWatermark``. Each has a batch oracle in
+``operators.stateful`` — tests assert batch ≡ stream.
+
+Emission logic is arrival-order-dependent per record (as in the
+reference), but the *aggregated* outputs (per-day UV counts, etc.) are
+order-independent: state tracks the set of seen days per key, so each
+(key, day) emits exactly one flag no matter how records interleave.
+
+Scale: state is partitioned by the group key across executors (RocksDB
+/ HDFS-backed state store on a cluster); the per-day fields keep state
+size O(keys), and production deployments add GroupStateTimeout to
+expire idle keys (the reference's 1-day TTL,
+DwsTrafficVcChArIsNewPageViewWindow.java:70).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_UV_STATE = StructType([StructField("seen_days", StringType())])
+_UV_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cur_date", StringType()),
+        StructField("uv", LongType()),
+    ]
+)
+
+
+def daily_uv_flags(events: DataFrame, key_col: str = "user_id", date_col: str = "cur_date") -> DataFrame:
+    """T4 streaming — first-record-of-day flag per key
+    (DwsTrafficVcChArIsNewPageViewWindow.java:62-107). Input needs
+    ``key_col`` and a precomputed ``date_col`` string column; emits one
+    row per input record with uv ∈ {0,1}.
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
+        for pdf in pdf_iter:
+            flags = []
+            for d in pdf[date_col]:
+                if d in seen:
+                    flags.append(0)
+                else:
+                    seen.add(d)
+                    flags.append(1)
+            yield pd.DataFrame(
+                {"user_id": user_id, "cur_date": pdf[date_col], "uv": flags}
+            )
+        state.update((",".join(sorted(seen)),))
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(fn, _UV_OUT, _UV_STATE, "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+_REPAIR_STATE = StructType([StructField("first_date", StringType())])
+
+
+def repair_is_new_stream(page: DataFrame, out_schema: StructType) -> DataFrame:
+    """T3 streaming — new/old-visitor repair (DwdBaseLog.java:177-229):
+    per mid, remember the first-visit date; is_new=1 on a later date is
+    rewritten to 0; is_new=0 with no state backfills state with
+    'yesterday' (so later same-day records stay 0), mirroring the
+    reference's backfill at :207-215.
+
+    Input columns: mid, is_new, cur_date (+ any passthrough present in
+    ``out_schema``).
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        first = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            fixed = []
+            for is_new, d in zip(pdf["is_new"], pdf["cur_date"]):
+                if is_new == "1":
+                    if first is None:
+                        first = d
+                    elif d != first:
+                        is_new = "0"
+                else:
+                    if first is None:
+                        first = "1970-01-01"  # unknown past, per reference backfill
+                fixed.append(is_new)
+            out = pdf.copy()
+            out["is_new"] = fixed
+            yield out[[f.name for f in out_schema.fields]]
+        if first is not None:
+            state.update((first,))
+
+    return page.groupBy("mid").applyInPandasWithState(
+        fn, out_schema, _REPAIR_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_LOGIN_STATE = StructType([StructField("last_date", StringType())])
+_LOGIN_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cur_date", StringType()),
+        StructField("uu", LongType()),
+        StructField("back", LongType()),
+    ]
+)
+
+
+def login_flags(logins: DataFrame, back_gap_days: int = 8) -> DataFrame:
+    """T6 streaming — unique + returning user flags
+    (DwsUserUserLoginWindow.java:80-124): uu=1 on the first login of a
+    new day; back=1 when the gap since the previous active date is
+    ≥ back_gap_days (:108-111). Input: user_id, cur_date (sorted dates
+    per key arrive in event order from the upstream watermark).
+    """
+    from datetime import date
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            uu, back = [], []
+            for d in pdf["cur_date"]:
+                if last is None:
+                    uu.append(1)
+                    back.append(0)
+                    last = d
+                elif d != last:
+                    uu.append(1)
+                    gap = (date.fromisoformat(d) - date.fromisoformat(last)).days
+                    back.append(1 if gap >= back_gap_days else 0)
+                    if d > last:
+                        last = d
+                else:
+                    uu.append(0)
+                    back.append(0)
+            yield pd.DataFrame(
+                {"user_id": user_id, "cur_date": pdf["cur_date"], "uu": uu, "back": back}
+            )
+        if last is not None:
+            state.update((last,))
+
+    return logins.groupBy("user_id").applyInPandasWithState(
+        fn, _LOGIN_OUT, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """T1/T2 streaming — keyed dedup with bounded state
+    (DwsTradeSkuOrderWindow.java:196-233, state TTL 10 s → here the
+    watermark delay bounds the dedup horizon). Keeps the first arrival
+    per key; Spark evicts state once the watermark passes.
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

@@ -13,6 +13,7 @@ from gmall_realtime_ck_spark import registry
 
 ORACLED = sorted(n for n in registry.BUILDERS if n in registry.ORACLES)
 UNORACLED = sorted(n for n in registry.BUILDERS if n not in registry.ORACLES)
+STREAM_ORACLED = sorted(n for n in registry.STREAM_BUILDERS if n in registry.ORACLES)
 
 
 def _normalize(rows, columns):
@@ -57,6 +58,22 @@ def test_query_matches_oracle(name, spark, tables, duck):
 def test_unoracled_query_runs(name, spark, tables):
     df = registry.BUILDERS[name](tables)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", STREAM_ORACLED)
+def test_streaming_query_matches_oracle(name, spark, duck):
+    from tests.conftest import SF_DIR
+
+    df = registry.STREAM_BUILDERS[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    rel = duck.sql(registry.ORACLES[name])
+    duck_cols = list(rel.columns)
+    duck_rows = [tuple(r) for r in rel.fetchall()]
+    assert sorted(spark_cols) == sorted(duck_cols)
+    cols_s, norm_s = _normalize(spark_rows, spark_cols)
+    cols_d, norm_d = _normalize(duck_rows, duck_cols)
+    assert norm_s == norm_d, f"{name}: streaming result diverges from batch oracle"
 
 
 def test_entry_smoke(spark):
