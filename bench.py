@@ -44,6 +44,12 @@ def main() -> int:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+    for name in sorted(registry.STREAM_BUILDERS):
+        t0 = time.perf_counter()
+        df = registry.STREAM_BUILDERS[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s (streaming)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (training-data-pipeline operators, BASELINE.json north star).
+
+Design for 100 TB: media bytes ride in a ``binary`` column next to a
+metadata struct; all pipeline decisions (routing, filtering, sampling)
+happen on metadata columns JVM-side so the bytes are only touched by
+the Arrow-batched decode/feature UDFs — and only AFTER filters prune
+the scan. Parquet stores binary columns contiguously per row-group, so
+column pruning keeps metadata-only queries cheap.
+
+The actual codec calls (PIL/libsndfile/ffmpeg) are NOT available in
+this container: ``decode_image``/``decode_audio`` raise
+NotImplementedError at the codec seam, while the deterministic fake
+(``fake_decode_rgb``) keeps the full Spark plumbing — schema,
+partitioning, batch iteration, UDF signatures — real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media row: bytes + typed metadata (mime decides the decode route)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("feat_dim", IntegerType()),
+        StructField("checksum", LongType()),
+        StructField("mean_byte_milli", LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, mime: str):
+    """Codec seam — real deployments plug PIL/turbojpeg here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use fake_decode_rgb for plumbing tests"
+    )
+
+
+def decode_audio(payload: bytes, mime: str):
+    """Codec seam — real deployments plug libsndfile/ffmpeg here."""
+    raise NotImplementedError(
+        "audio codecs are not installed in this environment; "
+        "use fake_decode_rgb for plumbing tests"
+    )
+
+
+def fake_decode_rgb(payload: bytes) -> list[int]:
+    """Deterministic stand-in decoder: folds the payload into a 3-byte
+    'pixel' so downstream feature code has real numbers to chew on."""
+    acc = [0, 0, 0]
+    for i, b in enumerate(payload):
+        acc[i % 3] = (acc[i % 3] + b) % 256
+    return acc
+
+
+def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: Arrow ships
+    the bytes to Python in columnar batches; each batch is decoded
+    (here: fake-decoded) and reduced to fixed-width features. The
+    pattern — iterator of pandas batches in, iterator out — is the
+    production shape for resize / frame-sample / embed stages.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                rgb = fake_decode_rgb(data)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "mime": mime,
+                        "feat_dim": len(rgb),
+                        "checksum": sum(data) % 1_000_000_007,
+                        "mean_byte_milli": (sum(data) * 1000) // len(data) if data else 0,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must never touch ``payload``:
+    .explain shows ReadSchema without the binary column (column
+    pruning), which is what keeps 100 TB metadata sweeps cheap."""
+    return (
+        media.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+        )
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling analogue: deterministic 1-in-N sample keyed on
+    media_id (no shuffle — a filter, not a repartition)."""
+    return media.filter(F.col("media_id") % every_n == 0)
+
+
+def make_fake_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
+    """Synthetic media table for tests: seeded binary payloads."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        mime = rng.choice(["image/jpeg", "image/png", "audio/wav", "video/mp4"])
+        size = rng.randrange(64, 512)
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        w, h = (rng.choice([64, 128, 256]), rng.choice([64, 128, 256]))
+        rows.append((i, mime, w, h, len(payload), payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -405,11 +405,74 @@ def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# J5/P5/X2 — config-driven dynamic split: broadcast config decides both
+# routing (sink topic) and the per-route column list
+# ---------------------------------------------------------------------------
+
+#: the inline table_process_dwd-style config (source_type, sink_table,
+#: sink_columns) — in the gmall pipeline this arrives as a CDC stream
+#: (gmall.dwd.dynamic_split); here it is pinned so the oracle can
+#: mirror it.
+ROUTING_CONFIG = [
+    ("click", "dwd_click", ["event_id", "user_id"]),
+    ("purchase", "dwd_purchase", ["event_id", "value_cents"]),
+    ("error", "dwd_error", ["event_id", "user_id", "value_cents"]),
+]
+
+
+def config_routed_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Config-driven routing + column pruning (DwdBaseDb.java:92-104,
+    BaseDbTableProcessFunction.java:109-116, FlinkSinkUtil.java:46-67):
+    each configured source type maps to a sink topic with its own
+    column list; unconfigured types drop. The select list is built FROM
+    CONFIG DATA (the reference's deleteNotNeedColumns), not hardcoded —
+    swap ROUTING_CONFIG and the plan changes.
+    """
+    ev = t["events"].withColumn("value_cents", cents("value"))
+    all_cols = ["event_id", "user_id", "value_cents"]
+    branches = []
+    for source_type, sink_table, keep in ROUTING_CONFIG:
+        proj = [F.lit(sink_table).alias("topic")] + [
+            (F.col(c) if c in keep else F.lit(None).cast("bigint")).alias(c) for c in all_cols
+        ]
+        branches.append(ev.filter(F.col("event_type") == source_type).select(*proj))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer join with null-padded misses
+# ---------------------------------------------------------------------------
+
+
+def left_outer_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Left-outer join semantics (DwdTradeOrderDetail.java:97-98): the
+    reference's streaming left join emits +I(left,null) then retracts
+    when the right side arrives (Test02_SQL_JOIN.java:62-88); Spark's
+    batch/watermarked join emits the null-padded row once (SURVEY §7
+    H1). Shape: orders LEFT JOIN high-value lineitems; orders with no
+    match survive with zero counts — the +I(left,null) rows.
+    """
+    o = t["orders"]
+    li = t["lineitem"].filter(F.col("l_extendedprice") > 80000.0)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_linenumber").alias("hv_item_ct"),
+            F.sum(F.when(li.l_orderkey.isNull(), 1).otherwise(0)).alias("null_padded"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_cents,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
                COUNT(*) AS count_order
         FROM lineitem
@@ -465,7 +528,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT)
                         WHEN event_type = 'error' THEN -CAST(ROUND(value * 100) AS BIGINT)
-                        ELSE 0 END) AS net_cents,
+                        ELSE 0 END)::BIGINT AS net_cents,
                COUNT(*) AS event_ct
         FROM events
         GROUP BY user_id
@@ -475,7 +538,7 @@ ORACLES: dict[str, str] = {
                strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
                event_type,
                COUNT(*) AS pv_ct,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -490,7 +553,7 @@ ORACLES: dict[str, str] = {
     "interval_join": """
         SELECT o_orderpriority,
                COUNT(*) AS li_ct,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
           AND l_shipdate >= o_orderdate
@@ -500,7 +563,7 @@ ORACLES: dict[str, str] = {
     "lookup_join_dim": """
         SELECT r_name AS region_name, n_name AS nation_name,
                COUNT(*) AS customer_ct,
-               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
         FROM customer
         LEFT JOIN nation ON c_nationkey = n_nationkey
         LEFT JOIN region ON n_regionkey = r_regionkey
@@ -508,17 +571,36 @@ ORACLES: dict[str, str] = {
     """,
     "serving_gmv": """
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS gmv_cents
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS gmv_cents
         FROM orders
         GROUP BY 1
     """,
     "serving_topk_channel": """
         SELECT event_type AS ch,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
         FROM events
         GROUP BY event_type
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
+    """,
+    "config_routed_split": """
+        SELECT 'dwd_click' AS topic, event_id, user_id, NULL::BIGINT AS value_cents
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'dwd_purchase', event_id, NULL::BIGINT, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'dwd_error', event_id, user_id, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'error'
+    """,
+    "left_outer_orders": """
+        SELECT o_orderkey,
+               COUNT(l_linenumber) AS hv_item_ct,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_padded
+        FROM orders
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_extendedprice > 80000.0) l
+          ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
     """,
     "log_split_fanout": """
         SELECT 'err' AS stream, event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
@@ -546,4 +628,6 @@ BUILDERS = {
     "serving_gmv": serving_gmv,
     "serving_topk_channel": serving_topk_channel,
     "log_split_fanout": log_split_fanout,
+    "config_routed_split": config_routed_split,
+    "left_outer_orders": left_outer_orders,
 }

@@ -150,7 +150,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT strftime(d, '%Y-%m-%d') AS cur_date,
                COUNT(*) AS uu_ct,
-               SUM(CASE WHEN prev_d IS NOT NULL AND date_diff('day', prev_d, d) >= 8 THEN 1 ELSE 0 END) AS back_ct
+               SUM(CASE WHEN prev_d IS NOT NULL AND date_diff('day', prev_d, d) >= 8 THEN 1 ELSE 0 END)::BIGINT AS back_ct
         FROM flagged GROUP BY 1
     """,
     "new_visitor_repair": """
@@ -159,8 +159,8 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS claimed_new_ct,
-               SUM(CASE WHEN event_type = 'signup' AND CAST(ts AS DATE) = CAST(first_ts AS DATE) THEN 1 ELSE 0 END) AS repaired_new_ct
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS claimed_new_ct,
+               SUM(CASE WHEN event_type = 'signup' AND CAST(ts AS DATE) = CAST(first_ts AS DATE) THEN 1 ELSE 0 END)::BIGINT AS repaired_new_ct
         FROM flagged GROUP BY 1
     """,
     "cart_add_uu": """

@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: binary payloads through mapInPandas,
+metadata-only pruning, codec-seam stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_realtime_ck_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.make_fake_media(spark, n=120).cache()
+
+
+def test_extract_features_roundtrip(media):
+    feats = mm.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 120
+    assert all(r["feat_dim"] == 3 for r in rows)
+    # checksum is a pure function of the payload → stable across runs
+    again = {r["media_id"]: r["checksum"] for r in mm.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in rows)
+    # mean byte is bounded
+    assert all(0 <= r["mean_byte_milli"] <= 255_000 for r in rows)
+
+
+def test_media_stats_prunes_payload(media, spark, tmp_path):
+    # through parquet so ReadSchema is observable
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+    plan = mm.media_stats(on_disk)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, "metadata query must not read the binary column"
+    got = {r["mime"]: r["n"] for r in mm.media_stats(on_disk).collect()}
+    assert sum(got.values()) == 120
+
+
+def test_sample_frames_deterministic(media):
+    s1 = {r["media_id"] for r in mm.sample_frames(media, every_n=10).collect()}
+    s2 = {r["media_id"] for r in mm.sample_frames(media, every_n=10).collect()}
+    assert s1 == s2
+    assert len(s1) == 12
+
+
+def test_codec_seams_raise(media):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"xx", "audio/wav")
