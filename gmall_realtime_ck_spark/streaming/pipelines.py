@@ -43,21 +43,34 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 32) -> DataFrame:
     """Execute a bounded streaming query into a memory sink, return the
-    final result table."""
+    final result table.
+
+    Shuffle partitions are scoped down for the run: streaming state
+    (window/dedup/applyInPandasWithState) creates one state store per
+    shuffle partition, and a vanilla session's 200 partitions cost ~2 s
+    of per-batch task overhead at test scale. The prior value is
+    restored afterwards so the caller's session is untouched.
+    """
+    spark = df.sparkSession
     name = "m" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +151,24 @@ def keyword_pipeline_stream(spark: SparkSession, log_dir: str, size: str = "10 s
     return _run_to_memory(keyword_window(page, size=size), "complete")
 
 
+def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship gmall streaming app end-to-end over the
+    deterministic log fixture (generated on the fly — the driver tables
+    carry no nested-log shape): dirty-line split → page branch → search
+    filter → tokenize → tumbling keyword counts. Deterministic output,
+    but its input is not a driver view, so it is declared rows-only.
+    """
+    import os
+    import tempfile
+
+    from ..gmall import fixtures
+
+    d = tempfile.mkdtemp(prefix="kwlog_")
+    with open(os.path.join(d, "log.jsonl"), "w", encoding="utf-8") as f:
+        f.write("\n".join(fixtures.gen_log_lines(n_events=2000)))
+    return keyword_pipeline_stream(spark, d, size="1 hour")
+
+
 # Declared streaming queries (driver contract): signature
 # (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
 # complete-mode / order-independent outputs are batch-equivalent.
@@ -145,6 +176,7 @@ STREAM_BUILDERS = {
     "stream_window_counts": stream_window_counts,
     "stream_daily_uv": stream_daily_uv,
     "stream_dedup_first": stream_dedup_first,  # rows-only: arrival-order pick
+    "stream_keyword_pipeline": stream_keyword_pipeline,  # rows-only: fixture input
 }
 
 
