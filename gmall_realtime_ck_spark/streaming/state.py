@@ -159,6 +159,48 @@ def login_flags(logins: DataFrame, back_gap_days: int = 8) -> DataFrame:
     )
 
 
+def dedup_keep_latest(df: DataFrame, key_cols: list[str], out_schema: StructType,
+                      flush_ms: int = 5000) -> DataFrame:
+    """T2 streaming — the reference's commented alternative dedup: keep
+    the LATEST record per key in state and flush it on a processing-time
+    timer (DwsTradeSkuOrderWindow.java:156-195, 5 s timer). Emits the
+    held record when the timeout fires (or when a newer record replaces
+    it mid-batch the newest survives).
+
+    Input must contain ``key_cols`` plus every field of ``out_schema``.
+    """
+    import json
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in out_schema.fields]
+        if state.hasTimedOut:
+            if state.exists:
+                held = json.loads(state.get[0])
+                state.remove()
+                yield pd.DataFrame([held], columns=cols)
+            return
+        last = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                last = pdf.iloc[-1][cols].to_dict()
+        if last is not None:
+            clean = {
+                k: (None if pd.isna(v) else (v.item() if hasattr(v, "item") else v))
+                for k, v in last.items()
+            }
+            state.update((json.dumps(clean),))
+            state.setTimeoutDuration(flush_ms)
+        yield pd.DataFrame(columns=cols)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        out_schema,
+        StructType([StructField("held", StringType())]),
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
     """T1/T2 streaming — keyed dedup with bounded state
     (DwsTradeSkuOrderWindow.java:196-233, state TTL 10 s → here the
