@@ -214,6 +214,24 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def neardup_drop_list(t: dict[str, DataFrame], threshold_permille: int = 300) -> DataFrame:
+    """The dedup pipeline's decision step: docs to DROP = any doc that
+    near-duplicates (verified Jaccard ≥ threshold) a lower-id doc —
+    greedy keep-lowest-id policy. End-to-end: shingle → MinHash → LSH
+    candidates → exact-Jaccard verify → drop set. (Full transitive
+    clustering would use iterative min-id propagation; greedy drop is
+    the standard one-pass policy and is what C4-style pipelines ship.)
+    """
+    pairs = ngram_jaccard_pairs(t)
+    confirmed = pairs.filter(F.col("jaccard_permille") >= threshold_permille)
+    drops = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        t["documents"].select("doc_id")
+        .join(drops.withColumn("drop", F.lit(1)), "doc_id", "left")
+        .select("doc_id", F.coalesce("drop", F.lit(0)).cast("bigint").alias("is_drop"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -304,9 +322,34 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["neardup_drop_list"] = _MINHASH_CTE + f"""
+        , sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_ct
+            FROM pairs p
+            JOIN sh ta ON p.doc_a = ta.doc_id
+            JOIN sh tb ON p.doc_b = tb.doc_id AND ta.s = tb.s
+            GROUP BY p.doc_a, p.doc_b
+        ), verified AS (
+            SELECT p.doc_a, p.doc_b,
+                   (coalesce(inter_ct, 0) * 1000) // (na.n + nb.n - coalesce(inter_ct, 0)) AS jp
+            FROM pairs p
+            LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+            JOIN sizes na ON p.doc_a = na.doc_id
+            JOIN sizes nb ON p.doc_b = nb.doc_id
+        ), drops AS (
+            SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jp >= 300
+        )
+        SELECT d.doc_id,
+               (CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_drop
+        FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
+    """
+
 BUILDERS = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_docs": simhash_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_drop_list": neardup_drop_list,
 }

@@ -406,6 +406,55 @@ def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# beyond-reference windows: session windows + sketched distinct counts
+# ---------------------------------------------------------------------------
+
+
+def session_window_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user session windows (30 min inactivity gap) — beyond the
+    reference's tumbling-only windows (SURVEY §2.10), a first-class
+    Spark capability (``session_window``). Session end = last event +
+    gap; the oracle reproduces it with the lag/cumsum islands idiom.
+    """
+    ev = t["events"]
+    w = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "ev_ct",
+            "value_cents",
+        )
+    )
+
+
+def window_uv_approx(t: dict[str, DataFrame]) -> DataFrame:
+    """A6 at scale — HyperLogLog distinct users per window
+    (approx_count_distinct): the sketched path the reference's
+    Set<String> accumulator (TradeProvinceOrderBean.java:43) cannot
+    take. Declared rows-only (sketch estimates are engine-specific);
+    the exact variant is window_global_uv.
+    """
+    ev = t["events"]
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("uv_approx"))
+        .select(
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "uv_approx",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5/P5/X2 — config-driven dynamic split: broadcast config decides both
 # routing (sink topic) and the per-route column list
 # ---------------------------------------------------------------------------
@@ -583,6 +632,25 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
+    "session_window_events": """
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), g AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM e
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+               COUNT(*) AS ev_ct,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM g GROUP BY user_id, sess_id
+    """,
     "config_routed_split": """
         SELECT 'dwd_click' AS topic, event_id, user_id, NULL::BIGINT AS value_cents
         FROM events WHERE event_type = 'click'
@@ -630,4 +698,6 @@ BUILDERS = {
     "log_split_fanout": log_split_fanout,
     "config_routed_split": config_routed_split,
     "left_outer_orders": left_outer_orders,
+    "session_window_events": session_window_events,
+    "window_uv_approx": window_uv_approx,
 }

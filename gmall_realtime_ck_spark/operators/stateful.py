@@ -49,12 +49,10 @@ def daily_uv(t: dict[str, DataFrame]) -> DataFrame:
     """
     ev = t["events"]
     day = date_str("ts")
-    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(day.alias("cur_date"))
-        .agg(F.count(F.lit(1)).alias("uv_ct"))
+    # summing first-of-day flags per day ≡ distinct keys per day — one
+    # partial-aggregating shuffle instead of a row_number sort+shuffle
+    return ev.groupBy(day.alias("cur_date")).agg(
+        F.countDistinct("user_id").alias("uv_ct")
     )
 
 
@@ -114,12 +112,8 @@ def cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
     """
     ev = t["events"].filter(F.col("event_type") == "purchase")
     day = date_str("ts")
-    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(day.alias("cur_date"))
-        .agg(F.count(F.lit(1)).alias("cart_add_uu_ct"))
+    return ev.groupBy(day.alias("cur_date")).agg(
+        F.countDistinct("user_id").alias("cart_add_uu_ct")
     )
 
 

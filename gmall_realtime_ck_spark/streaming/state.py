@@ -52,16 +52,12 @@ def daily_uv_flags(events: DataFrame, key_col: str = "user_id", date_col: str = 
         (user_id,) = key
         seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
         for pdf in pdf_iter:
-            flags = []
-            for d in pdf[date_col]:
-                if d in seen:
-                    flags.append(0)
-                else:
-                    seen.add(d)
-                    flags.append(1)
-            yield pd.DataFrame(
-                {"user_id": user_id, "cur_date": pdf[date_col], "uv": flags}
-            )
+            # vectorized: flag = first occurrence in batch AND not seen before
+            dates = pdf[date_col]
+            first_in_batch = ~dates.duplicated()
+            flags = (first_in_batch & ~dates.isin(seen)).astype("int64")
+            seen.update(dates[first_in_batch])
+            yield pd.DataFrame({"user_id": user_id, "cur_date": dates, "uv": flags})
         state.update((",".join(sorted(seen)),))
 
     return (
