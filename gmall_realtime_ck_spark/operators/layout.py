@@ -1,0 +1,152 @@
+"""Physical-layout operators: bucketing, salting, partitioned writes.
+
+At 100 TB the wins live here: a fact⋈fact join between tables bucketed
+on the join key runs with ZERO exchange (the sort-merge join reads
+co-located buckets), and a skewed aggregation splits its hot keys with
+a salt before the final combine. These helpers make those layouts
+first-class; `tests/test_layout.py` asserts the no-shuffle plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join/agg key —
+    Spark's answer to pre-partitioned co-located joins. Joins between
+    two tables bucketed identically on the join key skip the exchange
+    entirely; aggregations on the bucket key skip the shuffle.
+    ``path`` makes it an external table (useful when the warehouse dir
+    is not writable/configurable at runtime).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def salted_aggregate(
+    df: DataFrame, keys: list[str], aggs: dict[str, str], n_salts: int = 16
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) — spreading a hot key over n_salts reducers — stage 2
+    combines the partials on the key alone. ``aggs`` maps column →
+    {'sum','count','max','min'} (re-associable aggregates only; avg
+    decomposes to sum+count at the call site).
+
+    AQE's skew-join handling covers joins; this covers groupBy skew,
+    which AQE does not re-balance.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    stage1 = salted.groupBy(*keys, "_salt").agg(
+        *[
+            getattr(F, fn)(c).alias(f"_p_{c}")
+            for c, fn in aggs.items()
+        ]
+    )
+    recombine = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}
+    return stage1.groupBy(*keys).agg(
+        *[recombine[fn](f"_p_{c}").alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    right_ts ≤ left_ts (per key), optionally within ``tolerance``.
+    The time-series companion to the reference's interval join (J4) —
+    pandas merge_asof / DuckDB ASOF JOIN semantics, built from a
+    range join + per-left-row max: Catalyst keeps the equi-key hash
+    join; the dedup-to-latest is one window over the matched pairs.
+
+    Scale: the matched-pair blowup is bounded by the tolerance window;
+    for unbounded as-of, prefer bucketing both sides on ``on`` +
+    a sort-merge within buckets.
+    """
+    from pyspark.sql import Window
+
+    lt = F.col(f"l.{left_ts}")
+    rt = F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (rt <= lt)
+    if tolerance:
+        cond = cond & (rt >= lt - F.expr(f"INTERVAL {tolerance}"))
+    l = left.withColumn("_lid", F.monotonically_increasing_id()).alias("l")
+    r = right.alias("r")
+    matched = l.join(r, cond, "left")
+    w = Window.partitionBy("l._lid").orderBy(F.desc_nulls_last(f"r.{right_ts}"))
+    picked = matched.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return picked.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in right_cols],
+    )
+
+
+def asof_view_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Declared as-of query: for each purchase, the user's latest view
+    at or before it (classic attribution shape). Oracled against
+    DuckDB's native ASOF JOIN.
+    """
+    from .relational import ts_str
+
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        F.col("r_event_id").alias("view_event_id"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "asof_view_before_purchase": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               v.event_id AS view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+}
+
+BUILDERS = {
+    "asof_view_before_purchase": asof_view_before_purchase,
+}
+
+
+def to_snake_json(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Bean→snake_case JSON serializer
+    (COMMON/function/BeanToJsonStrMapFunction.java:13-19): serialize
+    every row to a JSON string with snake_case keys, skipping
+    @JSONField(serialize=false)-style excluded columns (the reference
+    drops ts/orderIdSet, TradeProvinceOrderBean.java:39-43)."""
+    import re
+
+    def snake(name: str) -> str:
+        return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", name).lower()
+
+    cols = [F.col(c).alias(snake(c)) for c in df.columns if c not in exclude]
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))

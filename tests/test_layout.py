@@ -1,0 +1,110 @@
+"""Layout operators: bucketed co-located joins (no exchange), salted
+aggregation equivalence, as-of join, snake_case JSON."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_realtime_ck_spark.operators import layout
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    layout.write_bucketed(o, "b_orders", ["o_orderkey"], n_buckets=8,
+                          sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"))
+    layout.write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8,
+                          sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"))
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: the join must not introduce a shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and it still returns the right rows
+    assert joined.count() == tables["lineitem"].count()
+
+
+def test_salted_aggregate_matches_plain(tables):
+    ev = tables["events"]
+    plain = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["count_value"], r["max_value"])
+        for r in layout.salted_aggregate(
+            ev, ["event_type"], {"value": "count"}, n_salts=8
+        )
+        .join(
+            layout.salted_aggregate(ev, ["event_type"], {"value": "max"}, n_salts=8),
+            "event_type",
+        )
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 150)], "k int, t long"
+    ).select("k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b"), (1, 250, "c"), (2, 151, "d")],
+        "k int, t long, v string",
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v")
+    out = layout.asof_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"])
+    got = {(r["k"], r["t"].second + r["t"].minute * 60, r["r_v"]) for r in out.collect()}
+    assert (1, 100, "a") in got  # latest right ≤ 100 is t=90
+    assert (1, 200, "b") in got  # latest right ≤ 200 is t=150
+    assert (2, 150, None) in got  # right at 151 is later → null
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 1000)], "k int, t long").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    right = spark.createDataFrame([(1, 10, "old")], "k int, t long, v string").select(
+        "k", F.timestamp_seconds("t").alias("t"), "v"
+    )
+    out = layout.asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"],
+        tolerance="5 MINUTES",
+    )
+    assert out.collect()[0]["r_v"] is None  # 990s gap > 5 min tolerance
+
+
+def test_to_snake_json(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", 5, 3, "x")],
+        ["curDate", "orderCount", "ts", "orderIdSet"],
+    )
+    out = layout.to_snake_json(df, exclude=("ts", "orderIdSet")).collect()[0]["value"]
+    import json
+
+    d = json.loads(out)
+    assert d == {"cur_date": "2024-01-01", "order_count": 5}
+
+
+def test_serving_endpoints(spark, tmp_path):
+    from gmall_realtime_ck_spark import serving
+
+    pw = spark.createDataFrame(
+        [("2024-11-24", "hebei", 10.5), ("2024-11-24", "hubei", 20.5),
+         ("2024-11-25", "hebei", 5.0)],
+        "cur_date string, province_name string, order_amount double",
+    )
+    g = serving.gmv(pw, "2024-11-24").collect()[0]["gmv"]
+    assert g == pytest.approx(31.0)
+    rows = serving.as_dashboard_json(serving.province_amounts(pw, "2024-11-24"))
+    assert rows[0]["province_name"] == "hebei"  # ordered ascending by amount
+    tw = spark.createDataFrame(
+        [("2024-11-24", "xiaomi", 3), ("2024-11-24", "web", 7)],
+        "cur_date string, ch string, uv_ct long",
+    )
+    top = serving.channel_uv_topk(tw, "2024-11-24", limit=1).collect()
+    assert top[0]["ch"] == "web"
