@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): operator invariants on random
+inputs — beyond the reference's zero-assertion test culture
+(SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gmall_realtime_ck_spark.operators import layout
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=10_000),  # ts seconds
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(left=rows_strategy, right=rows_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pyspark.sql.functions as F
+
+    ldf = spark.createDataFrame(left, "k int, t long, lv int").select(
+        "k", F.timestamp_seconds("t").alias("t"), "lv"
+    )
+    rdf = spark.createDataFrame(right, "k int, t long, rv int").select(
+        "k", F.timestamp_seconds("t").alias("t"), "rv"
+    )
+    # pandas asof on tied right-ts picks the LAST row of the sorted
+    # frame, Spark's row_number tiebreak is arbitrary → dedup right to
+    # one row per (k, t) to make the property well-defined
+    rpd = (
+        pd.DataFrame(right, columns=["k", "t", "rv"])
+        .drop_duplicates(subset=["k", "t"], keep="first")
+    )
+    rdf = spark.createDataFrame(rpd, "k int, t long, rv int").select(
+        "k", F.timestamp_seconds("t").alias("t"), "rv"
+    )
+    out = layout.asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t", right_cols=["rv"])
+    got = sorted(
+        (r["k"], int(r["t"].timestamp()), r["lv"], r["r_rv"]) for r in out.collect()
+    )
+
+    lpd = pd.DataFrame(left, columns=["k", "t", "lv"]).sort_values(["t", "k", "lv"])
+    expected = pd.merge_asof(
+        lpd,
+        rpd.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    exp = sorted(
+        (int(r.k), int(r.t), int(r.lv), None if pd.isna(r.rv) else int(r.rv))
+        for r in expected.itertuples()
+    )
+    assert got == exp
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, n_salts=st.integers(min_value=1, max_value=8))
+def test_salted_sum_matches_plain(spark, rows, n_salts):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "k int, t long, v int")
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {
+        r["k"]: r["sum_v"]
+        for r in layout.salted_aggregate(df, ["k"], {"v": "sum"}, n_salts=n_salts).collect()
+    }
+    assert plain == salted
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY12.,!", min_size=0, max_size=60), min_size=1, max_size=12
+    )
+)
+def test_tokenizer_cross_engine(spark, duck, texts):
+    """The shared tokenizer fragment must agree between Spark and DuckDB
+    on arbitrary input, not just the fixture corpus."""
+    import duckdb as dd
+    import pyspark.sql.functions as F
+
+    from gmall_realtime_ck_spark.operators.text import TOKENS_DUCK, TOKENS_SPARK
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    s_out = {
+        r["i"]: list(r["tk"])
+        for r in df.select("i", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")).collect()
+    }
+    con = dd.connect()
+    con.execute("CREATE TABLE tt (i int, text varchar)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)])
+    d_out = {
+        i: list(tk)
+        for i, tk in con.execute(
+            f"SELECT i, {TOKENS_DUCK.format(c='text')} FROM tt"
+        ).fetchall()
+    }
+    assert s_out == d_out
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 3)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_keeps_exactly_one_per_key(spark, rows):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k int, ts long, x int")
+    w = Window.partitionBy("k").orderBy("ts", "x")
+    out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert out.count() == df.select("k").distinct().count()
+    # kept row is the true minimum per key
+    kept = {(r["k"]): (r["ts"], r["x"]) for r in out.collect()}
+    for k in kept:
+        candidates = sorted((t, x) for kk, t, x in rows if kk == k)
+        assert kept[k] == candidates[0]
