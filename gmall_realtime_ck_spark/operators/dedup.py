@@ -346,6 +346,46 @@ ORACLES["neardup_drop_list"] = _MINHASH_CTE + f"""
         FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
     """
 
+# corpus_clean_manifest's BUILDER lives in text.py (it composes
+# quality_score with neardup_drop_list); its oracle lives here because
+# it extends the minhash CTE stack.
+from .text import _stop_list_sql  # noqa: E402  (no circular: text doesn't import back)
+
+ORACLES["corpus_clean_manifest"] = _MINHASH_CTE + f"""
+        , sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_ct
+            FROM pairs p
+            JOIN sh ta ON p.doc_a = ta.doc_id
+            JOIN sh tb ON p.doc_b = tb.doc_id AND ta.s = tb.s
+            GROUP BY p.doc_a, p.doc_b
+        ), verified AS (
+            SELECT p.doc_a, p.doc_b,
+                   (coalesce(inter_ct, 0) * 1000) // (na.n + nb.n - coalesce(inter_ct, 0)) AS jp
+            FROM pairs p
+            LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+            JOIN sizes na ON p.doc_a = na.doc_id
+            JOIN sizes nb ON p.doc_b = nb.doc_id
+        ), drops AS (
+            SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jp >= 300
+        ), q AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk)::BIGINT >= 10
+                             AND (len(list_filter(tk, x -> x IN ({_stop_list_sql()})))::BIGINT * 1000)
+                                 // len(tk)::BIGINT >= 20
+                        THEN 1 ELSE 0 END AS quality_keep
+            FROM tk0
+        )
+        SELECT d.doc_id,
+               q.quality_keep::BIGINT AS quality_keep,
+               (CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS neardup_drop,
+               (CASE WHEN q.quality_keep = 1 AND drops.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        LEFT JOIN drops ON d.doc_id = drops.doc_id
+    """
+
 BUILDERS = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,

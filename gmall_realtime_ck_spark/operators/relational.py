@@ -405,6 +405,48 @@ def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Conditional-aggregation join (TPC-H Q14 shape): share of revenue
+    from promo parts per month — LIKE-prefix predicate (the reference's
+    startsWith filters, P3/P7) + CASE-routed sums over a fact⋈dim join.
+    Output as permille bigint for cross-engine exactness.
+    """
+    li = t["lineitem"]
+    part = F.broadcast(t["part"].select("p_partkey", "p_type"))
+    rev = cents("l_extendedprice * (1 - l_discount)")
+    joined = li.join(part, li.l_partkey == part.p_partkey).withColumn("rev_cents", rev)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("rev_cents")).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .withColumn("promo_permille", F.expr("(promo_cents * 1000) DIV total_cents"))
+    )
+
+
+def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-revenue suppliers (TPC-H Q15 shape): windowed-period revenue
+    per supplier, deterministic top-5 — the serving ORDER BY/LIMIT
+    pattern (A7) over a join.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = F.broadcast(t["supplier"].select("s_suppkey", "s_name"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("total_revenue_cents"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy(F.desc("total_revenue_cents"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference windows: session windows + sketched distinct counts
 # ---------------------------------------------------------------------------
@@ -632,6 +674,29 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
+    "promo_revenue": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS promo_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS total_cents,
+               (SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) * 1000)
+                 // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS promo_permille
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    "top_supplier": """
+        SELECT s_suppkey, s_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS total_revenue_cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY s_suppkey, s_name
+        ORDER BY total_revenue_cents DESC, s_suppkey ASC
+        LIMIT 5
+    """,
     "session_window_events": """
         WITH e AS (
             SELECT user_id, ts, value,
@@ -700,4 +765,6 @@ BUILDERS = {
     "left_outer_orders": left_outer_orders,
     "session_window_events": session_window_events,
     "window_uv_approx": window_uv_approx,
+    "promo_revenue": promo_revenue,
+    "top_supplier": top_supplier,
 }

@@ -165,6 +165,51 @@ def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def doc_fingerprint_fast(t: dict[str, DataFrame]) -> DataFrame:
+    """The production fast path of doc_fingerprint: xxhash64 (JVM
+    intrinsic, ~3× md5 — SCALE.md) over the same shingle pipeline.
+    Rows-only: xxhash64 has no DuckDB twin, so values aren't
+    cross-checked — the md5 variant is the oracle-exact one.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    return (
+        tokenized.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(F.expr(shingles_from_tokens("tk", 3)))).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.xxhash64("s") % MOD_P) % MOD_P, F.lit(0).cast("bigint")
+            ).alias("fingerprint"),
+            F.count("s").alias("n_shingles"),
+        )
+    )
+
+
+def corpus_clean_manifest(t: dict[str, DataFrame]) -> DataFrame:
+    """Capstone training-data query: the per-document keep/drop
+    manifest a cleaning pipeline ships — keep = passes quality gates
+    AND is not a near-duplicate of a lower-id doc. Composes
+    quality_score with the dedup drop list (shingle→MinHash→LSH→exact
+    Jaccard) in one plan.
+    """
+    from .dedup import neardup_drop_list
+
+    q = quality_score(t).select("doc_id", F.col("keep").alias("quality_keep"))
+    d = neardup_drop_list(t)
+    return (
+        q.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            F.col("is_drop").alias("neardup_drop"),
+            ((F.col("quality_keep") == 1) & (F.col("is_drop") == 0)).cast("bigint").alias("keep"),
+        )
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _STOPS = _stop_list_sql()
 
@@ -234,4 +279,6 @@ BUILDERS = {
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
+    "corpus_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
 }
