@@ -232,6 +232,59 @@ def neardup_drop_list(t: dict[str, DataFrame], threshold_permille: int = 300) ->
     )
 
 
+def neardup_clusters(t: dict[str, DataFrame], threshold_permille: int = 300,
+                     max_iters: int = 5) -> DataFrame:
+    """Transitive dedup clusters via iterative min-id label propagation
+    over the verified near-dup graph: each doc's cluster id converges
+    to the smallest doc_id reachable through near-dup edges. The
+    iterative-algorithm pattern on DataFrames (each pass = one join +
+    groupBy-min; localCheckpoint truncates the lineage so plans don't
+    grow). Declared rows-only: iteration count is data-dependent.
+    """
+    pairs = (
+        ngram_jaccard_pairs(t)
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    # undirected edge list (both directions) + self edges
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = t["documents"].select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        if (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -392,4 +445,5 @@ BUILDERS = {
     "simhash_docs": simhash_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "neardup_drop_list": neardup_drop_list,
+    "neardup_clusters": neardup_clusters,  # rows-only: iterative
 }

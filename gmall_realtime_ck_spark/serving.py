@@ -22,6 +22,18 @@ def _default_date() -> str:
     return datetime.now(timezone(timedelta(hours=8))).strftime("%Y-%m-%d")
 
 
+def _norm_date(date) -> str:
+    """Accept the controller's yyyyMMdd (?date=20241128,
+    TradeStatsController.java:29-35), ISO yyyy-MM-dd, and date objects
+    (parquet partition columns read back as DATE)."""
+    if not date:
+        return _default_date()
+    date = date.isoformat() if hasattr(date, "isoformat") else str(date)
+    if len(date) == 8 and date.isdigit():
+        return f"{date[0:4]}-{date[4:6]}-{date[6:8]}"
+    return date
+
+
 def load_dws(spark: SparkSession, path: str) -> DataFrame:
     """A DWS output table written by sinks.jdbc.parquet_batch_writer
     (date-partitioned parquet)."""
@@ -30,7 +42,7 @@ def load_dws(spark: SparkSession, path: str) -> DataFrame:
 
 def gmv(province_window: DataFrame, date: str | None = None) -> DataFrame:
     """GET /gmv?date=… (TradeStatsMapper.java:27)."""
-    d = date or _default_date()
+    d = _norm_date(date)
     return (
         province_window.filter(F.col("cur_date") == d)
         .agg(F.sum("order_amount").alias("gmv"))
@@ -39,7 +51,7 @@ def gmv(province_window: DataFrame, date: str | None = None) -> DataFrame:
 
 def province_amounts(province_window: DataFrame, date: str | None = None) -> DataFrame:
     """GET /province?date=… (TradeStatsMapper.java:31)."""
-    d = date or _default_date()
+    d = _norm_date(date)
     return (
         province_window.filter(F.col("cur_date") == d)
         .groupBy("province_name")
@@ -50,7 +62,7 @@ def province_amounts(province_window: DataFrame, date: str | None = None) -> Dat
 
 def channel_uv_topk(traffic_window: DataFrame, date: str | None = None, limit: int = 5) -> DataFrame:
     """GET /ch?date=…&limit=… (TrafficStatsMapper.java:24)."""
-    d = date or _default_date()
+    d = _norm_date(date)
     return (
         traffic_window.filter(F.col("cur_date") == d)
         .groupBy("ch")
