@@ -63,3 +63,13 @@ def test_lsh_join_not_allpairs(tables):
     p = plan_of(tables, "minhash_lsh_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize("name", sorted(registry.BUILDERS))
+def test_no_cartesian_anywhere(tables, name):
+    """Global invariant: no declared batch query may plan a cartesian
+    product or an unkeyed nested-loop join — the two shapes that
+    detonate at 100 TB."""
+    p = plan_of(tables, name)
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
