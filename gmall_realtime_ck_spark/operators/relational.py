@@ -405,6 +405,22 @@ def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles per key — quality-distribution
+    analytics for training-data pipelines. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation formula,
+    so even the double outputs hash-match (verified bit-exact). At
+    100 TB swap to ``percentile_approx`` (t-digest) — same call shape.
+    """
+    ev = t["events"]
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """Conditional-aggregation join (TPC-H Q14 shape): share of revenue
     from promo parts per month — LIKE-prefix predicate (the reference's
@@ -674,6 +690,14 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
+    "value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
     "promo_revenue": """
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
                SUM(CASE WHEN p_type LIKE 'PROMO%'
@@ -767,4 +791,5 @@ BUILDERS = {
     "window_uv_approx": window_uv_approx,
     "promo_revenue": promo_revenue,
     "top_supplier": top_supplier,
+    "value_percentiles": value_percentiles,
 }

@@ -151,6 +151,38 @@ def keyword_pipeline_stream(spark: SparkSession, log_dir: str, size: str = "10 s
     return _run_to_memory(keyword_window(page, size=size), "complete")
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4 streaming — watermarked stream-stream interval join:
+    purchases ⋈ views of the same user within the preceding hour, both
+    sides watermarked so join state is bounded (the reference's
+    idle-state TTL, DwdTradeOrderDetail.java:22 /
+    DwdTradeOrderPaySucDetail.java:91-94). Inner-join matches on
+    bounded data equal the batch join ⇒ the batch oracle applies.
+    """
+    ev = events_file_stream(spark, sf_dir)
+
+    def typed(df, event_type):
+        return df.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(f"{event_type}_id"),
+            F.col("user_id").alias(f"{event_type}_user"),
+            F.col("ts").alias(f"{event_type}_ts"),
+        )
+
+    p = typed(ev, "purchase").withWatermark("purchase_ts", "10 minutes")
+    v = typed(ev, "view").withWatermark("view_ts", "10 minutes")
+    cond = (
+        (F.col("purchase_user") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return _run_to_memory(
+        p.join(v, cond).select(
+            F.col("purchase_id"), F.col("view_id"), F.col("purchase_user").alias("user_id")
+        ),
+        "append",
+    )
+
+
 def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship gmall streaming app end-to-end over the
     deterministic log fixture (generated on the fly — the driver tables
@@ -177,6 +209,7 @@ STREAM_BUILDERS = {
     "stream_daily_uv": stream_daily_uv,
     "stream_dedup_first": stream_dedup_first,  # rows-only: arrival-order pick
     "stream_keyword_pipeline": stream_keyword_pipeline,  # rows-only: fixture input
+    "stream_interval_join": stream_interval_join,
 }
 
 
@@ -187,6 +220,15 @@ def stream_oracles() -> dict[str, str]:
     return {
         "stream_window_counts": REL["window_tumbling_typed"],
         "stream_daily_uv": ST["daily_uv"],
+        "stream_interval_join": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts <= p.ts
+             AND v.ts >= p.ts - INTERVAL '1 hour'
+        """,
     }
 
 
