@@ -512,6 +512,74 @@ def window_uv_approx(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def topk_per_region(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-3 customers by account balance per region — ranking window
+    functions (absent from the reference, SURVEY §2.10) with a
+    deterministic tie-break. One shuffle on the partition key.
+    """
+    from pyspark.sql import Window
+
+    cust = t["customer"]
+    nation = F.broadcast(t["nation"])
+    region = F.broadcast(t["region"])
+    enriched = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "c_custkey", "c_name", cents("c_acctbal").alias("acctbal_cents"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("acctbal_cents"), F.asc("c_custkey"))
+    return (
+        enriched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("r_name", F.col("rk").cast("bigint").alias("rk"), "c_custkey", "c_name",
+                "acctbal_cents")
+    )
+
+
+def monthly_active_churn(t: dict[str, DataFrame]) -> DataFrame:
+    """Set operations (EXCEPT/INTERSECT — §2.10 exclusions, included
+    here for completeness): users active in 2024-01 first half but not
+    the second, and the retained intersection, as tagged rows.
+    """
+    ev = t["events"]
+    h1 = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")).select("user_id").distinct()
+    h2 = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).select("user_id").distinct()
+    churned = h1.exceptAll(h2).select(F.lit("churned").alias("status"), "user_id")
+    retained = h1.intersect(h2).select(F.lit("retained").alias("status"), "user_id")
+    new_users = h2.exceptAll(h1).select(F.lit("new").alias("status"), "user_id")
+    return churned.unionAll(retained).unionAll(new_users)
+
+
+def event_type_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot: per-day event counts spread into one column per type —
+    the dashboard-matrix shape. Fixed pivot values keep the schema
+    static (required for streaming and for the oracle).
+    """
+    ev = t["events"]
+    day = date_str("ts")
+    return (
+        ev.groupBy(day.alias("cur_date"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def gmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) over order
+    priority × status — grouping sets, beyond the reference's flat
+    GROUP BYs. NULL markers distinguish subtotal rows on both engines.
+    """
+    o = t["orders"]
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("gmv_cents"),
+            F.count(F.lit(1)).alias("order_ct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # J5/P5/X2 — config-driven dynamic split: broadcast config decides both
 # routing (sink topic) and the per-route column list
@@ -690,6 +758,45 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
+    "topk_per_region": """
+        SELECT r_name, rk, c_custkey, c_name, acctbal_cents FROM (
+            SELECT r_name, c_custkey, c_name,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   row_number() OVER (PARTITION BY r_name
+                                      ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_custkey ASC) AS rk
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        ) WHERE rk <= 3
+    """,
+    "monthly_active_churn": """
+        WITH h1 AS (
+            SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        ), h2 AS (
+            SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        )
+        SELECT 'churned' AS status, user_id FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+        UNION ALL
+        SELECT 'retained', user_id FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+        UNION ALL
+        SELECT 'new', user_id FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
+    """,
+    "event_type_pivot": """
+        SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        FROM events GROUP BY 1
+    """,
+    "gmv_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS gmv_cents,
+               COUNT(*) AS order_ct
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
     "value_percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,
@@ -792,4 +899,8 @@ BUILDERS = {
     "promo_revenue": promo_revenue,
     "top_supplier": top_supplier,
     "value_percentiles": value_percentiles,
+    "topk_per_region": topk_per_region,
+    "monthly_active_churn": monthly_active_churn,
+    "event_type_pivot": event_type_pivot,
+    "gmv_rollup": gmv_rollup,
 }
