@@ -1,0 +1,231 @@
+"""Dataset split / sampling / corpus-statistics operators.
+
+Training-data pipeline staples: deterministic hash-based train/val/test
+splits (reproducible across engines and runs — no RNG), benchmark
+contamination checks, repetition/vocabulary statistics. All pure column
+algebra with md5-based bucketing so every one is DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import H28_DUCK, H28_SPARK, TOKENS_DUCK, TOKENS_SPARK, shingles_from_tokens
+from .dedup import shingles_duck
+
+SPLIT_BUCKETS = 100
+TEST_PCT = 10
+VAL_PCT = 10
+WINNOW_W = 4  # winnowing window (shingle positions)
+
+
+def train_test_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic split by content hash: bucket = md5(text) mod 100
+    → test (<10), val (<20), train. Hash-based (not random) so the
+    assignment is stable under reshuffles, replays, and engine swaps —
+    and near-duplicate handling composes (dedup first, then split).
+    """
+    docs = t["documents"]
+    bucket = F.expr(H28_SPARK.format(c="text")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TEST_PCT, "test")
+        .when(bucket < TEST_PCT + VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", bucket.cast("bigint").alias("bucket"), split.alias("split"))
+
+
+def winnowing_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: the min shingle-hash in
+    each sliding window of WINNOW_W consecutive shingles, deduplicated
+    — guarantees any match of length ≥ w+k-1 tokens shares a
+    fingerprint, with O(n/w) selected hashes. Rolling min via a
+    bounded window function on both engines.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "doc_id", F.posexplode(F.expr(shingles_from_tokens("tk", 3))).alias("pos", "s")
+    ).withColumn("h", F.expr(H28_SPARK.format(c="s")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    # windows shorter than W at the tail are excluded (count guard)
+    winmin = sh.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count("h").over(w).alias("wlen"),
+    ).filter(F.col("wlen") == WINNOW_W)
+    return (
+        winmin.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            (F.sum(F.col("fp") % 1000000007) % 1000000007).alias("fp_checksum"),
+        )
+    )
+
+
+def benchmark_contamination(t: dict[str, DataFrame]) -> DataFrame:
+    """Eval-set contamination check: fraction (permille) of each
+    document's 3-gram shingles that appear in the 'benchmark' set
+    (here: docs with doc_id < 10 stand in for an eval benchmark).
+    The benchmark shingle set broadcasts; the corpus side streams —
+    the decontamination shape used before training runs.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", 3)))).alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") < 10).select("s").distinct().withColumn("hit", F.lit(1))
+    )
+    scored = (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(bench, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("bench_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        F.col("bench_hits").cast("bigint").alias("bench_hits"),
+        F.expr("(bench_hits * 1000) DIV n_shingles").alias("contamination_permille"),
+    )
+
+
+def repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
+    """Doc-internal repetition: 1000 × (1 − distinct/total 3-gram
+    shingles) — the boilerplate/looping-text quality signal (Gopher
+    repetition filters). Integer permille for cross-engine exactness.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "doc_id", F.explode(F.expr(shingles_from_tokens("tk", 3))).alias("s")
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.countDistinct("s").alias("distinct_shingles"),
+        )
+        .withColumn(
+            "repetition_permille",
+            F.expr("((total_shingles - distinct_shingles) * 1000) DIV total_shingles"),
+        )
+    )
+
+
+def vocab_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    total count, plus hapax flag — the Zipf-profile input for corpus
+    QA. One explode + one groupBy(token).
+    """
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_ct"),
+            F.countDistinct("doc_id").alias("doc_ct"),
+        )
+        .withColumn("is_hapax", (F.col("total_ct") == 1).cast("bigint"))
+    )
+
+
+_TOKS_D = TOKENS_DUCK.format(c="text")
+_H28S_D = H28_DUCK.format(c="s")
+_SH3_D = shingles_duck("tk", 3)
+
+ORACLES: dict[str, str] = {
+    "train_test_split": f"""
+        SELECT doc_id,
+               ({H28_DUCK.format(c='text')} % {SPLIT_BUCKETS})::BIGINT AS bucket,
+               CASE WHEN {H28_DUCK.format(c='text')} % {SPLIT_BUCKETS} < {TEST_PCT} THEN 'test'
+                    WHEN {H28_DUCK.format(c='text')} % {SPLIT_BUCKETS} < {TEST_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    "winnowing_fingerprints": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_SH3_D}) AS s,
+                   generate_subscripts({_SH3_D}, 1) AS pos
+            FROM tk0
+        ), hashed AS (
+            SELECT doc_id, pos, {_H28S_D} AS h FROM sh
+        ), winmin AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+                   COUNT(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wlen
+            FROM hashed
+        ), fps AS (
+            SELECT DISTINCT doc_id, fp FROM winmin WHERE wlen = {WINNOW_W}
+        )
+        SELECT doc_id, COUNT(*) AS n_fingerprints,
+               (SUM(fp % 1000000007) % 1000000007)::BIGINT AS fp_checksum
+        FROM fps GROUP BY doc_id
+    """,
+    "benchmark_contamination": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest({_SH3_D}) AS s FROM tk0
+        ), bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id < 10
+        ), scored AS (
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bench_hits
+            FROM sh LEFT JOIN bench ON sh.s = bench.s
+            WHERE sh.doc_id >= 10
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_shingles, bench_hits,
+               (bench_hits * 1000) // n_shingles AS contamination_permille
+        FROM scored
+    """,
+    "repetition_ratio": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_SH3_D}) AS s FROM tk0
+        )
+        SELECT doc_id,
+               COUNT(*) AS total_shingles,
+               COUNT(DISTINCT s) AS distinct_shingles,
+               ((COUNT(*) - COUNT(DISTINCT s)) * 1000) // COUNT(*) AS repetition_permille
+        FROM sh GROUP BY doc_id
+    """,
+    "vocab_stats": f"""
+        SELECT token,
+               COUNT(*) AS total_ct,
+               COUNT(DISTINCT doc_id) AS doc_ct,
+               (COUNT(*) = 1)::BIGINT AS is_hapax
+        FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
+        GROUP BY token
+    """,
+}
+
+BUILDERS = {
+    "train_test_split": train_test_split,
+    "winnowing_fingerprints": winnowing_fingerprints,
+    "benchmark_contamination": benchmark_contamination,
+    "repetition_ratio": repetition_ratio,
+    "vocab_stats": vocab_stats,
+}
