@@ -101,6 +101,89 @@ def dim_snapshot(spark: SparkSession, store_dir: str, table: str, columns: list[
     )
 
 
+def scd2_merge(
+    spark: SparkSession, changes: DataFrame, store_dir: str, table: str
+) -> DataFrame:
+    """SCD-Type-2 variant of the dim sink: instead of last-write-wins,
+    keep full version history — each change closes the key's open
+    version (valid_to = change ts) and, unless it is a delete, opens a
+    new one (valid_from = ts, valid_to = NULL). Beyond the reference's
+    overwrite-only HBase sink (HBaseSinkFunction.java:36-65): enables
+    as-of dimension joins for backfills.
+
+    ``changes``: dim_changes() output filtered to one sink_table.
+    Returns the new history DataFrame (also persisted).
+    """
+    import os
+
+    path = os.path.join(store_dir, table + "_scd2")
+    batch = changes.select("row_key", "data", "op", "ts")
+    try:
+        hist = spark.read.parquet(path)
+    except Exception:
+        hist = None
+
+    w = Window.partitionBy("row_key").orderBy("ts", "op")
+    versioned = (
+        batch.withColumn("valid_from", F.col("ts"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "D")
+        .select("row_key", "data", "valid_from", "valid_to")
+    )
+    # deletes close the predecessor (lead already did) and add no row;
+    # a delete with no successor leaves valid_to = its ts via a second pass
+    closes = (
+        batch.filter(F.col("op") == "D")
+        .select("row_key", F.col("ts").alias("del_ts"))
+    )
+    versioned = (
+        versioned.join(closes, "row_key", "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("valid_to").isNull()
+                & F.col("del_ts").isNotNull()
+                & (F.col("del_ts") > F.col("valid_from")),
+                F.col("del_ts"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .drop("del_ts")
+    )
+    if hist is not None:
+        # close open history rows at the batch's first new version per key
+        first_new = batch.groupBy("row_key").agg(F.min("ts").alias("new_ts"))
+        hist = (
+            hist.join(first_new, "row_key", "left")
+            .withColumn(
+                "valid_to",
+                F.when(
+                    F.col("valid_to").isNull() & F.col("new_ts").isNotNull(),
+                    F.col("new_ts"),
+                ).otherwise(F.col("valid_to")),
+            )
+            .drop("new_ts")
+        )
+        merged = hist.unionByName(versioned)
+    else:
+        merged = versioned
+    merged.write.mode("overwrite").parquet(path + "_new")
+    final = spark.read.parquet(path + "_new")
+    final.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def dim_as_of(spark: SparkSession, store_dir: str, table: str, ts: int) -> DataFrame:
+    """Point-in-time dimension snapshot from the SCD2 history — the
+    as-of join input for backfills (valid_from ≤ ts < valid_to)."""
+    import os
+
+    hist = spark.read.parquet(os.path.join(store_dir, table + "_scd2"))
+    return hist.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    ).select("row_key", "data")
+
+
 def run_dim_pipeline(
     spark: SparkSession, raw_topic_db: DataFrame, config_rows: list[tuple], store_dir: str
 ) -> dict[str, DataFrame]:

@@ -185,6 +185,31 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a live stream (complete mode ⇒ equals the
+    batch result, same oracle): per-user 30-min-gap sessions — the
+    gap-based windowing the reference's tumbling-only Flink jobs never
+    had, first-class in Structured Streaming.
+    """
+    ev = events_file_stream(spark, sf_dir)
+    w = F.session_window("ts", "30 minutes")
+    agg = (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "ev_ct",
+            "value_cents",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship gmall streaming app end-to-end over the
     deterministic log fixture (generated on the fly — the driver tables
@@ -212,6 +237,7 @@ STREAM_BUILDERS = {
     "stream_dedup_first": stream_dedup_first,  # rows-only: arrival-order pick
     "stream_keyword_pipeline": stream_keyword_pipeline,  # rows-only: fixture input
     "stream_interval_join": stream_interval_join,
+    "stream_session_windows": stream_session_windows,
 }
 
 
@@ -222,6 +248,7 @@ def stream_oracles() -> dict[str, str]:
     return {
         "stream_window_counts": REL["window_tumbling_typed"],
         "stream_daily_uv": ST["daily_uv"],
+        "stream_session_windows": REL["session_window_events"],
         "stream_interval_join": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,
                    p.user_id AS user_id
