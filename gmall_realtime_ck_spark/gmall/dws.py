@@ -169,12 +169,27 @@ def sku_order_window(
         )
     )
     out = agg.join(sku, "sku_id", "left")
-    if "dim_spu_info" in dims:
-        spu = F.broadcast(dims["dim_spu_info"].select(F.col("id").alias("spu_id"), "spu_name"))
-        out = out.join(spu, "spu_id", "left")
-    if "dim_base_trademark" in dims:
-        tm = F.broadcast(dims["dim_base_trademark"].select(F.col("id").alias("tm_id"), "tm_name"))
-        out = out.join(tm, "tm_id", "left")
+    # the remaining 5 legs of the reference's 6-deep enrichment ladder
+    # (sku→spu→tm→c3→c2→c1, DwsTradeSkuOrderWindow.java:480-735), each
+    # a broadcast hash join against the dim snapshot
+    chain = [
+        ("dim_spu_info", "spu_id", [("spu_name", "spu_name")]),
+        ("dim_base_trademark", "tm_id", [("tm_name", "tm_name")]),
+        ("dim_base_category3", "category3_id", [("name", "category3_name"),
+                                                ("category2_id", "category2_id")]),
+        ("dim_base_category2", "category2_id", [("name", "category2_name"),
+                                                ("category1_id", "category1_id")]),
+        ("dim_base_category1", "category1_id", [("name", "category1_name")]),
+    ]
+    for dim_table, key, cols in chain:
+        if dim_table not in dims:
+            continue
+        d = F.broadcast(
+            dims[dim_table].select(
+                F.col("id").alias(key), *[F.col(src).alias(dst) for src, dst in cols]
+            )
+        )
+        out = out.join(d, key, "left")
     return out
 
 

@@ -258,6 +258,28 @@ def cosine_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
+    """Element-wise vector aggregation: per-label centroid components
+    (the k-means update step / class-prototype computation). Components
+    are summed in fixed-point micro-units so the reduction is
+    order-independent and engine-exact; the caller divides by n for the
+    float centroid. posexplode keeps (label, dim) as the shuffle key —
+    cardinality labels × dims, independent of corpus size.
+    """
+    emb = t["embeddings"]
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "x")
+    ).withColumn("x_micro", F.expr("cast(round(cast(x as double) * 1000000) as bigint)"))
+    return (
+        comp.groupBy("label", "dim_idx")
+        .agg(
+            F.sum("x_micro").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("label", F.col("label").cast("int"))
+    )
+
+
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
@@ -287,6 +309,16 @@ ORACLES: dict[str, str] = {
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
     """,
+    "label_centroids": """
+        SELECT label, dim_idx, SUM(x_micro)::BIGINT AS sum_micro, COUNT(*) AS n
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                   CAST(ROUND(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS x_micro
+            FROM embeddings
+        )
+        GROUP BY label, dim_idx
+    """,
     # cosine_topk_ivf: intentionally no oracle — approximate operator,
     # rows-only check (the exact baseline above is the value-checked one).
 }
@@ -296,4 +328,5 @@ BUILDERS = {
     "cosine_topk_pandas": cosine_topk_pandas,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_topk_ivf": cosine_topk_ivf,
+    "label_centroids": label_centroids,
 }

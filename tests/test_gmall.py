@@ -223,10 +223,33 @@ def test_sku_order_window_enrichment(db, spark):
         [(str(i), f"sku-{i}", str(i // 3), str(i % 8), str(i % 6 + 1)) for i in range(35)],
         "id string, sku_name string, spu_id string, tm_id string, category3_id string",
     )
-    out = dws.sku_order_window(star, {"dim_sku_info": sku_dim}, size="1 hour")
+    dims = {
+        "dim_sku_info": sku_dim,
+        "dim_spu_info": spark.createDataFrame(
+            [(str(i), f"spu-{i}") for i in range(12)], "id string, spu_name string"
+        ),
+        "dim_base_trademark": spark.createDataFrame(
+            [(str(i), f"tm-{i}") for i in range(8)], "id string, tm_name string"
+        ),
+        "dim_base_category3": spark.createDataFrame(
+            [(str(i), f"c3-{i}", str(i % 3 + 1)) for i in range(1, 7)],
+            "id string, name string, category2_id string",
+        ),
+        "dim_base_category2": spark.createDataFrame(
+            [(str(i), f"c2-{i}", str(i % 2 + 1)) for i in range(1, 4)],
+            "id string, name string, category1_id string",
+        ),
+        "dim_base_category1": spark.createDataFrame(
+            [(str(i), f"c1-{i}") for i in range(1, 3)], "id string, name string"
+        ),
+    }
+    out = dws.sku_order_window(star, dims, size="1 hour")
     rows = out.collect()
     assert rows
-    assert all(r["sku_name"] is not None for r in rows)
+    # the full 6-deep ladder resolved every leg
+    for col in ["sku_name", "spu_name", "tm_name", "category3_name",
+                "category2_name", "category1_name"]:
+        assert all(r[col] is not None for r in rows), col
     assert all(r["order_amount"] is not None for r in rows)
     # dedup T1: summed amounts reflect one record per order_detail id
     star_total = dwd.order_detail_star(db).select(
