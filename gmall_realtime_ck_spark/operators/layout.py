@@ -137,6 +137,26 @@ BUILDERS = {
 }
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_shards: int = 32,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Corpus sharding for training output: range-repartition on a
+    stable key so shards are size-balanced AND globally ordered (range
+    partitioning samples the key distribution — robust to skew where
+    hash-mod sharding isn't), optionally capping records per file.
+    The standard 'pack the cleaned corpus into N shards' step.
+    """
+    writer = df.repartitionByRange(n_shards, F.col(order_col)).write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 def to_snake_json(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
     """Bean→snake_case JSON serializer
     (COMMON/function/BeanToJsonStrMapFunction.java:13-19): serialize

@@ -1,0 +1,64 @@
+"""Streaming observability: per-batch progress capture.
+
+The reference monitors through Flink's web UI and print() side-channels
+(SURVEY §5); here a StreamingQueryListener records the metrics that
+matter operationally (rows/sec, batch durations, state size) so tests
+and dashboards can assert on throughput instead of eyeballing.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class ProgressRecorder(StreamingQueryListener):
+    """Collects QueryProgress events in-memory; attach with
+    ``spark.streams.addListener(rec)`` and read ``rec.progress``."""
+
+    progress: list[dict] = field(default_factory=list)
+    started: list[str] = field(default_factory=list)
+    terminated: list[str] = field(default_factory=list)
+
+    def onQueryStarted(self, event) -> None:
+        self.started.append(str(event.id))
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        row = {
+            "id": str(p.id),
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "processedRowsPerSecond": p.processedRowsPerSecond,
+            "durationMs": dict(p.durationMs) if p.durationMs else {},
+        }
+        try:
+            full = json.loads(p.json)
+            state = full.get("stateOperators") or []
+            row["stateRows"] = sum(s.get("numRowsTotal", 0) for s in state)
+        except Exception:
+            row["stateRows"] = None
+        self.progress.append(row)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self.terminated.append(str(event.id))
+
+    def total_input_rows(self) -> int:
+        return sum(p["numInputRows"] for p in self.progress)
+
+
+def attach(spark: SparkSession) -> ProgressRecorder:
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    return rec
+
+
+def detach(spark: SparkSession, rec: ProgressRecorder) -> None:
+    spark.streams.removeListener(rec)
