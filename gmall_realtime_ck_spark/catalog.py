@@ -42,8 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros → TimestampType (instant, session TZ = UTC)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanos → micros → TimestampType. Integer division: ns epochs
+        # (~1.7e18) exceed double's exact range, so `/ 1000` through a
+        # double rounds the microsecond — `div` stays in int64.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -512,6 +512,29 @@ def window_uv_approx(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def time_functions(t: dict[str, DataFrame]) -> DataFrame:
+    """§2.8 scalar-function parity in one query: epoch seconds/millis
+    extraction (TO_TIMESTAMP_LTZ(ts, 0|3) inverses, BaseSQLApp.java:62),
+    date-part extraction, DATE_FORMAT rendering, and the reference's
+    UTC+8 date shift (DateFormatUtil.java:28 — Asia/Shanghai is a fixed
+    +08:00, no DST, so the oracle models it as an 8-hour interval).
+    """
+    ev = t["events"]
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_millis("ts").alias("epoch_ms"),
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt_str"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Shanghai"), "yyyy-MM-dd").alias(
+            "cst_date"
+        ),
+    )
+
+
 def topk_per_region(t: dict[str, DataFrame]) -> DataFrame:
     """Top-3 customers by account balance per region — ranking window
     functions (absent from the reference, SURVEY §2.10) with a
@@ -758,6 +781,18 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
+    "time_functions": """
+        SELECT event_id,
+               (epoch_ms(ts) // 1000) AS epoch_s,
+               epoch_ms(ts) AS epoch_ms,
+               CAST(year(ts) AS BIGINT) AS y,
+               CAST(month(ts) AS BIGINT) AS m,
+               CAST(day(ts) AS BIGINT) AS d,
+               CAST(hour(ts) AS BIGINT) AS h,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt_str,
+               strftime(ts + INTERVAL '8 hours', '%Y-%m-%d') AS cst_date
+        FROM events
+    """,
     "topk_per_region": """
         SELECT r_name, rk, c_custkey, c_name, acctbal_cents FROM (
             SELECT r_name, c_custkey, c_name,
@@ -899,6 +934,7 @@ BUILDERS = {
     "promo_revenue": promo_revenue,
     "top_supplier": top_supplier,
     "value_percentiles": value_percentiles,
+    "time_functions": time_functions,
     "topk_per_region": topk_per_region,
     "monthly_active_churn": monthly_active_churn,
     "event_type_pivot": event_type_pivot,

@@ -40,7 +40,8 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer div: ns epochs exceed double's exact range (see catalog)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8) -> DataFrame:
