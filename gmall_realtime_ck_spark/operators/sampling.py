@@ -145,6 +145,65 @@ def vocab_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per training sequence
+
+#: per-stratum keep rates (permille) for the stratified sample — the
+#: "upsample rare / downsample dominant" shape of corpus mixing.
+STRATA_RATES = {"src0": 500, "src1": 300}
+DEFAULT_RATE = 200
+
+
+def sequence_pack_assign(t: dict[str, DataFrame]) -> DataFrame:
+    """Sequence packing (token-stream chunking): concatenate each
+    source's documents in doc_id order into one token stream and cut it
+    into PACK_BUDGET-token training sequences; each document is
+    assigned to the pack where its first token lands.
+
+    Scale shape: the running sum is windowed PER SOURCE (shard), not
+    globally — each shard packs independently in parallel, which is how a
+    100 TB corpus is packed in practice (a global cumsum would serialize
+    on one reducer). Deterministic: ordering is (source, doc_id), no
+    RNG, so Spark and DuckDB agree exactly.
+    """
+    docs = t["documents"]
+    n_tok = F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint")
+    d = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum_before.alias("cum_tokens_before"),
+        (cum_before / PACK_BUDGET).cast("bigint").alias("pack_id"),
+    )
+
+
+def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Stratified deterministic sampling: each source stratum keeps a
+    different fraction of documents, selected by content-hash bucket
+    (md5 permille) — reproducible across engines/runs and stable under
+    reshuffles, unlike RNG sampling. Map-only (no shuffle): the keep
+    decision is a pure function of (text, source).
+    """
+    docs = t["documents"]
+    bucket = F.expr(H28_SPARK.format(c="text")) % 1000
+    rate_expr = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in STRATA_RATES.items()
+    ) + f" ELSE {DEFAULT_RATE} END"
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.cast("bigint").alias("bucket"),
+        F.expr(rate_expr).cast("bigint").alias("rate_permille"),
+        (bucket < F.expr(rate_expr)).cast("bigint").alias("keep"),
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
@@ -212,6 +271,29 @@ ORACLES: dict[str, str] = {
                ((COUNT(*) - COUNT(DISTINCT s)) * 1000) // COUNT(*) AS repetition_permille
         FROM sh GROUP BY doc_id
     """,
+    "sequence_pack_assign": f"""
+        WITH d AS (
+            SELECT doc_id, source, len({_TOKS_D})::BIGINT AS n_tokens FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_tokens_before,
+               (coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_BUDGET})::BIGINT AS pack_id
+        FROM d
+    """,
+    "stratified_sample": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   ({H28_DUCK.format(c='text')} % 1000)::BIGINT AS bucket,
+                   (CASE {' '.join(f"WHEN source = '{s}' THEN {r}" for s, r in STRATA_RATES.items())}
+                         ELSE {DEFAULT_RATE} END)::BIGINT AS rate_permille
+            FROM documents
+        )
+        SELECT doc_id, source, bucket, rate_permille,
+               (bucket < rate_permille)::BIGINT AS keep
+        FROM d
+    """,
     "vocab_stats": f"""
         SELECT token,
                COUNT(*) AS total_ct,
@@ -228,4 +310,6 @@ BUILDERS = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_ratio": repetition_ratio,
     "vocab_stats": vocab_stats,
+    "sequence_pack_assign": sequence_pack_assign,
+    "stratified_sample": stratified_sample,
 }

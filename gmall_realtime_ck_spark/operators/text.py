@@ -210,6 +210,57 @@ def corpus_clean_manifest(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+BIGRAM_TOP_K = 5
+TFIDF_TOP_K = 3
+
+
+def bigram_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """n-gram language-model counts: top-k bigrams per language by
+    frequency (ties broken lexicographically). One explode + one
+    (lang, bigram) groupBy — the shuffle key has vocabulary², not
+    corpus, cardinality, so the reduction stays small at any scale.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    tokenized = docs.select("lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    bg = tokenized.select("lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram"))
+    counts = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("ct"))
+    w = Window.partitionBy("lang").orderBy(F.desc("ct"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_TOP_K)
+        .select("lang", "bigram", "ct", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document top terms by a tf-idf surrogate. For a fixed corpus
+    size N, idf = ln(N/df) is strictly decreasing in df, so ranking by
+    the integer score tf·10⁶ ÷ df orders terms exactly like tf·idf
+    would for same-tf terms — and being integer math it is bit-exact
+    across engines (float log is not). Stopwords are excluded (their
+    df ≈ N makes them rank noise).
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    ).filter(~F.col("token").isin(*STOPWORDS))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "score", F.expr("(tf * 1000000) DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _STOPS = _stop_list_sql()
 
@@ -251,6 +302,44 @@ ORACLES: dict[str, str] = {
                stop_hits, n_tokens
         FROM d
     """,
+    "bigram_topk": f"""
+        WITH tk0 AS (
+            SELECT lang, {_TOKS_D} AS tk FROM documents
+        ), bg AS (
+            SELECT lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk0
+        ), counts AS (
+            SELECT lang, bigram, COUNT(*) AS ct FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, ct, rank FROM (
+            SELECT lang, bigram, ct,
+                   row_number() OVER (PARTITION BY lang ORDER BY ct DESC, bigram ASC)::BIGINT AS rank
+            FROM counts
+        ) WHERE rank <= {BIGRAM_TOP_K}
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents
+        ), tok2 AS (
+            SELECT * FROM tok WHERE token NOT IN ({_STOPS})
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   (tf.tf * 1000000) // dfreq.df AS score
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, token, tf, df, score, rank FROM (
+            SELECT doc_id, token, tf, df, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC)::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """,
     "doc_fingerprint": f"""
         WITH toks AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -281,4 +370,6 @@ BUILDERS = {
     "doc_fingerprint": doc_fingerprint,
     "doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
     "corpus_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
+    "bigram_topk": bigram_topk,
+    "tfidf_top_terms": tfidf_top_terms,
 }
