@@ -65,6 +65,34 @@ def test_lsh_join_not_allpairs(tables):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pii_redaction_is_map_only(tables):
+    """PII scan/redact must be a pure map: no Exchange (shuffle) in the
+    plan — it scales linearly with input splits at 100 TB."""
+    p = plan_of(tables, "pii_redaction")
+    assert "Exchange" not in p, p
+
+
+def test_stratified_sample_is_map_only(tables):
+    p = plan_of(tables, "stratified_sample")
+    assert "Exchange" not in p, p
+
+
+def test_tfidf_document_frequency_broadcasts(tables):
+    """The vocabulary-sized df side must broadcast — the corpus-sized
+    tf side must not shuffle for the join."""
+    p = plan_of(tables, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+
+
+def test_sequence_packing_partitions_by_shard(tables):
+    """The packing cumsum must be windowed per source shard — a global
+    (SinglePartition) running sum would serialize the whole corpus
+    through one reducer."""
+    p = plan_of(tables, "sequence_pack_assign")
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+
+
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
 def test_no_cartesian_anywhere(tables, name):
     """Global invariant: no declared batch query may plan a cartesian
