@@ -211,6 +211,33 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the driver's documents table — the
+    streaming-ingest shape of a training-corpus pipeline (new shards
+    land in a directory; each micro-batch processes the new files)."""
+    configure_runtime(spark)
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+
+
+def stream_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus PII redaction: the map-only batch transform
+    (operators/privacy.py) applied unchanged to the document stream —
+    per-row, order-independent, so the batch oracle applies verbatim.
+    The shape a privacy scrub runs in as shards arrive, before anything
+    else touches the corpus.
+    """
+    from ..operators.privacy import pii_redaction
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(pii_redaction({"documents": docs}), "append")
+
+
 def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship gmall streaming app end-to-end over the
     deterministic log fixture (generated on the fly — the driver tables
@@ -239,14 +266,17 @@ STREAM_BUILDERS = {
     "stream_keyword_pipeline": stream_keyword_pipeline,  # rows-only: fixture input
     "stream_interval_join": stream_interval_join,
     "stream_session_windows": stream_session_windows,
+    "stream_pii_redaction": stream_pii_redaction,
 }
 
 
 def stream_oracles() -> dict[str, str]:
+    from ..operators.privacy import ORACLES as PRIV
     from ..operators.relational import ORACLES as REL
     from ..operators.stateful import ORACLES as ST
 
     return {
+        "stream_pii_redaction": PRIV["pii_redaction"],
         "stream_window_counts": REL["window_tumbling_typed"],
         "stream_daily_uv": ST["daily_uv"],
         "stream_session_windows": REL["session_window_events"],

@@ -12,9 +12,10 @@ order-independent: state tracks the set of seen days per key, so each
 
 Scale: state is partitioned by the group key across executors (RocksDB
 / HDFS-backed state store on a cluster); the per-day fields keep state
-size O(keys), and production deployments add GroupStateTimeout to
-expire idle keys (the reference's 1-day TTL,
-DwsTrafficVcChArIsNewPageViewWindow.java:70).
+size O(keys), and the ``ttl_ms`` parameter arms GroupStateTimeout to
+expire idle keys (the reference's 1-day ValueState TTL,
+DwsTrafficVcChArIsNewPageViewWindow.java:70) so state is O(ACTIVE
+keys).
 """
 
 from __future__ import annotations
@@ -41,15 +42,25 @@ _UV_OUT = StructType(
 )
 
 
-def daily_uv_flags(events: DataFrame, key_col: str = "user_id", date_col: str = "cur_date") -> DataFrame:
+def daily_uv_flags(events: DataFrame, key_col: str = "user_id", date_col: str = "cur_date",
+                   ttl_ms: int | None = None) -> DataFrame:
     """T4 streaming — first-record-of-day flag per key
     (DwsTrafficVcChArIsNewPageViewWindow.java:62-107). Input needs
     ``key_col`` and a precomputed ``date_col`` string column; emits one
     row per input record with uv ∈ {0,1}.
+
+    ``ttl_ms`` reproduces the reference's ValueState TTL (1 day at
+    :70 — `StateTtlConfig.newBuilder(Time.days(1))`): state idle for
+    ttl_ms is dropped, so a key re-appearing later re-emits uv=1. This
+    keeps state O(active keys) instead of O(all keys ever seen).
     """
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "cur_date", "uv"])
+            return
         seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
         for pdf in pdf_iter:
             # vectorized: flag = first occurrence in batch AND not seen before
@@ -59,10 +70,16 @@ def daily_uv_flags(events: DataFrame, key_col: str = "user_id", date_col: str = 
             seen.update(dates[first_in_batch])
             yield pd.DataFrame({"user_id": user_id, "cur_date": dates, "uv": flags})
         state.update((",".join(sorted(seen)),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.groupBy(key_col)
-        .applyInPandasWithState(fn, _UV_OUT, _UV_STATE, "append", GroupStateTimeout.NoTimeout)
+        .applyInPandasWithState(fn, _UV_OUT, _UV_STATE, "append", timeout)
     )
 
 
@@ -116,17 +133,23 @@ _LOGIN_OUT = StructType(
 )
 
 
-def login_flags(logins: DataFrame, back_gap_days: int = 8) -> DataFrame:
+def login_flags(logins: DataFrame, back_gap_days: int = 8,
+                ttl_ms: int | None = None) -> DataFrame:
     """T6 streaming — unique + returning user flags
     (DwsUserUserLoginWindow.java:80-124): uu=1 on the first login of a
     new day; back=1 when the gap since the previous active date is
     ≥ back_gap_days (:108-111). Input: user_id, cur_date (sorted dates
     per key arrive in event order from the upstream watermark).
+    ``ttl_ms`` expires idle per-user state as in daily_uv_flags.
     """
     from datetime import date
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "cur_date", "uu", "back"])
+            return
         last = state.get[0] if state.exists else None
         for pdf in pdf_iter:
             uu, back = [], []
@@ -149,9 +172,15 @@ def login_flags(logins: DataFrame, back_gap_days: int = 8) -> DataFrame:
             )
         if last is not None:
             state.update((last,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return logins.groupBy("user_id").applyInPandasWithState(
-        fn, _LOGIN_OUT, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+        fn, _LOGIN_OUT, _LOGIN_STATE, "append", timeout
     )
 
 

@@ -127,3 +127,44 @@ def test_dedup_keep_latest_flushes_on_timer(spark, tmp_path):
     assert ("k1", 2, "new") in got  # latest kept, earlier replaced
     assert ("k2", 3, "only") in got
     assert ("k1", 1, "old") not in got
+
+
+def test_daily_uv_state_ttl_expires(spark, tmp_path):
+    """T4 + TTL — the reference's 1-day ValueState TTL
+    (DwsTrafficVcChArIsNewPageViewWindow.java:70): after ttl_ms of
+    inactivity the key's state is dropped, so the same (user, day)
+    arriving again re-emits uv=1. Without TTL it would emit uv=0."""
+    import time
+
+    from gmall_realtime_ck_spark.streaming.state import daily_uv_flags
+
+    d = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(7, "2024-01-01")], "user_id long, cur_date string"
+    ).coalesce(1).write.mode("overwrite").json(d)
+    stream = spark.readStream.schema("user_id long, cur_date string").json(d)
+    flags = daily_uv_flags(stream, ttl_ms=2000)
+    q = (
+        flags.writeStream.format("memory").queryName("ttlout").outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("ttlout").count() < 1:
+            time.sleep(1)
+        assert [r["uv"] for r in spark.table("ttlout").collect()] == [1]
+        # idle past the TTL so the timeout fires and state is removed,
+        # then replay the SAME (user, day)
+        time.sleep(5)
+        with open(f"{d}/replay.json", "w") as f:
+            f.write('{"user_id": 7, "cur_date": "2024-01-01"}\n')
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("ttlout").count() < 2:
+            time.sleep(1)
+        got = sorted(r["uv"] for r in spark.table("ttlout").collect())
+    finally:
+        q.stop()
+    # state expired between the two arrivals → both emitted uv=1
+    assert got == [1, 1]
