@@ -38,18 +38,23 @@ def main() -> int:
         df.head(1)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name, run, tag=""):
+        t0 = time.perf_counter()
+        try:
+            n = run().count()
+        except Exception as exc:  # one bad query must not sink the whole bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            return
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s{tag}", file=sys.stderr)
+
     for name in sorted(registry.BUILDERS):
-        t0 = time.perf_counter()
-        df = registry.BUILDERS[name](tables)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        timed(name, lambda: registry.BUILDERS[name](tables))
     for name in sorted(registry.STREAM_BUILDERS):
-        t0 = time.perf_counter()
-        df = registry.STREAM_BUILDERS[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s (streaming)", file=sys.stderr)
+        timed(name, lambda: registry.STREAM_BUILDERS[name](spark, sf_dir), " (streaming)")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,6 +65,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

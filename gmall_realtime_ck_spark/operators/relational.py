@@ -360,6 +360,33 @@ def serving_gmv(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def trade_order_window(t: dict[str, DataFrame]) -> DataFrame:
+    """The reference's planned-but-absent DwsTradeOrderWindow: the bean
+    exists with no app using it (COMMON/bean/TradeOrderBean.java:16-29,
+    SURVEY §2.10 — orderUniqueUserCount / orderNewUserCount per
+    window). Completed here: per-day distinct ordering users, plus NEW
+    ordering users (customers whose first-ever order lands that day).
+    Both sides reduce to per-day counts BEFORE the join, so the join
+    cardinality is days, not customers — scale-safe at any fact size.
+    """
+    o = t["orders"]
+    uu = (
+        o.groupBy(date_str("o_orderdate").alias("cur_date"))
+        .agg(F.countDistinct("o_custkey").alias("order_uu_ct"))
+    )
+    new = (
+        o.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_dt"))
+        .groupBy(date_str("first_dt").alias("cur_date"))
+        .agg(F.count(F.lit(1)).alias("order_new_user_ct"))
+    )
+    return uu.join(new, "cur_date", "left").select(
+        "cur_date",
+        "order_uu_ct",
+        F.coalesce("order_new_user_ct", F.lit(0)).cast("bigint").alias("order_new_user_ct"),
+    )
+
+
 def serving_topk_channel(t: dict[str, DataFrame]) -> DataFrame:
     """Channel top-k — ``SUM(uv_ct) GROUP BY ch ORDER BY uv_ct DESC
     LIMIT ?`` (PUB/mapper/TrafficStatsMapper.java:24) with a
@@ -773,6 +800,22 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1
     """,
+    "trade_order_window": """
+        WITH uu AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+                   COUNT(DISTINCT o_custkey) AS order_uu_ct
+            FROM orders GROUP BY 1
+        ), firsts AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+        ), newu AS (
+            SELECT strftime(first_dt, '%Y-%m-%d') AS cur_date,
+                   COUNT(*) AS order_new_user_ct
+            FROM firsts GROUP BY 1
+        )
+        SELECT uu.cur_date, uu.order_uu_ct,
+               coalesce(newu.order_new_user_ct, 0)::BIGINT AS order_new_user_ct
+        FROM uu LEFT JOIN newu USING (cur_date)
+    """,
     "serving_topk_channel": """
         SELECT event_type AS ch,
                SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
@@ -925,6 +968,7 @@ BUILDERS = {
     "interval_join": interval_join,
     "lookup_join_dim": lookup_join_dim,
     "serving_gmv": serving_gmv,
+    "trade_order_window": trade_order_window,
     "serving_topk_channel": serving_topk_channel,
     "log_split_fanout": log_split_fanout,
     "config_routed_split": config_routed_split,
