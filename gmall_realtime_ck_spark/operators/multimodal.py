@@ -107,6 +107,52 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def resize_image(payload: bytes, mime: str, width: int, height: int):
+    """Codec seam — real deployments plug PIL.Image.resize here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "resize_media uses the deterministic fake path"
+    )
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize stage (same mapInPandas shape as extract_features): emits
+    the media row with updated dimensions and a transformed payload.
+    The real pixel work lives behind the resize_image seam; the fake
+    path scales the payload length by the area ratio — deterministic,
+    so batch shape/schema/row-count invariants are testable. Only image
+    mimes are resized; other rows pass through untouched.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_payloads, new_w, new_h, new_n = [], [], [], []
+            for mime, payload, w, h in zip(pdf["mime"], pdf["payload"], pdf["width"], pdf["height"]):
+                data = bytes(payload) if payload is not None else b""
+                if mime.startswith("image/") and w and h:
+                    # fake resize: keep a deterministic prefix proportional
+                    # to the target/source area ratio (≥1 byte)
+                    ratio = min(1.0, (target_w * target_h) / float(w * h))
+                    keep = max(1, int(len(data) * ratio))
+                    new_payloads.append(data[:keep])
+                    new_w.append(target_w)
+                    new_h.append(target_h)
+                    new_n.append(keep)
+                else:
+                    new_payloads.append(data)
+                    new_w.append(w)
+                    new_h.append(h)
+                    new_n.append(len(data))
+            out["payload"] = new_payloads
+            out["width"] = new_w
+            out["height"] = new_h
+            out["n_bytes"] = new_n
+            yield out[[f.name for f in MEDIA_SCHEMA.fields]]
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation — must never touch ``payload``:
     .explain shows ReadSchema without the binary column (column

@@ -49,3 +49,25 @@ def test_codec_seams_raise(media):
         mm.decode_image(b"xx", "image/jpeg")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"xx", "audio/wav")
+
+
+def test_resize_media_plumbing(media):
+    resized = mm.resize_media(media, target_w=64, target_h=64)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == len(orig)
+    for mid, r in rows.items():
+        o = orig[mid]
+        if o["mime"].startswith("image/"):
+            assert (r["width"], r["height"]) == (64, 64)
+            assert 1 <= r["n_bytes"] <= o["n_bytes"]
+            assert bytes(o["payload"]).startswith(bytes(r["payload"]))
+        else:  # non-image rows pass through untouched
+            assert (r["width"], r["height"]) == (o["width"], o["height"])
+            assert bytes(r["payload"]) == bytes(o["payload"])
+    # deterministic: second run identical
+    again = {r["media_id"]: r["n_bytes"] for r in
+             mm.resize_media(media, target_w=64, target_h=64).collect()}
+    assert all(again[m] == r["n_bytes"] for m, r in rows.items())
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"xx", "image/jpeg", 64, 64)
