@@ -135,3 +135,61 @@ def test_dedup_keeps_exactly_one_per_key(spark, rows):
     for k in kept:
         candidates = sorted((t, x) for kk, t, x in rows if kk == k)
         assert kept[k] == candidates[0]
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),  # doc_id (deduped below)
+        st.text(alphabet="ab c", min_size=0, max_size=60),  # text
+        st.sampled_from(["src0", "src1", "src2"]),  # source
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**SETTINGS)
+@given(rows=docs_strategy)
+def test_sequence_packing_invariants(spark, rows):
+    """Packing invariants on random corpora: (a) cum_tokens_before is
+    the per-source running sum in doc_id order, (b) pack_id is its
+    budget quotient, (c) within a source, pack_id is non-decreasing."""
+    from gmall_realtime_ck_spark.operators.sampling import PACK_BUDGET, sequence_pack_assign
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        sequence_pack_assign({"documents": df}).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    by_source: dict[str, int] = {}
+    last_pack: dict[str, int] = {}
+    for r in got:
+        cum = by_source.get(r["source"], 0)
+        assert r["cum_tokens_before"] == cum
+        assert r["pack_id"] == cum // PACK_BUDGET
+        assert last_pack.get(r["source"], 0) <= r["pack_id"]
+        by_source[r["source"]] = cum + r["n_tokens"]
+        last_pack[r["source"]] = r["pack_id"]
+    assert len(got) == len(rows)
+
+
+@settings(**SETTINGS)
+@given(rows=docs_strategy)
+def test_stratified_sample_is_deterministic_pure_function(spark, rows):
+    """keep is a pure function of (text, source): identical rows agree
+    across runs, and the keep decision matches the declared rate rule."""
+    from gmall_realtime_ck_spark.operators.sampling import (
+        DEFAULT_RATE, STRATA_RATES, stratified_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got1 = {r["doc_id"]: (r["bucket"], r["rate_permille"], r["keep"])
+            for r in stratified_sample({"documents": df}).collect()}
+    got2 = {r["doc_id"]: (r["bucket"], r["rate_permille"], r["keep"])
+            for r in stratified_sample({"documents": df}).collect()}
+    assert got1 == got2
+    for doc_id, text, source in rows:
+        bucket, rate, keep = got1[doc_id]
+        assert rate == STRATA_RATES.get(source, DEFAULT_RATE)
+        assert keep == (1 if bucket < rate else 0)
