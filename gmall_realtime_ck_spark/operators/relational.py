@@ -360,6 +360,27 @@ def serving_gmv(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def window_sliding_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding (hopping) windows — beyond the reference's tumbling-only
+    surface (SURVEY §2.10): per event_type counts over 1 h windows
+    hopping every 30 min, so each event lands in exactly 2 windows.
+    Spark expands the window set before the aggregation; the shuffle
+    key stays (window, type) — size/slide × keys, never raw events.
+    """
+    ev = t["events"]
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"))
+        .select(
+            ts_str("w.start").alias("stt"),
+            ts_str("w.end").alias("edt"),
+            "event_type",
+            "pv_ct",
+        )
+    )
+
+
 def trade_order_window(t: dict[str, DataFrame]) -> DataFrame:
     """The reference's planned-but-absent DwsTradeOrderWindow: the bean
     exists with no app using it (COMMON/bean/TradeOrderBean.java:16-29,
@@ -800,6 +821,21 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1
     """,
+    "window_sliding_counts": """
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events
+        ), wins AS (
+            -- size 3600 s, slide 1800 s ⇒ each event is in the window
+            -- starting at its aligned base and the one 1800 s earlier
+            SELECT ((es // 1800) * 1800 - off.o) AS ws, event_type
+            FROM ev, (VALUES (0), (1800)) AS off(o)
+        )
+        SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               COUNT(*) AS pv_ct
+        FROM wins GROUP BY ws, event_type
+    """,
     "trade_order_window": """
         WITH uu AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
@@ -968,6 +1004,7 @@ BUILDERS = {
     "interval_join": interval_join,
     "lookup_join_dim": lookup_join_dim,
     "serving_gmv": serving_gmv,
+    "window_sliding_counts": window_sliding_counts,
     "trade_order_window": trade_order_window,
     "serving_topk_channel": serving_topk_channel,
     "log_split_fanout": log_split_fanout,

@@ -225,24 +225,60 @@ def cosine_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+N_PROBE = 2  # coarse cells probed per query
+
+
 def cosine_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
-    """IVF-style ANN: the ``label`` column acts as the coarse-quantizer
-    cell id (in production: k-means over a sample, assign by nearest
-    centroid). Search probes only the query's own cell — same output
-    schema as cosine_topk, approximate recall, ~1/n_cells the work.
-    Declared without a value oracle (approximate by construction).
+    """IVF multi-probe ANN: the ``label`` column acts as the
+    coarse-quantizer cell id (in production: k-means over a sample,
+    assign by nearest centroid). Cell centroids are computed from the
+    data with one distributed aggregation (labels × dims rows — tiny),
+    each query probes its N_PROBE nearest cells by centroid cosine,
+    and only those cells are scored. Same output schema as cosine_topk,
+    approximate recall, ~n_probe/n_cells the scoring work; the corpus
+    never shuffles — the (query, probe-cell) table broadcasts into the
+    scan. Declared without a value oracle (approximate by
+    construction).
     """
+    import numpy as np
+
     emb = _with_norm(t["embeddings"])
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_cell"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
+    spark = emb.sparkSession
+
+    # 1. centroids: distributed (label, dim) sum/count, collected small
+    cpdf = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
     )
+    labels = np.sort(cpdf["label"].unique())
+    dims = cpdf["i"].max() + 1
+    cent = np.zeros((len(labels), dims))
+    lab_pos = {int(l): j for j, l in enumerate(labels)}
+    for lab, i, s, n in zip(cpdf["label"], cpdf["i"], cpdf["s"], cpdf["n"]):
+        cent[lab_pos[int(lab)], int(i)] = s / n
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # 2. probe lists: queries × centroids cosine, top-N_PROBE cells
+    qpdf = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "embedding").toPandas()
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    cell_cos = q_mat @ cent.T
+    order = np.argsort(-cell_cos, axis=1, kind="stable")[:, :N_PROBE]
+    probes = [
+        (int(qid), int(labels[c]), [float(x) for x in vec])
+        for qid, vec, cells in zip(qpdf["vec_id"], qpdf["embedding"], order)
+        for c in cells
+    ]
+    qdf = spark.createDataFrame(probes, "q_id long, q_cell int, q_emb array<double>")
+    qdf = qdf.withColumn("q_norm", F.expr(f"sqrt({DOT.format(a='q_emb', b='q_emb')})"))
+
+    # 3. score only the probed cells (corpus side stays in place)
     corpus = emb.select("vec_id", F.col("label").alias("cell"), "embedding", "norm")
     scored = (
         corpus.join(
-            F.broadcast(queries),
+            F.broadcast(qdf),
             (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
         )
         .withColumn(
