@@ -261,6 +261,28 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+HASH_DIM = 64  # feature-hashing output dimensionality
+
+
+def feature_hashing(t: dict[str, DataFrame]) -> DataFrame:
+    """Hashing-trick featurizer: each document becomes a sparse
+    HASH_DIM-dimensional bag-of-words vector — token → md5-hash mod
+    HASH_DIM, weight = occurrence count. Emitted in long form
+    (doc_id, dim, weight), the layout a distributed trainer shards by
+    doc range; no vocabulary broadcast is ever needed, which is the
+    point of feature hashing at corpus scale.
+    """
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    return (
+        tok.withColumn("dim", F.expr(H28_SPARK.format(c="token")) % HASH_DIM)
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _STOPS = _stop_list_sql()
 
@@ -301,6 +323,13 @@ ORACLES: dict[str, str] = {
                CASE WHEN n_tokens > 0 AND (stop_hits * 1000) // n_tokens >= 50 THEN 'en' ELSE 'other' END AS lang_pred,
                stop_hits, n_tokens
         FROM d
+    """,
+    "feature_hashing": f"""
+        SELECT doc_id,
+               ({H28_DUCK.format(c='token')} % {HASH_DIM})::BIGINT AS dim,
+               COUNT(*) AS weight
+        FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
+        GROUP BY doc_id, dim
     """,
     "bigram_topk": f"""
         WITH tk0 AS (
@@ -372,4 +401,5 @@ BUILDERS = {
     "corpus_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "bigram_topk": bigram_topk,
     "tfidf_top_terms": tfidf_top_terms,
+    "feature_hashing": feature_hashing,
 }
