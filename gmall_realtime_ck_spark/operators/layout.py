@@ -62,6 +62,28 @@ def salted_aggregate(
     )
 
 
+def salted_join(
+    facts: DataFrame, dim: DataFrame, on: str, n_salts: int = 16
+) -> DataFrame:
+    """Skew-resilient inner equi-join: the (possibly hot-keyed) fact
+    side gets a random salt, the other side is replicated n_salts ways,
+    and the join runs on (key, salt) — a single hot key spreads over
+    n_salts reducers instead of melting one. Result is row-identical to
+    the plain join (asserted by property test).
+
+    Use when the non-fact side is too big to broadcast but small enough
+    to replicate ×n_salts; AQE's skew-join split covers the
+    sort-merge case, this covers the explicit-control case (and engines
+    without AQE). Replication uses explode(sequence(...)) — JVM-side,
+    no Python.
+    """
+    salted = facts.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    )
+    return salted.join(replicated, [on, "_salt"], "inner").drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

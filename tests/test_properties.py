@@ -193,3 +193,20 @@ def test_stratified_sample_is_deterministic_pure_function(spark, rows):
         bucket, rate, keep = got1[doc_id]
         assert rate == STRATA_RATES.get(source, DEFAULT_RATE)
         assert keep == (1 if bucket < rate else 0)
+
+
+@settings(**SETTINGS)
+@given(
+    facts=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 99)),
+                   min_size=1, max_size=40),
+    dim=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 99)),
+                 min_size=1, max_size=10, unique_by=lambda r: r[0]),
+)
+def test_salted_join_matches_plain_join(spark, facts, dim):
+    """salted_join must be row-identical to the plain inner join on any
+    input, including heavily skewed fact keys."""
+    fdf = spark.createDataFrame(facts, "k int, fv int")
+    ddf = spark.createDataFrame(dim, "k int, dv int")
+    plain = sorted(tuple(r) for r in fdf.join(ddf, "k").collect())
+    salted = sorted(tuple(r) for r in layout.salted_join(fdf, ddf, "k").collect())
+    assert salted == plain
