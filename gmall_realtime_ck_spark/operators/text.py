@@ -261,6 +261,37 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source corpus report card — the QA dashboard query of a
+    training-data pipeline: document counts, token volume, mean doc
+    length (permille), and how many docs survive the quality gate.
+    Quality columns are computed inline from the scan (no self-join
+    with quality_score), so the plan is scan → project → one
+    source-keyed aggregation.
+    """
+    docs = t["documents"]
+    n_tokens = F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint")
+    stop_hits = F.expr(
+        "size(filter(" + TOKENS_SPARK.format(c="text") + f", x -> x in ({_stop_list_sql()})))"
+    ).cast("bigint")
+    d = docs.select("source", n_tokens.alias("n_tokens"), stop_hits.alias("stop_hits"))
+    d = d.withColumn(
+        "keep",
+        F.expr(
+            "CASE WHEN n_tokens >= 10 AND (stop_hits * 1000) DIV n_tokens >= 20 THEN 1 ELSE 0 END"
+        ).cast("bigint"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("keep").alias("kept_ct"),
+        )
+        .withColumn("avg_tokens_permille", F.expr("(total_tokens * 1000) DIV n_docs"))
+    )
+
+
 HASH_DIM = 64  # feature-hashing output dimensionality
 
 
@@ -323,6 +354,24 @@ ORACLES: dict[str, str] = {
                CASE WHEN n_tokens > 0 AND (stop_hits * 1000) // n_tokens >= 50 THEN 'en' ELSE 'other' END AS lang_pred,
                stop_hits, n_tokens
         FROM d
+    """,
+    "corpus_report": f"""
+        WITH d AS (
+            SELECT source,
+                   len({_TOKS_D})::BIGINT AS n_tokens,
+                   len(list_filter({_TOKS_D}, x -> x IN ({_STOPS})))::BIGINT AS stop_hits
+            FROM documents
+        ), k AS (
+            SELECT source, n_tokens,
+                   (CASE WHEN n_tokens >= 10 AND (stop_hits * 1000) // n_tokens >= 20
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM d
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               SUM(keep)::BIGINT AS kept_ct,
+               (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_permille
+        FROM k GROUP BY source
     """,
     "feature_hashing": f"""
         SELECT doc_id,
@@ -402,4 +451,5 @@ BUILDERS = {
     "bigram_topk": bigram_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "feature_hashing": feature_hashing,
+    "corpus_report": corpus_report,
 }

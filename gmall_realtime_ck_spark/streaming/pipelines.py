@@ -238,6 +238,19 @@ def stream_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(pii_redaction({"documents": docs}), "append")
 
 
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus quality scoring: the map-only batch transform
+    (operators/text.py::quality_score) applied unchanged to the
+    document stream — per-row and order-independent, so the batch
+    oracle applies verbatim. With stream_pii_redaction this is the
+    arriving-shard half of the corpus-clean pipeline.
+    """
+    from ..operators.text import quality_score
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(quality_score({"documents": docs}), "append")
+
+
 def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship gmall streaming app end-to-end over the
     deterministic log fixture (generated on the fly — the driver tables
@@ -267,6 +280,7 @@ STREAM_BUILDERS = {
     "stream_interval_join": stream_interval_join,
     "stream_session_windows": stream_session_windows,
     "stream_pii_redaction": stream_pii_redaction,
+    "stream_quality_filter": stream_quality_filter,
 }
 
 
@@ -274,9 +288,11 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.privacy import ORACLES as PRIV
     from ..operators.relational import ORACLES as REL
     from ..operators.stateful import ORACLES as ST
+    from ..operators.text import ORACLES as TXT
 
     return {
         "stream_pii_redaction": PRIV["pii_redaction"],
+        "stream_quality_filter": TXT["quality_score"],
         "stream_window_counts": REL["window_tumbling_typed"],
         "stream_daily_uv": ST["daily_uv"],
         "stream_session_windows": REL["session_window_events"],
