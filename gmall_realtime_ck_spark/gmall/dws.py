@@ -28,6 +28,24 @@ def tokenize(col) -> F.Column:
     return F.expr(f"regexp_extract_all(lower({col}), '{TOKENIZE_RE}', 0)")
 
 
+def register_ik_analyze(spark) -> None:
+    """API-surface parity with the reference's UDTF registration
+    (createTemporarySystemFunction("ik_analyze", KeywordUDTF.class),
+    DwsTrafficSourceKeywordPageViewWindow.java:36; lateral use :60-65):
+    registers ``ik_analyze`` as a SQL function so user SQL can write
+    ``SELECT kw FROM (SELECT ik_analyze(fullword) AS arr FROM t)
+    LATERAL VIEW explode(arr) x AS kw``. It is a Spark-4 SQL UDF
+    (RETURN <expr>) delegating to the same JVM regex as ``tokenize`` —
+    whole-stage codegen applies, no Python worker. (Spark disallows a
+    SQL UDF directly inside Generate, hence the subquery-then-explode
+    pattern.)
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ik_analyze(s STRING) "
+        f"RETURNS ARRAY<STRING> RETURN regexp_extract_all(lower(s), '{TOKENIZE_RE}', 0)"
+    )
+
+
 def _window_cols(w) -> list[F.Column]:
     return [
         cst_datetime(w["start"]).alias("stt"),

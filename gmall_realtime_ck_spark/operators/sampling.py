@@ -204,6 +204,28 @@ def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def source_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-source duplication diagnostic for corpus mixing: for each
+    source pair, how many distinct 3-gram shingles they share. The
+    shuffle keys on the shingle (high cardinality, evenly hashed); the
+    pair-level counts that come out are |sources|² — nothing at corpus
+    scale ever concentrates on one reducer.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("source", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "source", F.explode(F.expr(shingles_from_tokens("tk", 3))).alias("s")
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
@@ -271,6 +293,17 @@ ORACLES: dict[str, str] = {
                ((COUNT(*) - COUNT(DISTINCT s)) * 1000) // COUNT(*) AS repetition_permille
         FROM sh GROUP BY doc_id
     """,
+    "source_overlap": f"""
+        WITH tk0 AS (
+            SELECT source, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT source, unnest({_SH3_D}) AS s FROM tk0
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
     "sequence_pack_assign": f"""
         WITH d AS (
             SELECT doc_id, source, len({_TOKS_D})::BIGINT AS n_tokens FROM documents
@@ -312,4 +345,5 @@ BUILDERS = {
     "vocab_stats": vocab_stats,
     "sequence_pack_assign": sequence_pack_assign,
     "stratified_sample": stratified_sample,
+    "source_overlap": source_overlap,
 }

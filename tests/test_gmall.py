@@ -287,3 +287,31 @@ def test_serving_queries(db, log_raw, spark):
     topk = dws.serving_channel_uv_topk(tw, ch_date, limit=3).collect()
     assert len(topk) <= 3
     assert [r["uv_ct"] for r in topk] == sorted([r["uv_ct"] for r in topk], reverse=True)
+
+
+def test_ik_analyze_sql_registration(spark):
+    """§2.9 — the SQL-registered ik_analyze must tokenize identically
+    to the engine-internal tokenize() fragment (same JVM regex)."""
+    import pyspark.sql.functions as F
+
+    from gmall_realtime_ck_spark.gmall.dws import register_ik_analyze, tokenize
+
+    register_ik_analyze(spark)
+    df = spark.createDataFrame(
+        [("Hello Big Data",), ("spark SQL 123",), ("",)], "fullword string"
+    )
+    df.createOrReplaceTempView("kwsrc_udtf")
+    via_sql = [
+        r["kw"]
+        for r in spark.sql(
+            "SELECT kw FROM (SELECT ik_analyze(fullword) AS arr FROM kwsrc_udtf) "
+            "LATERAL VIEW explode(arr) t AS kw"
+        ).collect()
+    ]
+    via_col = [
+        kw
+        for r in df.select(tokenize("fullword").alias("tk")).collect()
+        for kw in r["tk"]
+    ]
+    assert sorted(via_sql) == sorted(via_col)
+    assert "hello" in via_sql and "123" in via_sql
