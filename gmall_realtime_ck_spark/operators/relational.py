@@ -719,7 +719,7 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_cents,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_disc_price_cents,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -729,7 +729,7 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -742,7 +742,7 @@ ORACLES: dict[str, str] = {
     """,
     "q5_region_revenue": """
         SELECT r_name AS region_name, n_name AS nation_name,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -925,10 +925,10 @@ ORACLES: dict[str, str] = {
                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
                         ELSE 0 END)::BIGINT AS promo_cents,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS total_cents,
-               (SUM(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                         ELSE 0 END) * 1000)
-                 // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS promo_permille
+               ((SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                          ELSE 0 END) * 1000)
+                 // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)))::BIGINT AS promo_permille
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
     """,

@@ -370,7 +370,7 @@ ORACLES: dict[str, str] = {
         SELECT source, COUNT(*) AS n_docs,
                SUM(n_tokens)::BIGINT AS total_tokens,
                SUM(keep)::BIGINT AS kept_ct,
-               (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_permille
+               ((SUM(n_tokens) * 1000) // COUNT(*))::BIGINT AS avg_tokens_permille
         FROM k GROUP BY source
     """,
     "feature_hashing": f"""
