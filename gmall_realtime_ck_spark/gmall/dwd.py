@@ -300,6 +300,109 @@ def comment_info_enriched(db: DataFrame, base_dic: DataFrame) -> DataFrame:
     return lookup_join_dic(ci, base_dic, "appraise", "appraise_name")
 
 
+def order_refund(db: DataFrame, base_dic: DataFrame) -> DataFrame:
+    """P7/J3 — the refund fact job (DWD:trade-order-refund/db/app/
+    DwdTradeOrderRefund.java:30-84): order_refund_info inserts joined to
+    order_info updates reaching order_status=1005 (with old.order_status
+    set — a real transition, not a snapshot), then the double-aliased
+    dictionary lookup — dic1 resolves refund_type, dic2 resolves
+    refund_reason_type (DwdTradeOrderRefund.java:79-82). Both lookups
+    broadcast the same dim once.
+    """
+    d = F.col("data")
+    o = F.col("old")
+    ri = db.filter(
+        (F.col("table") == "order_refund_info") & (F.col("type") == "insert")
+    ).select(
+        d["id"].alias("id"),
+        d["user_id"].alias("user_id"),
+        d["order_id"].alias("order_id"),
+        d["sku_id"].alias("sku_id"),
+        d["refund_type"].alias("refund_type_code"),
+        d["refund_num"].alias("refund_num"),
+        d["refund_amount"].alias("refund_amount"),
+        d["refund_reason_type"].alias("refund_reason_type_code"),
+        d["refund_reason_txt"].alias("refund_reason_txt"),
+        d["create_time"].alias("create_time"),
+        F.col("ts"),
+    )
+    oi = db.filter(
+        (F.col("table") == "order_info")
+        & (F.col("type") == "update")
+        & o["order_status"].isNotNull()
+        & (d["order_status"] == "1005")
+    ).select(d["id"].alias("oi_id"), d["province_id"].alias("province_id"))
+    joined = ri.join(oi, ri.order_id == oi.oi_id).drop("oi_id")
+    joined = lookup_join_dic(joined, base_dic, "refund_type_code", "refund_type_name")
+    joined = lookup_join_dic(
+        joined, base_dic, "refund_reason_type_code", "refund_reason_type_name"
+    )
+    return joined.withColumn("date_id", F.substring("create_time", 1, 10)).select(
+        "id", "user_id", "order_id", "sku_id", "province_id", "date_id",
+        "create_time", "refund_type_code", "refund_type_name",
+        "refund_reason_type_code", "refund_reason_type_name",
+        "refund_reason_txt", "refund_num", "refund_amount", "ts",
+    )
+
+
+def refund_pay_success(db: DataFrame, base_dic: DataFrame) -> DataFrame:
+    """P7/J1/J3 — refund-payment success (DWD:trade-refund-pay-suc-detail/
+    db/app/DwdTradeRefundPaySucDetail.java:31-96): the 4-way join of
+    refund_payment updates reaching refund_status=1602, order_refund_info
+    updates reaching refund_status=0705, order_info updates reaching
+    order_status=1006, and the payment_type dictionary lookup. Every leg
+    requires old.refund_status/order_status IS NOT NULL (true
+    transitions).
+    """
+    d = F.col("data")
+    o = F.col("old")
+    rp = db.filter(
+        (F.col("table") == "refund_payment")
+        & (F.col("type") == "update")
+        & o["refund_status"].isNotNull()
+        & (d["refund_status"] == "1602")
+    ).select(
+        d["id"].alias("id"),
+        d["order_id"].alias("order_id"),
+        d["sku_id"].alias("sku_id"),
+        d["payment_type"].alias("payment_type_code"),
+        d["callback_time"].alias("callback_time"),
+        d["total_amount"].alias("refund_amount"),
+        F.col("ts"),
+    )
+    ori = db.filter(
+        (F.col("table") == "order_refund_info")
+        & (F.col("type") == "update")
+        & o["refund_status"].isNotNull()
+        & (d["refund_status"] == "0705")
+    ).select(
+        d["order_id"].alias("ori_order_id"),
+        d["sku_id"].alias("ori_sku_id"),
+        d["refund_num"].alias("refund_num"),
+    )
+    oi = db.filter(
+        (F.col("table") == "order_info")
+        & (F.col("type") == "update")
+        & o["order_status"].isNotNull()
+        & (d["order_status"] == "1006")
+    ).select(
+        d["id"].alias("oi_id"),
+        d["user_id"].alias("user_id"),
+        d["province_id"].alias("province_id"),
+    )
+    joined = (
+        rp.join(ori, (rp.order_id == ori.ori_order_id) & (rp.sku_id == ori.ori_sku_id))
+        .join(oi, rp.order_id == oi.oi_id)
+        .drop("ori_order_id", "ori_sku_id", "oi_id")
+    )
+    joined = lookup_join_dic(joined, base_dic, "payment_type_code", "payment_type_name")
+    return joined.withColumn("date_id", F.substring("callback_time", 1, 10)).select(
+        "id", "user_id", "order_id", "sku_id", "province_id",
+        "payment_type_code", "payment_type_name", "date_id", "callback_time",
+        "refund_num", "refund_amount", "ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # config-driven dynamic split (the DwdBaseDb pattern)
 # ---------------------------------------------------------------------------

@@ -211,6 +211,78 @@ def gen_topic_db_lines(n_orders: int = 300, seed: int = 43) -> list[str]:
     return lines
 
 
+def gen_refund_lines(n_orders: int = 300, seed: int = 47) -> list[str]:
+    """Refund-lifecycle envelopes (DwdTradeOrderRefund.java:30-55,
+    DwdTradeRefundPaySucDetail.java:31-75): for a subset of orders,
+    order_refund_info insert + order_info 1002→1005; for a sub-subset the
+    refund completes — refund_payment 1601→1602, order_refund_info
+    0702→0705, order_info 1005→1006. Also emits near-miss rows that the
+    DWD predicates must reject: order_status=1005 snapshots with no
+    ``old`` (not a transition) and refund_payment stuck at 1601.
+
+    Separate generator (own seed) so the ``gen_topic_db_lines`` golden
+    sequence is untouched.
+    """
+    rng = random.Random(seed)
+    lines: list[str] = []
+    for oid in range(n_orders):
+        if rng.random() >= 0.2:  # most orders never refund
+            continue
+        t0 = DAY0 + timedelta(days=rng.choice([0, 0, 1]), seconds=rng.randrange(80000))
+        user = rng.randrange(400)
+        prov = rng.randrange(1, 35)
+        sku = rng.randrange(35)
+        rid = 70000 + oid
+        amount = f"{rng.randrange(100, 5000)}.00"
+        lines.append(_env("order_refund_info", "insert", t0, {
+            "id": rid, "user_id": user, "order_id": oid, "sku_id": sku,
+            "refund_type": rng.choice(["1501", "1502"]),
+            "refund_num": rng.randrange(1, 4), "refund_amount": amount,
+            "refund_reason_type": rng.choice(["1301", "1302", "1303", "1304", "1305", "1306", "1307"]),
+            "refund_reason_txt": "质量问题 not as described",
+            "create_time": _fmt(t0), "refund_status": "0701",
+        }))
+        lines.append(_env("order_info", "update", t0,
+                          {"id": oid, "user_id": user, "province_id": prov,
+                           "order_status": "1005", "operate_time": _fmt(t0)},
+                          {"order_status": "1002"}))
+        if rng.random() < 0.1:  # near-miss: 1005 snapshot without old → must be rejected
+            lines.append(_env("order_info", "update", t0,
+                              {"id": 90000 + oid, "province_id": prov, "order_status": "1005"}))
+        t1 = t0 + timedelta(seconds=rng.randrange(60, 3600))
+        pay_type = rng.choice(["1101", "1102", "1103"])
+        if rng.random() < 0.6:  # refund completes
+            lines.append(_env("refund_payment", "update", t1, {
+                "id": rid, "order_id": oid, "sku_id": sku, "payment_type": pay_type,
+                "refund_status": "1602", "callback_time": _fmt(t1),
+                "total_amount": amount,
+            }, {"refund_status": "1601"}))
+            lines.append(_env("order_refund_info", "update", t1,
+                              {"id": rid, "order_id": oid, "sku_id": sku,
+                               "refund_num": "1", "refund_status": "0705"},
+                              {"refund_status": "0702"}))
+            lines.append(_env("order_info", "update", t1,
+                              {"id": oid, "user_id": user, "province_id": prov,
+                               "order_status": "1006", "operate_time": _fmt(t1)},
+                              {"order_status": "1005"}))
+        else:  # refund stuck mid-flight — must not reach the success fact
+            lines.append(_env("refund_payment", "update", t1, {
+                "id": rid, "order_id": oid, "sku_id": sku, "payment_type": pay_type,
+                "refund_status": "1601", "callback_time": _fmt(t1),
+                "total_amount": amount,
+            }, {"refund_status": "1601"}))
+    return lines
+
+
+#: refund-related base_dic rows (kept separate: goldens over
+#: BASE_DIC_ROWS predate the refund chain)
+REFUND_DIC_ROWS = [
+    ("1501", "退货"), ("1502", "仅退款"),
+    ("1301", "质量问题"), ("1302", "商品描述与实际描述不一致"), ("1303", "缺货"),
+    ("1304", "号码不合适"), ("1305", "拍错"), ("1306", "不想买了"), ("1307", "其他"),
+]
+
+
 #: table_process_dim config rows (F3 — TableProcessDim.java:15-33)
 TABLE_PROCESS_DIM_ROWS = [
     ("sku_info", "dim_sku_info", "id,spu_id,price,sku_name,tm_id,category3_id", "info", "id"),

@@ -714,7 +714,183 @@ def left_outer_orders(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# P7/J3 — the refund chain (runs the real gmall DWD jobs over a
+# deterministic CDC envelope derived from `orders`)
+# ---------------------------------------------------------------------------
+
+_NULL_MAP = "cast(null as map<string,string>)"
+
+
+def _refund_envelopes(orders: DataFrame) -> DataFrame:
+    """Maxwell-style topic_db rows derived deterministically from
+    ``orders``: o_orderkey%10∈{0,1} refunds (order_refund_info insert +
+    order_info →1005); %10==0 completes (refund_payment →1602,
+    order_refund_info →0705, order_info →1006); %10==1 sticks at 1601;
+    %10==2 emits a 1005 *snapshot* with no ``old`` that the predicates
+    must reject (DwdTradeOrderRefund.java:52-54 requires a transition).
+    """
+    k = F.col("o_orderkey")
+    ts = F.unix_timestamp("o_orderdate")
+    base = orders.select(
+        k.alias("k"),
+        ts.alias("ts0"),
+        k.cast("string").alias("order_id"),
+        (F.lit(70000000) + k).cast("string").alias("refund_id"),
+        F.col("o_custkey").cast("string").alias("user_id"),
+        (k % 35).cast("string").alias("sku_id"),
+        (F.lit(1) + k % 34).cast("string").alias("province_id"),
+        (F.lit(1501) + k % 2).cast("string").alias("refund_type"),
+        (F.lit(1301) + k % 7).cast("string").alias("refund_reason_type"),
+        (F.lit(1101) + k % 3).cast("string").alias("payment_type"),
+        (F.lit(1) + k % 3).cast("string").alias("refund_num"),
+        cents("o_totalprice").cast("string").alias("amount"),
+        ts_str("o_orderdate").alias("create_time"),
+        ts_str(F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")).alias("callback_time"),
+    )
+    refunds = base.filter(F.col("k") % 10 < 2)
+    done = base.filter(F.col("k") % 10 == 0)
+    stuck = base.filter(F.col("k") % 10 == 1)
+    snap = base.filter(F.col("k") % 10 == 2)
+
+    def env(src, table, typ, data: dict, old: dict | None):
+        pairs = [x for kk, v in data.items() for x in (F.lit(kk), v)]
+        old_col = (
+            F.expr(_NULL_MAP)
+            if old is None
+            else F.create_map(*[x for kk, v in old.items() for x in (F.lit(kk), v)])
+        )
+        return src.select(
+            F.lit("gmall").alias("database"),
+            F.lit(table).alias("table"),
+            F.lit(typ).alias("type"),
+            F.col("ts0").alias("ts"),
+            F.create_map(*pairs).alias("data"),
+            old_col.alias("old"),
+        )
+
+    c = F.col
+    legs = [
+        env(refunds, "order_refund_info", "insert", {
+            "id": c("refund_id"), "user_id": c("user_id"), "order_id": c("order_id"),
+            "sku_id": c("sku_id"), "refund_type": c("refund_type"),
+            "refund_num": c("refund_num"), "refund_amount": c("amount"),
+            "refund_reason_type": c("refund_reason_type"),
+            "refund_reason_txt": F.lit("质量问题 not as described"),
+            "create_time": c("create_time"), "refund_status": F.lit("0701"),
+        }, None),
+        env(refunds, "order_info", "update", {
+            "id": c("order_id"), "user_id": c("user_id"),
+            "province_id": c("province_id"), "order_status": F.lit("1005"),
+        }, {"order_status": F.lit("1002")}),
+        env(snap, "order_info", "update", {
+            "id": c("order_id"), "province_id": c("province_id"),
+            "order_status": F.lit("1005"),
+        }, None),
+        env(done, "refund_payment", "update", {
+            "id": c("refund_id"), "order_id": c("order_id"), "sku_id": c("sku_id"),
+            "payment_type": c("payment_type"), "refund_status": F.lit("1602"),
+            "callback_time": c("callback_time"), "total_amount": c("amount"),
+        }, {"refund_status": F.lit("1601")}),
+        env(stuck, "refund_payment", "update", {
+            "id": c("refund_id"), "order_id": c("order_id"), "sku_id": c("sku_id"),
+            "payment_type": c("payment_type"), "refund_status": F.lit("1601"),
+            "callback_time": c("callback_time"), "total_amount": c("amount"),
+        }, {"refund_status": F.lit("1601")}),
+        env(done, "order_refund_info", "update", {
+            "id": c("refund_id"), "order_id": c("order_id"), "sku_id": c("sku_id"),
+            "refund_num": F.lit("1"), "refund_status": F.lit("0705"),
+        }, {"refund_status": F.lit("0702")}),
+        env(done, "order_info", "update", {
+            "id": c("order_id"), "user_id": c("user_id"),
+            "province_id": c("province_id"), "order_status": F.lit("1006"),
+        }, {"order_status": F.lit("1005")}),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _base_dic_df(spark):
+    from ..gmall.fixtures import BASE_DIC_ROWS, REFUND_DIC_ROWS
+
+    return spark.createDataFrame(
+        BASE_DIC_ROWS + REFUND_DIC_ROWS, "dic_code string, dic_name string"
+    )
+
+
+def refund_flow(t: dict[str, DataFrame]) -> DataFrame:
+    """P7/J3 — the order-refund fact (DwdTradeOrderRefund.java:30-84):
+    order_refund_info ⋈ order_info(→1005 transition) with the
+    double-aliased dic1/dic2 dictionary lookup on refund_type and
+    refund_reason_type. Runs the real ``gmall.dwd.order_refund`` job
+    over a deterministic envelope stream derived from ``orders``.
+
+    Scale: one shuffle (refund⋈order on order_id); both dic lookups are
+    broadcast of the same tiny dim.
+    """
+    from ..gmall.dwd import order_refund
+
+    db = _refund_envelopes(t["orders"])
+    return order_refund(db, _base_dic_df(t["orders"].sparkSession))
+
+
+def refund_pay_success_flow(t: dict[str, DataFrame]) -> DataFrame:
+    """P7/J1/J3 — refund-payment success
+    (DwdTradeRefundPaySucDetail.java:31-96): the 4-way join of
+    refund_payment(→1602) ⋈ order_refund_info(→0705) ⋈ order_info(→1006)
+    ⋈ base_dic (payment_type). Runs the real
+    ``gmall.dwd.refund_pay_success`` job over the same envelope stream.
+
+    Scale: two keyed shuffles on order_id(+sku_id); dic broadcast.
+    """
+    from ..gmall.dwd import refund_pay_success
+
+    db = _refund_envelopes(t["orders"])
+    return refund_pay_success(db, _base_dic_df(t["orders"].sparkSession))
+
+
+_REASON_CASE = """CASE o_orderkey % 7
+            WHEN 0 THEN '质量问题' WHEN 1 THEN '商品描述与实际描述不一致'
+            WHEN 2 THEN '缺货' WHEN 3 THEN '号码不合适' WHEN 4 THEN '拍错'
+            WHEN 5 THEN '不想买了' ELSE '其他' END"""
+
 ORACLES: dict[str, str] = {
+    "refund_flow": f"""
+        SELECT CAST(70000000 + o_orderkey AS VARCHAR) AS id,
+               CAST(o_custkey AS VARCHAR) AS user_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_orderkey % 35 AS VARCHAR) AS sku_id,
+               CAST(1 + o_orderkey % 34 AS VARCHAR) AS province_id,
+               strftime(o_orderdate, '%Y-%m-%d') AS date_id,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+               CAST(1501 + o_orderkey % 2 AS VARCHAR) AS refund_type_code,
+               CASE WHEN o_orderkey % 2 = 0 THEN '退货' ELSE '仅退款' END AS refund_type_name,
+               CAST(1301 + o_orderkey % 7 AS VARCHAR) AS refund_reason_type_code,
+               {_REASON_CASE} AS refund_reason_type_name,
+               '质量问题 not as described' AS refund_reason_txt,
+               CAST(1 + o_orderkey % 3 AS VARCHAR) AS refund_num,
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS refund_amount,
+               CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        FROM orders WHERE o_orderkey % 10 < 2
+    """,
+    "refund_pay_success": """
+        SELECT CAST(70000000 + o_orderkey AS VARCHAR) AS id,
+               CAST(o_custkey AS VARCHAR) AS user_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_orderkey % 35 AS VARCHAR) AS sku_id,
+               CAST(1 + o_orderkey % 34 AS VARCHAR) AS province_id,
+               CAST(1101 + o_orderkey % 3 AS VARCHAR) AS payment_type_code,
+               CASE o_orderkey % 3 WHEN 0 THEN '支付宝' WHEN 1 THEN '微信'
+                    ELSE '银联' END AS payment_type_name,
+               strftime(o_orderdate + INTERVAL '1 hour', '%Y-%m-%d') AS date_id,
+               strftime(o_orderdate + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS callback_time,
+               '1' AS refund_num,
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS refund_amount,
+               CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
@@ -1020,4 +1196,6 @@ BUILDERS = {
     "monthly_active_churn": monthly_active_churn,
     "event_type_pivot": event_type_pivot,
     "gmv_rollup": gmv_rollup,
+    "refund_flow": refund_flow,
+    "refund_pay_success": refund_pay_success_flow,
 }

@@ -147,6 +147,59 @@ def test_dynamic_split_routes_and_prunes(db, spark):
     assert keys <= {"id", "user_id", "sku_id", "sku_num"}
 
 
+@pytest.fixture(scope="module")
+def refund_db(spark):
+    lines = fixtures.gen_refund_lines(n_orders=300)
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    return dwd.parse_topic_db(raw).cache()
+
+
+@pytest.fixture(scope="module")
+def full_dic(spark):
+    return spark.createDataFrame(
+        fixtures.BASE_DIC_ROWS + fixtures.REFUND_DIC_ROWS, "dic_code string, dic_name string"
+    )
+
+
+def test_order_refund_transition_and_dual_dic(refund_db, full_dic):
+    """DwdTradeOrderRefund.java:47-82 — 1005 transition filter + dic1/dic2."""
+    out = dwd.order_refund(refund_db, full_dic)
+    rows = out.collect()
+    n_refunds = refund_db.filter(
+        (F.col("table") == "order_refund_info") & (F.col("type") == "insert")
+    ).count()
+    assert len(rows) == n_refunds > 0
+    # near-miss 1005 snapshots (no ``old``) must not have joined: every
+    # surviving order_id is a real refund id (< 90000 synthetic band)
+    assert all(int(r["order_id"]) < 90000 for r in rows)
+    # the dual lookup resolved both names, independently
+    assert all(r["refund_type_name"] in ("退货", "仅退款") for r in rows)
+    assert all(r["refund_reason_type_name"] is not None for r in rows)
+    assert all(r["date_id"] == r["create_time"][:10] for r in rows)
+
+
+def test_refund_pay_success_four_way(refund_db, full_dic):
+    """DwdTradeRefundPaySucDetail.java:76-96 — only fully completed
+    refunds (1602 ∧ 0705 ∧ 1006) reach the success fact."""
+    out = dwd.refund_pay_success(refund_db, full_dic)
+    rows = out.collect()
+    n_done = refund_db.filter(
+        (F.col("table") == "refund_payment")
+        & (F.col("data")["refund_status"] == "1602")
+    ).count()
+    n_started = refund_db.filter(
+        (F.col("table") == "order_refund_info") & (F.col("type") == "insert")
+    ).count()
+    assert 0 < len(rows) == n_done < n_started  # stuck-at-1601 refunds excluded
+    assert all(r["payment_type_name"] in ("支付宝", "微信", "银联") for r in rows)
+    # completed refunds are a subset of started refunds
+    started = {
+        r["id"]
+        for r in dwd.order_refund(refund_db, full_dic).select("id").collect()
+    }
+    assert {r["id"] for r in rows} <= started
+
+
 # ---------------------------------------------------------------------------
 # DIM
 # ---------------------------------------------------------------------------

@@ -93,6 +93,15 @@ def test_sequence_packing_partitions_by_shard(tables):
     assert "SinglePartition" not in p
 
 
+def test_refund_flow_dual_dic_broadcasts(tables):
+    """The dic1/dic2 double lookup (DwdTradeOrderRefund.java:79-82) must
+    plan as two broadcast hash joins of the tiny dim — the fact side
+    shuffles only for the refund⋈order equi-join."""
+    p = plan_of(tables, "refund_flow")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
 def test_no_cartesian_anywhere(tables, name):
     """Global invariant: no declared batch query may plan a cartesian
