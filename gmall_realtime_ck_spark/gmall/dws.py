@@ -147,6 +147,33 @@ def home_detail_uv_window(page: DataFrame, size: str = "10 seconds") -> DataFram
     )
 
 
+def user_register_window(reg: DataFrame, size: str = "5 seconds", ts_col: str = "et") -> DataFrame:
+    """DwsUserUserRegisterWindow.java:40-84 (A3) — the register count
+    over a global tumbling window: windowAll(5 s).aggregate(count) with
+    a 5 s bounded-out-of-orderness watermark. ``cur_date`` derives from
+    the window END (tsToDateForPartition(ctx.window().getEnd()), :79 —
+    note: start for the other DWS beans).
+
+    Idleness mapping: the reference adds withIdleness(120 s) (:45) — a
+    Flink per-source-partition device so one idle Kafka partition cannot
+    stall the watermark. Spark's watermark is computed over the whole
+    input (max event time − delay), so an idle PARTITION never holds
+    back progress and no idleness knob exists or is needed; only a fully
+    idle SOURCE stalls, which Flink's idleness cannot fix either.
+    """
+    w = F.window(ts_col, size)
+    return (
+        reg.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("register_ct"))
+        .select(
+            cst_datetime(F.col("w.start")).alias("stt"),
+            cst_datetime(F.col("w.end")).alias("edt"),
+            cst_date(F.col("w.end")).alias("cur_date"),
+            "register_ct",
+        )
+    )
+
+
 def dedup_order_detail(od_star: DataFrame) -> DataFrame:
     """T1 — order-detail dedup (DwsTradeSkuOrderWindow.java:196-233).
     The reference keeps the LAST record per id (retracting the earlier

@@ -851,6 +851,23 @@ def refund_pay_success_flow(t: dict[str, DataFrame]) -> DataFrame:
     return refund_pay_success(db, _base_dic_df(t["orders"].sparkSession))
 
 
+def user_register_window(t: dict[str, DataFrame]) -> DataFrame:
+    """A3 — DwsUserUserRegisterWindow.java:40-84: global tumbling
+    register count (runs the real ``gmall.dws.user_register_window``
+    job; signup events stand in for the dwd_user_register stream).
+    1 h windows fit the 30-day batch fixture; the streaming variant
+    keeps the reference's 5 s windows + 5 s watermark.
+
+    Scale: single shuffle on the window key, partial agg map-side; at
+    real volume the global (windowAll) key is low-cardinality per hour,
+    so no skew.
+    """
+    from ..gmall.dws import user_register_window as urw
+
+    ev = t["events"].filter(F.col("event_type") == "signup").select(F.col("ts").alias("et"))
+    return urw(ev, size="1 hour")
+
+
 _REASON_CASE = """CASE o_orderkey % 7
             WHEN 0 THEN '质量问题' WHEN 1 THEN '商品描述与实际描述不一致'
             WHEN 2 THEN '缺货' WHEN 3 THEN '号码不合适' WHEN 4 THEN '拍错'
@@ -890,6 +907,17 @@ ORACLES: dict[str, str] = {
                CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS refund_amount,
                CAST(epoch(o_orderdate) AS BIGINT) AS ts
         FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    "user_register_window": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 8 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 9 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 9 HOUR,
+                        '%Y-%m-%d') AS cur_date,
+               COUNT(*) AS register_ct
+        FROM events WHERE event_type = 'signup'
+        GROUP BY 1, 2, 3
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1198,4 +1226,5 @@ BUILDERS = {
     "gmv_rollup": gmv_rollup,
     "refund_flow": refund_flow,
     "refund_pay_success": refund_pay_success_flow,
+    "user_register_window": user_register_window,
 }

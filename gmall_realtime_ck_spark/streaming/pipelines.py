@@ -269,6 +269,27 @@ def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_pipeline_stream(spark, d, size="1 hour")
 
 
+def stream_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 streaming — DwsUserUserRegisterWindow.java:40-84 with the
+    reference's own geometry: 5 s tumbling windowAll count over the
+    register stream (signup events), 5 s bounded-out-of-orderness
+    watermark. Complete mode → final table equals the batch 5 s-window
+    result, so a SQL oracle applies verbatim (the append+watermark
+    variant, where the watermark withholds the tail window, is asserted
+    in test_streaming). The 120 s idleness knob has no Spark
+    counterpart — see gmall.dws.user_register_window for the mapping.
+    """
+    from ..gmall.dws import user_register_window as urw
+
+    ev = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("et"))
+    )
+    return _run_to_memory(urw(ev, size="5 seconds", ts_col="et"), "complete")
+
+
 # Declared streaming queries (driver contract): signature
 # (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
 # complete-mode / order-independent outputs are batch-equivalent.
@@ -281,6 +302,7 @@ STREAM_BUILDERS = {
     "stream_session_windows": stream_session_windows,
     "stream_pii_redaction": stream_pii_redaction,
     "stream_quality_filter": stream_quality_filter,
+    "stream_user_register": stream_user_register,
 }
 
 
@@ -296,6 +318,17 @@ def stream_oracles() -> dict[str, str]:
         "stream_window_counts": REL["window_tumbling_typed"],
         "stream_daily_uv": ST["daily_uv"],
         "stream_session_windows": REL["session_window_events"],
+        "stream_user_register": """
+            SELECT strftime(time_bucket(INTERVAL '5 seconds', ts) + INTERVAL 8 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime(time_bucket(INTERVAL '5 seconds', ts) + INTERVAL 8 HOUR
+                            + INTERVAL 5 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+                   strftime(time_bucket(INTERVAL '5 seconds', ts) + INTERVAL 8 HOUR
+                            + INTERVAL 5 SECOND, '%Y-%m-%d') AS cur_date,
+                   COUNT(*) AS register_ct
+            FROM events WHERE event_type = 'signup'
+            GROUP BY 1, 2, 3
+        """,
         "stream_interval_join": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,
                    p.user_id AS user_id

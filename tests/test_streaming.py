@@ -36,6 +36,49 @@ def test_append_watermark_withholds_open_window(spark, tables):
     assert n_stream >= n_batch - 2 * 5  # …but only around the last hour (≤2 windows × 5 types)
 
 
+def test_user_register_stream_equals_batch(spark, tables):
+    """A3 — DwsUserUserRegisterWindow: the complete-mode 5 s register
+    window stream equals the batch computation exactly."""
+    from gmall_realtime_ck_spark.gmall.dws import user_register_window
+
+    out = pipelines.stream_user_register(spark, SF_DIR)
+    reg = tables["events"].filter(F.col("event_type") == "signup").select(
+        F.col("ts").alias("et")
+    )
+    batch = user_register_window(reg, size="5 seconds")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_user_register_append_watermark_5s(spark, tables):
+    """The reference's 5 s bounded-out-of-orderness watermark
+    (DwsUserUserRegisterWindow.java:43-45) in append mode: emitted
+    windows are exactly the batch windows minus the watermark-open tail.
+    (The 120 s idleness knob is a Flink per-partition device with no
+    Spark analogue needed — watermark is global over the input.)"""
+    from gmall_realtime_ck_spark.gmall.dws import user_register_window
+
+    ev = (
+        pipelines.events_file_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("et"))
+    )
+    result = pipelines._run_to_memory(
+        user_register_window(ev, size="5 seconds", ts_col="et"), "append"
+    )
+    reg = tables["events"].filter(F.col("event_type") == "signup").select(
+        F.col("ts").alias("et")
+    )
+    batch_rows = {tuple(r) for r in user_register_window(reg, size="5 seconds").collect()}
+    stream_rows = {tuple(r) for r in result.collect()}
+    assert stream_rows <= batch_rows  # never an extra/incorrect window
+    withheld = batch_rows - stream_rows
+    assert len(withheld) <= 2  # only the tail within watermark horizon
+    if withheld:
+        max_edt = max(r[1] for r in batch_rows)
+        assert all(r[1] == max_edt for r in withheld)
+
+
 def test_repair_is_new_stream_matches_batch_oracle(spark):
     from pyspark.sql.types import StringType, StructField, StructType
 
