@@ -48,7 +48,7 @@ ORACLES = {**ORACLES, **STREAM_ORACLES}
 #: Timed by bench.py but excluded from the driver-checked ``queries()``
 #: surface: strict performance variants of queries that already have an
 #: oracled row (same semantics, different physical strategy).
-BENCH_ONLY = {"cosine_topk_pandas", "doc_fingerprint_fast"}
+BENCH_ONLY = {"cosine_topk_pandas", "doc_fingerprint_fast", "embedding_neardup_lsh"}
 
 #: Driver-row priority. Round 1 evidence: CORRECTNESS_r01.json contains
 #: exactly the first 50 names in ``queries()`` iteration order (which was

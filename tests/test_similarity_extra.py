@@ -1,7 +1,12 @@
 """Cross-variant ANN consistency: the Arrow block-matmul path must
-agree with the exact HOF path on non-degenerate data."""
+agree with the exact HOF path on non-degenerate data; scale contracts
+(no corpus collect, bounded query collect, recall floors) are pinned
+here."""
 
 from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
 
 from gmall_realtime_ck_spark.operators import similarity as sim
 
@@ -32,3 +37,66 @@ def test_ivf_is_subset_quality(tables):
     again = {(r["q_id"], r["rank"]): r["neighbor_id"]
              for r in sim.cosine_topk_ivf(tables).collect()}
     assert again == {(r["q_id"], r["rank"]): r["neighbor_id"] for r in out}
+
+
+def test_ivf_recall_floor(tables):
+    """recall@TOP_K of the multi-probe IVF path against the exact
+    baseline — a recall regression (e.g. a probe-selection bug) fails
+    here instead of passing rows-only."""
+    exact = {}
+    for r in sim.cosine_topk(tables).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in sim.cosine_topk_ivf(tables).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # the fixture's label cells are random, not k-means clusters, so the
+    # information-theoretic ceiling is ≈ n_probe/n_cells plus whatever
+    # weak signal centroid-cosine probing extracts (measured 0.288 at
+    # sf0.001). The floor pins that probing beats the n_probe/n_cells
+    # random baseline; on clusterable data recall approaches 1.
+    n_cells = tables["embeddings"].select("label").distinct().count()
+    floor = sim.N_PROBE / n_cells
+    assert recall >= floor, (
+        f"IVF recall@{sim.TOP_K}={recall:.3f} below random-probe baseline {floor:.3f}"
+    )
+
+
+def test_neardup_never_collects_corpus(tables, monkeypatch):
+    """The r1 implementation broadcast the full embeddings table from
+    the driver (toPandas) — a 100 TB driver-OOM. Pin the fix: building
+    AND planning the near-dup queries must not call toPandas at all
+    (the ANN top-k operators may collect only the bounded query side)."""
+    def boom(self):
+        raise AssertionError("toPandas called — corpus collected to driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    df = sim.embedding_neardup_pairs(tables)
+    df.explain()  # force full planning
+    df2 = sim.embedding_neardup_lsh(tables)
+    df2.explain()
+
+
+def test_lsh_neardup_recall(tables):
+    """The approximate LSH path: every reported pair is a true pair
+    with the exact cosine value (exact re-score), and recall against
+    the exact operator clears the floor for the seeded planes."""
+    exact = {(r["id_a"], r["id_b"]): r["cos_e4"]
+             for r in sim.embedding_neardup_pairs(tables).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cos_e4"]
+              for r in sim.embedding_neardup_lsh(tables).collect()}
+    assert set(approx) <= set(exact)  # no false positives, values exact
+    for k, v in approx.items():
+        assert v == exact[k]
+    recall = len(approx) / max(1, len(exact))
+    assert recall >= 0.5, f"LSH near-dup recall {recall:.3f} below floor"
+
+
+def test_query_collect_guard(tables, monkeypatch):
+    """Past MAX_QUERY_ROWS the ANN query collect must fail explicitly,
+    not OOM the driver."""
+    monkeypatch.setattr(sim, "MAX_QUERY_ROWS", 3)
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        sim.cosine_topk(tables)
