@@ -2,9 +2,9 @@
 raw documents to sharded train/val/test output.
 
 Stages (each individually oracled as a declared query):
-  quality gates (text.quality_score) ∧ near-dup drop
+  quality gates (text.text_quality_score) ∧ near-dup drop
   (dedup pipeline via text.corpus_clean_manifest)
-  → deterministic split (sampling.train_test_split)
+  → deterministic split (sampling.corpus_train_test_split)
   → range-sharded parquet per split (layout.write_sharded)
 
 The whole chain is lazy until the shard writes — Catalyst fuses the
@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_tables
 from .operators.layout import write_sharded
-from .operators.sampling import train_test_split
+from .operators.sampling import corpus_train_test_split
 from .operators.text import corpus_clean_manifest
 
 SPLITS = ("train", "val", "test")
@@ -36,7 +36,7 @@ def build_corpus(
     docs = tables["documents"]
 
     manifest = corpus_clean_manifest(tables).select("doc_id", "keep")
-    split = train_test_split(tables).select("doc_id", "split")
+    split = corpus_train_test_split(tables).select("doc_id", "split")
     annotated = docs.join(manifest, "doc_id").join(split, "doc_id")
 
     kept = annotated.filter(F.col("keep") == 1)

@@ -345,7 +345,7 @@ def order_refund(db: DataFrame, base_dic: DataFrame) -> DataFrame:
     )
 
 
-def refund_pay_success(db: DataFrame, base_dic: DataFrame) -> DataFrame:
+def dwd_refund_pay_success(db: DataFrame, base_dic: DataFrame) -> DataFrame:
     """P7/J1/J3 — refund-payment success (DWD:trade-refund-pay-suc-detail/
     db/app/DwdTradeRefundPaySucDetail.java:31-96): the 4-way join of
     refund_payment updates reaching refund_status=1602, order_refund_info

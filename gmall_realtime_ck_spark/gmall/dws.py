@@ -147,7 +147,7 @@ def home_detail_uv_window(page: DataFrame, size: str = "10 seconds") -> DataFram
     )
 
 
-def user_register_window(reg: DataFrame, size: str = "5 seconds", ts_col: str = "et") -> DataFrame:
+def dws_user_register_window(reg: DataFrame, size: str = "5 seconds", ts_col: str = "et") -> DataFrame:
     """DwsUserUserRegisterWindow.java:40-84 (A3) — the register count
     over a global tumbling window: windowAll(5 s).aggregate(count) with
     a 5 s bounded-out-of-orderness watermark. ``cur_date`` derives from

@@ -403,7 +403,7 @@ ORACLES["neardup_drop_list"] = _MINHASH_CTE + f"""
     """
 
 # corpus_clean_manifest's BUILDER lives in text.py (it composes
-# quality_score with neardup_drop_list); its oracle lives here because
+# text_quality_score with neardup_drop_list); its oracle lives here because
 # it extends the minhash CTE stack.
 from .text import _stop_list_sql  # noqa: E402  (no circular: text doesn't import back)
 

@@ -142,7 +142,7 @@ def q5_region_revenue(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cdc_projection(t: dict[str, DataFrame]) -> DataFrame:
+def trade_cdc_projection(t: dict[str, DataFrame]) -> DataFrame:
     """Parse the events ``props`` JSON payload and project fields — the
     analogue of parsing the Maxwell envelope and ``data['id'] AS id``
     map-access projections (COMMON/base/BaseSQLApp.java:54-64,
@@ -169,7 +169,7 @@ def cdc_projection(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def status_filter(t: dict[str, DataFrame]) -> DataFrame:
+def trade_status_filter(t: dict[str, DataFrame]) -> DataFrame:
     """Status/range predicate stack, analogue of the CDC envelope ETL +
     status-transition predicates (DIM/app/DimApp.java:212-237;
     DWD:trade-order-cancel-detail/.../DwdTradeOrderCancelDetail.java:50-59).
@@ -197,7 +197,7 @@ def status_filter(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def conditional_delta(t: dict[str, DataFrame]) -> DataFrame:
+def trade_conditional_delta(t: dict[str, DataFrame]) -> DataFrame:
     """Signed-delta accumulation per user: purchases add value, errors
     subtract it — the cart-add ``IF(insert, sku_num, sku_num - old)``
     delta pattern (DWD:trade-cart-add/db/app/DwdTradeCartAdd.java:28-40)
@@ -226,7 +226,7 @@ def conditional_delta(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def window_tumbling_typed(t: dict[str, DataFrame]) -> DataFrame:
+def agg_tumbling_typed(t: dict[str, DataFrame]) -> DataFrame:
     """Per event_type tumbling 1 h window with stt/edt stamps — the
     keyed windowed reduce + window metadata pattern
     (DWS:traffic-vc-ch-ar-is_new-page-view-window/app/
@@ -258,7 +258,7 @@ def window_tumbling_typed(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def window_global_uv(t: dict[str, DataFrame]) -> DataFrame:
+def agg_global_uv(t: dict[str, DataFrame]) -> DataFrame:
     """Non-keyed tumbling window counting pv and exact uv — the
     windowAll home/detail UV reduce (DWS:traffic-home-detail-page-view-
     window/app/DwsTrafficHomeDetailPageViewWindow.java:139-164) with the
@@ -289,7 +289,7 @@ def window_global_uv(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def interval_join(t: dict[str, DataFrame]) -> DataFrame:
+def trade_interval_join(t: dict[str, DataFrame]) -> DataFrame:
     """Equi-key + time-range join: lineitems shipped within 30 days of
     the order date — the pay-success interval join
     ``od.et BETWEEN pi.et - 30 min AND pi.et + 5 s``
@@ -321,7 +321,7 @@ def interval_join(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def lookup_join_dim(t: dict[str, DataFrame]) -> DataFrame:
+def trade_lookup_join_dim(t: dict[str, DataFrame]) -> DataFrame:
     """customer → nation → region lookup chain — the
     FOR SYSTEM_TIME AS OF lookup join into HBase base_dic with partial
     cache (COMMON/util/SQLUtil.java:24-36;
@@ -360,7 +360,7 @@ def serving_gmv(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def window_sliding_counts(t: dict[str, DataFrame]) -> DataFrame:
+def agg_sliding_counts(t: dict[str, DataFrame]) -> DataFrame:
     """Sliding (hopping) windows — beyond the reference's tumbling-only
     surface (SURVEY §2.10): per event_type counts over 1 h windows
     hopping every 30 min, so each event lands in exactly 2 windows.
@@ -381,7 +381,7 @@ def window_sliding_counts(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def trade_order_window(t: dict[str, DataFrame]) -> DataFrame:
+def dws_trade_order_window(t: dict[str, DataFrame]) -> DataFrame:
     """The reference's planned-but-absent DwsTradeOrderWindow: the bean
     exists with no app using it (COMMON/bean/TradeOrderBean.java:16-29,
     SURVEY §2.10 — orderUniqueUserCount / orderNewUserCount per
@@ -427,7 +427,7 @@ def serving_topk_channel(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
+def traffic_log_split(t: dict[str, DataFrame]) -> DataFrame:
     """5-way log split: one parsed stream fanned out into tagged
     substreams (err/start/display/action/page) — DWD:base-log/log/split/
     DwdBaseLog.java:75-175. Batch analogue: tagged filtered projections
@@ -453,7 +453,7 @@ def log_split_fanout(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
-def value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+def event_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     """Exact interpolated percentiles per key — quality-distribution
     analytics for training-data pipelines. Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation formula,
@@ -491,7 +491,7 @@ def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+def best_supplier(t: dict[str, DataFrame]) -> DataFrame:
     """Top-revenue suppliers (TPC-H Q15 shape): windowed-period revenue
     per supplier, deterministic top-5 — the serving ORDER BY/LIMIT
     pattern (A7) over a join.
@@ -540,12 +540,12 @@ def session_window_events(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def window_uv_approx(t: dict[str, DataFrame]) -> DataFrame:
+def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     """A6 at scale — HyperLogLog distinct users per window
     (approx_count_distinct): the sketched path the reference's
     Set<String> accumulator (TradeProvinceOrderBean.java:43) cannot
     take. Declared rows-only (sketch estimates are engine-specific);
-    the exact variant is window_global_uv.
+    the exact variant is agg_global_uv.
     """
     ev = t["events"]
     w = F.window("ts", "1 hour")
@@ -560,7 +560,7 @@ def window_uv_approx(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def time_functions(t: dict[str, DataFrame]) -> DataFrame:
+def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
     """§2.8 scalar-function parity in one query: epoch seconds/millis
     extraction (TO_TIMESTAMP_LTZ(ts, 0|3) inverses, BaseSQLApp.java:62),
     date-part extraction, DATE_FORMAT rendering, and the reference's
@@ -583,7 +583,7 @@ def time_functions(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def topk_per_region(t: dict[str, DataFrame]) -> DataFrame:
+def best_parts_per_region(t: dict[str, DataFrame]) -> DataFrame:
     """Top-3 customers by account balance per region — ranking window
     functions (absent from the reference, SURVEY §2.10) with a
     deterministic tie-break. One shuffle on the partition key.
@@ -636,7 +636,7 @@ def event_type_pivot(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def gmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
+def trade_gmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """ROLLUP aggregation (subtotals + grand total) over order
     priority × status — grouping sets, beyond the reference's flat
     GROUP BYs. NULL markers distinguish subtotal rows on both engines.
@@ -667,7 +667,7 @@ ROUTING_CONFIG = [
 ]
 
 
-def config_routed_split(t: dict[str, DataFrame]) -> DataFrame:
+def table_config_routed_split(t: dict[str, DataFrame]) -> DataFrame:
     """Config-driven routing + column pruning (DwdBaseDb.java:92-104,
     BaseDbTableProcessFunction.java:109-116, FlinkSinkUtil.java:46-67):
     each configured source type maps to a sink topic with its own
@@ -694,7 +694,7 @@ def config_routed_split(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def left_outer_orders(t: dict[str, DataFrame]) -> DataFrame:
+def trade_left_outer_orders(t: dict[str, DataFrame]) -> DataFrame:
     """Left-outer join semantics (DwdTradeOrderDetail.java:97-98): the
     reference's streaming left join emits +I(left,null) then retracts
     when the right side arrives (Test02_SQL_JOIN.java:62-88); Spark's
@@ -820,7 +820,7 @@ def _base_dic_df(spark):
     )
 
 
-def refund_flow(t: dict[str, DataFrame]) -> DataFrame:
+def dwd_trade_order_refund(t: dict[str, DataFrame]) -> DataFrame:
     """P7/J3 — the order-refund fact (DwdTradeOrderRefund.java:30-84):
     order_refund_info ⋈ order_info(→1005 transition) with the
     double-aliased dic1/dic2 dictionary lookup on refund_type and
@@ -841,19 +841,19 @@ def refund_pay_success_flow(t: dict[str, DataFrame]) -> DataFrame:
     (DwdTradeRefundPaySucDetail.java:31-96): the 4-way join of
     refund_payment(→1602) ⋈ order_refund_info(→0705) ⋈ order_info(→1006)
     ⋈ base_dic (payment_type). Runs the real
-    ``gmall.dwd.refund_pay_success`` job over the same envelope stream.
+    ``gmall.dwd.dwd_refund_pay_success`` job over the same envelope stream.
 
     Scale: two keyed shuffles on order_id(+sku_id); dic broadcast.
     """
-    from ..gmall.dwd import refund_pay_success
+    from ..gmall.dwd import dwd_refund_pay_success
 
     db = _refund_envelopes(t["orders"])
-    return refund_pay_success(db, _base_dic_df(t["orders"].sparkSession))
+    return dwd_refund_pay_success(db, _base_dic_df(t["orders"].sparkSession))
 
 
-def user_register_window(t: dict[str, DataFrame]) -> DataFrame:
+def dws_user_register_window(t: dict[str, DataFrame]) -> DataFrame:
     """A3 — DwsUserUserRegisterWindow.java:40-84: global tumbling
-    register count (runs the real ``gmall.dws.user_register_window``
+    register count (runs the real ``gmall.dws.dws_user_register_window``
     job; signup events stand in for the dwd_user_register stream).
     1 h windows fit the 30-day batch fixture; the streaming variant
     keeps the reference's 5 s windows + 5 s watermark.
@@ -862,7 +862,7 @@ def user_register_window(t: dict[str, DataFrame]) -> DataFrame:
     real volume the global (windowAll) key is low-cardinality per hour,
     so no skew.
     """
-    from ..gmall.dws import user_register_window as urw
+    from ..gmall.dws import dws_user_register_window as urw
 
     ev = t["events"].filter(F.col("event_type") == "signup").select(F.col("ts").alias("et"))
     return urw(ev, size="1 hour")
@@ -874,7 +874,7 @@ _REASON_CASE = """CASE o_orderkey % 7
             WHEN 5 THEN '不想买了' ELSE '其他' END"""
 
 ORACLES: dict[str, str] = {
-    "refund_flow": f"""
+    "dwd_trade_order_refund": f"""
         SELECT CAST(70000000 + o_orderkey AS VARCHAR) AS id,
                CAST(o_custkey AS VARCHAR) AS user_id,
                CAST(o_orderkey AS VARCHAR) AS order_id,
@@ -892,7 +892,7 @@ ORACLES: dict[str, str] = {
                CAST(epoch(o_orderdate) AS BIGINT) AS ts
         FROM orders WHERE o_orderkey % 10 < 2
     """,
-    "refund_pay_success": """
+    "dwd_refund_pay_success": """
         SELECT CAST(70000000 + o_orderkey AS VARCHAR) AS id,
                CAST(o_custkey AS VARCHAR) AS user_id,
                CAST(o_orderkey AS VARCHAR) AS order_id,
@@ -908,7 +908,7 @@ ORACLES: dict[str, str] = {
                CAST(epoch(o_orderdate) AS BIGINT) AS ts
         FROM orders WHERE o_orderkey % 10 = 0
     """,
-    "user_register_window": """
+    "dws_user_register_window": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 8 HOUR,
                         '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 9 HOUR,
@@ -957,14 +957,14 @@ ORACLES: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY r_name, n_name
     """,
-    "cdc_projection": """
+    "trade_cdc_projection": """
         SELECT event_id, event_type,
                CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
                CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         FROM events
         WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) >= 50
     """,
-    "status_filter": """
+    "trade_status_filter": """
         SELECT o_orderkey, o_custkey,
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date
@@ -974,7 +974,7 @@ ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderpriority LIKE '1%'
     """,
-    "conditional_delta": """
+    "trade_conditional_delta": """
         SELECT user_id,
                SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT)
                         WHEN event_type = 'error' THEN -CAST(ROUND(value * 100) AS BIGINT)
@@ -983,7 +983,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
-    "window_tumbling_typed": """
+    "agg_tumbling_typed": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
                event_type,
@@ -992,7 +992,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2, 3
     """,
-    "window_global_uv": """
+    "agg_global_uv": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
                COUNT(*) AS pv_ct,
@@ -1000,7 +1000,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
-    "interval_join": """
+    "trade_interval_join": """
         SELECT o_orderpriority,
                COUNT(*) AS li_ct,
                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
@@ -1010,7 +1010,7 @@ ORACLES: dict[str, str] = {
           AND l_shipdate <= o_orderdate + INTERVAL '30 days'
         GROUP BY o_orderpriority
     """,
-    "lookup_join_dim": """
+    "trade_lookup_join_dim": """
         SELECT r_name AS region_name, n_name AS nation_name,
                COUNT(*) AS customer_ct,
                SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
@@ -1025,7 +1025,7 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1
     """,
-    "window_sliding_counts": """
+    "agg_sliding_counts": """
         WITH ev AS (
             SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events
         ), wins AS (
@@ -1040,7 +1040,7 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS pv_ct
         FROM wins GROUP BY ws, event_type
     """,
-    "trade_order_window": """
+    "dws_trade_order_window": """
         WITH uu AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
                    COUNT(DISTINCT o_custkey) AS order_uu_ct
@@ -1064,7 +1064,7 @@ ORACLES: dict[str, str] = {
         ORDER BY value_cents DESC, ch ASC
         LIMIT 3
     """,
-    "time_functions": """
+    "datetime_functions": """
         SELECT event_id,
                (epoch_ms(ts) // 1000) AS epoch_s,
                epoch_ms(ts) AS epoch_ms,
@@ -1076,7 +1076,7 @@ ORACLES: dict[str, str] = {
                strftime(ts + INTERVAL '8 hours', '%Y-%m-%d') AS cst_date
         FROM events
     """,
-    "topk_per_region": """
+    "best_parts_per_region": """
         SELECT r_name, rk, c_custkey, c_name, acctbal_cents FROM (
             SELECT r_name, c_custkey, c_name,
                    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
@@ -1108,14 +1108,14 @@ ORACLES: dict[str, str] = {
                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
         FROM events GROUP BY 1
     """,
-    "gmv_rollup": """
+    "trade_gmv_rollup": """
         SELECT o_orderpriority, o_orderstatus,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS gmv_cents,
                COUNT(*) AS order_ct
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
-    "value_percentiles": """
+    "event_value_percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.95) AS p95,
@@ -1136,7 +1136,7 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
     """,
-    "top_supplier": """
+    "best_supplier": """
         SELECT s_suppkey, s_name,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS total_revenue_cents
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -1165,7 +1165,7 @@ ORACLES: dict[str, str] = {
                SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
         FROM g GROUP BY user_id, sess_id
     """,
-    "config_routed_split": """
+    "table_config_routed_split": """
         SELECT 'dwd_click' AS topic, event_id, user_id, NULL::BIGINT AS value_cents
         FROM events WHERE event_type = 'click'
         UNION ALL
@@ -1175,7 +1175,7 @@ ORACLES: dict[str, str] = {
         SELECT 'dwd_error', event_id, user_id, CAST(ROUND(value * 100) AS BIGINT)
         FROM events WHERE event_type = 'error'
     """,
-    "left_outer_orders": """
+    "trade_left_outer_orders": """
         SELECT o_orderkey,
                COUNT(l_linenumber) AS hv_item_ct,
                SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_padded
@@ -1184,7 +1184,7 @@ ORACLES: dict[str, str] = {
           ON o_orderkey = l_orderkey
         GROUP BY o_orderkey
     """,
-    "log_split_fanout": """
+    "traffic_log_split": """
         SELECT 'err' AS stream, event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         FROM events WHERE event_type = 'error'
         UNION ALL
@@ -1200,31 +1200,31 @@ BUILDERS = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
-    "cdc_projection": cdc_projection,
-    "status_filter": status_filter,
-    "conditional_delta": conditional_delta,
-    "window_tumbling_typed": window_tumbling_typed,
-    "window_global_uv": window_global_uv,
-    "interval_join": interval_join,
-    "lookup_join_dim": lookup_join_dim,
+    "trade_cdc_projection": trade_cdc_projection,
+    "trade_status_filter": trade_status_filter,
+    "trade_conditional_delta": trade_conditional_delta,
+    "agg_tumbling_typed": agg_tumbling_typed,
+    "agg_global_uv": agg_global_uv,
+    "trade_interval_join": trade_interval_join,
+    "trade_lookup_join_dim": trade_lookup_join_dim,
     "serving_gmv": serving_gmv,
-    "window_sliding_counts": window_sliding_counts,
-    "trade_order_window": trade_order_window,
+    "agg_sliding_counts": agg_sliding_counts,
+    "dws_trade_order_window": dws_trade_order_window,
     "serving_topk_channel": serving_topk_channel,
-    "log_split_fanout": log_split_fanout,
-    "config_routed_split": config_routed_split,
-    "left_outer_orders": left_outer_orders,
+    "traffic_log_split": traffic_log_split,
+    "table_config_routed_split": table_config_routed_split,
+    "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
-    "window_uv_approx": window_uv_approx,
+    "approx_uv_window": approx_uv_window,
     "promo_revenue": promo_revenue,
-    "top_supplier": top_supplier,
-    "value_percentiles": value_percentiles,
-    "time_functions": time_functions,
-    "topk_per_region": topk_per_region,
+    "best_supplier": best_supplier,
+    "event_value_percentiles": event_value_percentiles,
+    "datetime_functions": datetime_functions,
+    "best_parts_per_region": best_parts_per_region,
     "monthly_active_churn": monthly_active_churn,
     "event_type_pivot": event_type_pivot,
-    "gmv_rollup": gmv_rollup,
-    "refund_flow": refund_flow,
-    "refund_pay_success": refund_pay_success_flow,
-    "user_register_window": user_register_window,
+    "trade_gmv_rollup": trade_gmv_rollup,
+    "dwd_trade_order_refund": dwd_trade_order_refund,
+    "dwd_refund_pay_success": refund_pay_success_flow,
+    "dws_user_register_window": dws_user_register_window,
 }

@@ -20,7 +20,7 @@ VAL_PCT = 10
 WINNOW_W = 4  # winnowing window (shingle positions)
 
 
-def train_test_split(t: dict[str, DataFrame]) -> DataFrame:
+def corpus_train_test_split(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic split by content hash: bucket = md5(text) mod 100
     → test (<10), val (<20), train. Hash-based (not random) so the
     assignment is stable under reshuffles, replays, and engine swaps —
@@ -36,7 +36,7 @@ def train_test_split(t: dict[str, DataFrame]) -> DataFrame:
     return docs.select("doc_id", bucket.cast("bigint").alias("bucket"), split.alias("split"))
 
 
-def winnowing_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+def doc_winnowing(t: dict[str, DataFrame]) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: the min shingle-hash in
     each sliding window of WINNOW_W consecutive shingles, deduplicated
     — guarantees any match of length ≥ w+k-1 tokens shares a
@@ -126,7 +126,7 @@ def repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def vocab_stats(t: dict[str, DataFrame]) -> DataFrame:
+def corpus_vocab_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus vocabulary statistics: per-token document frequency and
     total count, plus hapax flag — the Zipf-profile input for corpus
     QA. One explode + one groupBy(token).
@@ -231,7 +231,7 @@ _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
-    "train_test_split": f"""
+    "corpus_train_test_split": f"""
         SELECT doc_id,
                ({H28_DUCK.format(c='text')} % {SPLIT_BUCKETS})::BIGINT AS bucket,
                CASE WHEN {H28_DUCK.format(c='text')} % {SPLIT_BUCKETS} < {TEST_PCT} THEN 'test'
@@ -239,7 +239,7 @@ ORACLES: dict[str, str] = {
                     ELSE 'train' END AS split
         FROM documents
     """,
-    "winnowing_fingerprints": f"""
+    "doc_winnowing": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
         ), sh AS (
@@ -327,7 +327,7 @@ ORACLES: dict[str, str] = {
                (bucket < rate_permille)::BIGINT AS keep
         FROM d
     """,
-    "vocab_stats": f"""
+    "corpus_vocab_stats": f"""
         SELECT token,
                COUNT(*) AS total_ct,
                COUNT(DISTINCT doc_id) AS doc_ct,
@@ -338,11 +338,11 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
-    "train_test_split": train_test_split,
-    "winnowing_fingerprints": winnowing_fingerprints,
+    "corpus_train_test_split": corpus_train_test_split,
+    "doc_winnowing": doc_winnowing,
     "benchmark_contamination": benchmark_contamination,
     "repetition_ratio": repetition_ratio,
-    "vocab_stats": vocab_stats,
+    "corpus_vocab_stats": corpus_vocab_stats,
     "sequence_pack_assign": sequence_pack_assign,
     "stratified_sample": stratified_sample,
     "source_overlap": source_overlap,

@@ -41,7 +41,7 @@ def dedup_first_per_key(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def daily_uv(t: dict[str, DataFrame]) -> DataFrame:
+def traffic_daily_uv(t: dict[str, DataFrame]) -> DataFrame:
     """T4 — daily unique visitors: uvCt=1 iff first record of the key's
     day (DWS:traffic-vc-ch-ar-is_new-page-view-window/app/
     DwsTrafficVcChArIsNewPageViewWindow.java:62-107, state TTL 1 d).
@@ -79,7 +79,7 @@ def returning_users(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def new_visitor_repair(t: dict[str, DataFrame]) -> DataFrame:
+def traffic_new_visitor_repair(t: dict[str, DataFrame]) -> DataFrame:
     """T3 — new/old-visitor repair: a record claiming is_new=1 is
     rewritten to 0 unless it falls on the visitor's true first-visit
     date (DWD:base-log/log/split/DwdBaseLog.java:177-229). Here 'signup'
@@ -105,7 +105,7 @@ def new_visitor_repair(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
+def trade_cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
     """T7 — per-day first-action unique users for one action type
     (DWS:trade-cart-add-uu-window/app/DwsTradeCartAddUuWindow.java:67-92):
     count each user's first 'purchase' of the day, per day.
@@ -127,7 +127,7 @@ ORACLES: dict[str, str] = {
             FROM events
         ) WHERE rn = 1
     """,
-    "daily_uv": """
+    "traffic_daily_uv": """
         SELECT cur_date, COUNT(*) AS uv_ct FROM (
             SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
                    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id) AS rn
@@ -147,7 +147,7 @@ ORACLES: dict[str, str] = {
                SUM(CASE WHEN prev_d IS NOT NULL AND date_diff('day', prev_d, d) >= 8 THEN 1 ELSE 0 END)::BIGINT AS back_ct
         FROM flagged GROUP BY 1
     """,
-    "new_visitor_repair": """
+    "traffic_new_visitor_repair": """
         WITH flagged AS (
             SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts
             FROM events
@@ -157,7 +157,7 @@ ORACLES: dict[str, str] = {
                SUM(CASE WHEN event_type = 'signup' AND CAST(ts AS DATE) = CAST(first_ts AS DATE) THEN 1 ELSE 0 END)::BIGINT AS repaired_new_ct
         FROM flagged GROUP BY 1
     """,
-    "cart_add_uu": """
+    "trade_cart_add_uu": """
         SELECT cur_date, COUNT(*) AS cart_add_uu_ct FROM (
             SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
                    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id) AS rn
@@ -168,8 +168,8 @@ ORACLES: dict[str, str] = {
 
 BUILDERS = {
     "dedup_first_per_key": dedup_first_per_key,
-    "daily_uv": daily_uv,
+    "traffic_daily_uv": traffic_daily_uv,
     "returning_users": returning_users,
-    "new_visitor_repair": new_visitor_repair,
-    "cart_add_uu": cart_add_uu,
+    "traffic_new_visitor_repair": traffic_new_visitor_repair,
+    "trade_cart_add_uu": trade_cart_add_uu,
 }

@@ -54,7 +54,7 @@ def _stop_list_sql(quote: str = "'") -> str:
     return ", ".join(f"{quote}{w}{quote}" for w in STOPWORDS)
 
 
-def keyword_tokenize_count(t: dict[str, DataFrame]) -> DataFrame:
+def traffic_keyword_count(t: dict[str, DataFrame]) -> DataFrame:
     """J7/A4 — tokenizer UDTF + lateral explode + keyword count:
     ``FROM search_table, LATERAL TABLE(ik_analyze(fullword))`` then
     TUMBLE count (DwsTrafficSourceKeywordPageViewWindow.java:60-76).
@@ -70,7 +70,7 @@ def keyword_tokenize_count(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def token_count(t: dict[str, DataFrame]) -> DataFrame:
+def doc_token_count(t: dict[str, DataFrame]) -> DataFrame:
     """Token counting: whitespace tokens and a BPE-ish regex token count
     per document (training-data pipeline op). JVM-side regexp — no
     Python in the loop.
@@ -85,7 +85,7 @@ def token_count(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def quality_score(t: dict[str, DataFrame]) -> DataFrame:
+def text_quality_score(t: dict[str, DataFrame]) -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio —
     integer-only arithmetic (permille) so both engines agree exactly.
     Heuristics in the spirit of C4/Gopher quality filters.
@@ -122,7 +122,7 @@ def quality_score(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+def text_lang_id(t: dict[str, DataFrame]) -> DataFrame:
     """Language ID via stopword-hit heuristic (n-gram/profile methods
     plug in the same shape). On the synthetic corpus every document is
     ASCII so the signal is the English stopword ratio; the operator's
@@ -192,12 +192,12 @@ def corpus_clean_manifest(t: dict[str, DataFrame]) -> DataFrame:
     """Capstone training-data query: the per-document keep/drop
     manifest a cleaning pipeline ships — keep = passes quality gates
     AND is not a near-duplicate of a lower-id doc. Composes
-    quality_score with the dedup drop list (shingle→MinHash→LSH→exact
+    text_quality_score with the dedup drop list (shingle→MinHash→LSH→exact
     Jaccard) in one plan.
     """
     from .dedup import neardup_drop_list
 
-    q = quality_score(t).select("doc_id", F.col("keep").alias("quality_keep"))
+    q = text_quality_score(t).select("doc_id", F.col("keep").alias("quality_keep"))
     d = neardup_drop_list(t)
     return (
         q.join(d, "doc_id")
@@ -234,7 +234,7 @@ def bigram_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
+def corpus_tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     """Per-document top terms by a tf-idf surrogate. For a fixed corpus
     size N, idf = ln(N/df) is strictly decreasing in df, so ranking by
     the integer score tf·10⁶ ÷ df orders terms exactly like tf·idf
@@ -266,7 +266,7 @@ def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
     training-data pipeline: document counts, token volume, mean doc
     length (permille), and how many docs survive the quality gate.
     Quality columns are computed inline from the scan (no self-join
-    with quality_score), so the plan is scan → project → one
+    with text_quality_score), so the plan is scan → project → one
     source-keyed aggregation.
     """
     docs = t["documents"]
@@ -318,18 +318,18 @@ _TOKS_D = TOKENS_DUCK.format(c="text")
 _STOPS = _stop_list_sql()
 
 ORACLES: dict[str, str] = {
-    "keyword_tokenize_count": f"""
+    "traffic_keyword_count": f"""
         SELECT keyword, COUNT(*) AS keyword_count FROM (
             SELECT unnest({_TOKS_D}) AS keyword FROM documents
         ) GROUP BY keyword
     """,
-    "token_count": f"""
+    "doc_token_count": f"""
         SELECT doc_id,
                len({_TOKS_D})::BIGINT AS n_tokens_ws,
                len(regexp_extract_all(lower(text), '{BPE_RE}'))::BIGINT AS n_tokens_bpe
         FROM documents
     """,
-    "quality_score": f"""
+    "text_quality_score": f"""
         WITH d AS (
             SELECT doc_id, n_chars,
                    len({_TOKS_D})::BIGINT AS n_tokens,
@@ -343,7 +343,7 @@ ORACLES: dict[str, str] = {
                (CASE WHEN n_tokens >= 10 AND (stop_hits * 1000) // n_tokens >= 20 THEN 1 ELSE 0 END)::BIGINT AS keep
         FROM d
     """,
-    "lang_id": f"""
+    "text_lang_id": f"""
         WITH d AS (
             SELECT doc_id, lang AS lang_label,
                    len({_TOKS_D})::BIGINT AS n_tokens,
@@ -398,7 +398,7 @@ ORACLES: dict[str, str] = {
             FROM counts
         ) WHERE rank <= {BIGRAM_TOP_K}
     """,
-    "tfidf_top_terms": f"""
+    "corpus_tfidf_top_terms": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents
         ), tok2 AS (
@@ -441,15 +441,15 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
-    "keyword_tokenize_count": keyword_tokenize_count,
-    "token_count": token_count,
-    "quality_score": quality_score,
-    "lang_id": lang_id,
+    "traffic_keyword_count": traffic_keyword_count,
+    "doc_token_count": doc_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
     "corpus_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "bigram_topk": bigram_topk,
-    "tfidf_top_terms": tfidf_top_terms,
+    "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
 }

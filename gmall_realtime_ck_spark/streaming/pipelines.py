@@ -76,7 +76,7 @@ def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8)
     return spark.table(name)
 
 
-def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A4 streaming — the tumbling per-type window aggregation run
     as a real Structured Streaming query (complete mode → the final
     table equals the batch result, so the batch oracle applies
@@ -102,10 +102,10 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 streaming — applyInPandasWithState daily-UV flags over the
     events stream, aggregated to per-day UV counts. Order-independent
-    (each (user, day) emits exactly one flag), so the daily_uv batch
+    (each (user, day) emits exactly one flag), so the traffic_daily_uv batch
     oracle applies verbatim.
     """
     from .state import daily_uv_flags
@@ -122,7 +122,7 @@ def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 streaming — dropDuplicatesWithinWatermark over (user_id,
     event_type). Keeps first ARRIVAL (arrival order ≈ file order, not
     strictly event order), so this is declared rows-only: the count per
@@ -154,7 +154,7 @@ def keyword_pipeline_stream(spark: SparkSession, log_dir: str, size: str = "10 s
     return _run_to_memory(keyword_window(page, size=size), "complete")
 
 
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J4 streaming — watermarked stream-stream interval join:
     purchases ⋈ views of the same user within the preceding hour, both
     sides watermarked so join state is bounded (the reference's
@@ -186,7 +186,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows as a live stream (complete mode ⇒ equals the
     batch result, same oracle): per-user 30-min-gap sessions — the
     gap-based windowing the reference's tumbling-only Flink jobs never
@@ -225,7 +225,7 @@ def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
     per-row, order-independent, so the batch oracle applies verbatim.
@@ -238,20 +238,20 @@ def stream_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(pii_redaction({"documents": docs}), "append")
 
 
-def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus quality scoring: the map-only batch transform
-    (operators/text.py::quality_score) applied unchanged to the
+    (operators/text.py::text_quality_score) applied unchanged to the
     document stream — per-row and order-independent, so the batch
-    oracle applies verbatim. With stream_pii_redaction this is the
+    oracle applies verbatim. With flow_pii_redaction this is the
     arriving-shard half of the corpus-clean pipeline.
     """
-    from ..operators.text import quality_score
+    from ..operators.text import text_quality_score
 
     docs = documents_file_stream(spark, sf_dir)
-    return _run_to_memory(quality_score({"documents": docs}), "append")
+    return _run_to_memory(text_quality_score({"documents": docs}), "append")
 
 
-def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship gmall streaming app end-to-end over the
     deterministic log fixture (generated on the fly — the driver tables
     carry no nested-log shape): dirty-line split → page branch → search
@@ -269,7 +269,7 @@ def stream_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_pipeline_stream(spark, d, size="1 hour")
 
 
-def stream_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flow_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 streaming — DwsUserUserRegisterWindow.java:40-84 with the
     reference's own geometry: 5 s tumbling windowAll count over the
     register stream (signup events), 5 s bounded-out-of-orderness
@@ -277,9 +277,9 @@ def stream_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, so a SQL oracle applies verbatim (the append+watermark
     variant, where the watermark withholds the tail window, is asserted
     in test_streaming). The 120 s idleness knob has no Spark
-    counterpart — see gmall.dws.user_register_window for the mapping.
+    counterpart — see gmall.dws.dws_user_register_window for the mapping.
     """
-    from ..gmall.dws import user_register_window as urw
+    from ..gmall.dws import dws_user_register_window as urw
 
     ev = (
         events_file_stream(spark, sf_dir)
@@ -294,15 +294,15 @@ def stream_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
 # complete-mode / order-independent outputs are batch-equivalent.
 STREAM_BUILDERS = {
-    "stream_window_counts": stream_window_counts,
-    "stream_daily_uv": stream_daily_uv,
-    "stream_dedup_first": stream_dedup_first,  # rows-only: arrival-order pick
-    "stream_keyword_pipeline": stream_keyword_pipeline,  # rows-only: fixture input
-    "stream_interval_join": stream_interval_join,
-    "stream_session_windows": stream_session_windows,
-    "stream_pii_redaction": stream_pii_redaction,
-    "stream_quality_filter": stream_quality_filter,
-    "stream_user_register": stream_user_register,
+    "flow_window_counts": flow_window_counts,
+    "flow_daily_uv": flow_daily_uv,
+    "flow_dedup_first": flow_dedup_first,  # rows-only: arrival-order pick
+    "flow_keyword_pipeline": flow_keyword_pipeline,  # rows-only: fixture input
+    "flow_interval_join": flow_interval_join,
+    "flow_session_windows": flow_session_windows,
+    "flow_pii_redaction": flow_pii_redaction,
+    "flow_quality_filter": flow_quality_filter,
+    "flow_user_register": flow_user_register,
 }
 
 
@@ -313,12 +313,12 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.text import ORACLES as TXT
 
     return {
-        "stream_pii_redaction": PRIV["pii_redaction"],
-        "stream_quality_filter": TXT["quality_score"],
-        "stream_window_counts": REL["window_tumbling_typed"],
-        "stream_daily_uv": ST["daily_uv"],
-        "stream_session_windows": REL["session_window_events"],
-        "stream_user_register": """
+        "flow_pii_redaction": PRIV["pii_redaction"],
+        "flow_quality_filter": TXT["text_quality_score"],
+        "flow_window_counts": REL["agg_tumbling_typed"],
+        "flow_daily_uv": ST["traffic_daily_uv"],
+        "flow_session_windows": REL["session_window_events"],
+        "flow_user_register": """
             SELECT strftime(time_bucket(INTERVAL '5 seconds', ts) + INTERVAL 8 HOUR,
                             '%Y-%m-%d %H:%M:%S') AS stt,
                    strftime(time_bucket(INTERVAL '5 seconds', ts) + INTERVAL 8 HOUR
@@ -329,7 +329,7 @@ def stream_oracles() -> dict[str, str]:
             FROM events WHERE event_type = 'signup'
             GROUP BY 1, 2, 3
         """,
-        "stream_interval_join": """
+        "flow_interval_join": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,
                    p.user_id AS user_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -27,7 +27,7 @@ def test_traffic_window_app_stream_equals_batch(spark, log_dir):
     UV/SV flags — streamed in complete mode, equal to the batch run.
     (The UV flag itself needs the batch oracle formulation inside the
     agg; the per-record stateful variant is covered by
-    test_streaming.test_repair_is_new_stream + stream_daily_uv.)
+    test_streaming.test_repair_is_new_stream + flow_daily_uv.)
     """
     batch = dws.traffic_page_view_window(
         dwd.split_log(spark.read.text(log_dir))["page"], size="1 hour"
@@ -37,7 +37,7 @@ def test_traffic_window_app_stream_equals_batch(spark, log_dir):
     raw = spark.readStream.format("text").load(log_dir)
     page = dwd.split_log(raw)["page"]
     # complete-mode streaming run of pv/sv/dur (uv needs keyed state →
-    # done via stream_daily_uv path); compare the stateless measures
+    # done via flow_daily_uv path); compare the stateless measures
     et = F.timestamp_millis("ts")
     w = F.window("et", "1 hour")
     streamed = pipelines._run_to_memory(

@@ -181,7 +181,7 @@ def test_order_refund_transition_and_dual_dic(refund_db, full_dic):
 def test_refund_pay_success_four_way(refund_db, full_dic):
     """DwdTradeRefundPaySucDetail.java:76-96 — only fully completed
     refunds (1602 ∧ 0705 ∧ 1006) reach the success fact."""
-    out = dwd.refund_pay_success(refund_db, full_dic)
+    out = dwd.dwd_refund_pay_success(refund_db, full_dic)
     rows = out.collect()
     n_done = refund_db.filter(
         (F.col("table") == "refund_payment")

@@ -39,7 +39,7 @@ def test_progress_recorder_captures_throughput(spark, tmp_path):
 
     rec = monitor.attach(spark)
     try:
-        pipelines.stream_window_counts(spark, SF_DIR)
+        pipelines.flow_window_counts(spark, SF_DIR)
         # listener events are delivered asynchronously — poll briefly
         deadline = time.time() + 20
         while time.time() < deadline and rec.total_input_rows() == 0:

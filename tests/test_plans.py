@@ -39,7 +39,7 @@ def test_broadcast_join_for_dims(tables):
 
 
 def test_interval_join_is_hash_not_nested_loop(tables):
-    p = plan_of(tables, "interval_join")
+    p = plan_of(tables, "trade_interval_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     # equi-key hash join with the time bounds as residual condition
@@ -47,13 +47,13 @@ def test_interval_join_is_hash_not_nested_loop(tables):
 
 
 def test_lookup_join_broadcasts(tables):
-    p = plan_of(tables, "lookup_join_dim")
+    p = plan_of(tables, "trade_lookup_join_dim")
     assert p.count("BroadcastHashJoin") == 2
 
 
 def test_partial_aggregation_is_mapside(tables):
     # HashAggregate appears twice per agg: partial (map-side) + final
-    p = plan_of(tables, "window_tumbling_typed")
+    p = plan_of(tables, "agg_tumbling_typed")
     assert p.count("HashAggregate") >= 2
 
 
@@ -80,7 +80,7 @@ def test_stratified_sample_is_map_only(tables):
 def test_tfidf_document_frequency_broadcasts(tables):
     """The vocabulary-sized df side must broadcast — the corpus-sized
     tf side must not shuffle for the join."""
-    p = plan_of(tables, "tfidf_top_terms")
+    p = plan_of(tables, "corpus_tfidf_top_terms")
     assert "BroadcastHashJoin" in p
 
 
@@ -97,7 +97,7 @@ def test_refund_flow_dual_dic_broadcasts(tables):
     """The dic1/dic2 double lookup (DwdTradeOrderRefund.java:79-82) must
     plan as two broadcast hash joins of the tiny dim — the fact side
     shuffles only for the refund⋈order equi-join."""
-    p = plan_of(tables, "refund_flow")
+    p = plan_of(tables, "dwd_trade_order_refund")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
 

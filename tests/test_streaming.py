@@ -11,7 +11,7 @@ from tests.conftest import SF_DIR
 
 
 def test_stream_dedup_counts_match_batch(spark, tables):
-    out = pipelines.stream_dedup_first(spark, SF_DIR)
+    out = pipelines.flow_dedup_first(spark, SF_DIR)
     n_keys = tables["events"].select("user_id", "event_type").distinct().count()
     assert out.count() == n_keys
     assert out.select("user_id", "event_type").distinct().count() == n_keys
@@ -39,13 +39,13 @@ def test_append_watermark_withholds_open_window(spark, tables):
 def test_user_register_stream_equals_batch(spark, tables):
     """A3 — DwsUserUserRegisterWindow: the complete-mode 5 s register
     window stream equals the batch computation exactly."""
-    from gmall_realtime_ck_spark.gmall.dws import user_register_window
+    from gmall_realtime_ck_spark.gmall.dws import dws_user_register_window
 
-    out = pipelines.stream_user_register(spark, SF_DIR)
+    out = pipelines.flow_user_register(spark, SF_DIR)
     reg = tables["events"].filter(F.col("event_type") == "signup").select(
         F.col("ts").alias("et")
     )
-    batch = user_register_window(reg, size="5 seconds")
+    batch = dws_user_register_window(reg, size="5 seconds")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
@@ -55,7 +55,7 @@ def test_user_register_append_watermark_5s(spark, tables):
     windows are exactly the batch windows minus the watermark-open tail.
     (The 120 s idleness knob is a Flink per-partition device with no
     Spark analogue needed — watermark is global over the input.)"""
-    from gmall_realtime_ck_spark.gmall.dws import user_register_window
+    from gmall_realtime_ck_spark.gmall.dws import dws_user_register_window
 
     ev = (
         pipelines.events_file_stream(spark, SF_DIR)
@@ -64,12 +64,12 @@ def test_user_register_append_watermark_5s(spark, tables):
         .select(F.col("ts").alias("et"))
     )
     result = pipelines._run_to_memory(
-        user_register_window(ev, size="5 seconds", ts_col="et"), "append"
+        dws_user_register_window(ev, size="5 seconds", ts_col="et"), "append"
     )
     reg = tables["events"].filter(F.col("event_type") == "signup").select(
         F.col("ts").alias("et")
     )
-    batch_rows = {tuple(r) for r in user_register_window(reg, size="5 seconds").collect()}
+    batch_rows = {tuple(r) for r in dws_user_register_window(reg, size="5 seconds").collect()}
     stream_rows = {tuple(r) for r in result.collect()}
     assert stream_rows <= batch_rows  # never an extra/incorrect window
     withheld = batch_rows - stream_rows
