@@ -873,7 +873,139 @@ _REASON_CASE = """CASE o_orderkey % 7
             WHEN 2 THEN '缺货' WHEN 3 THEN '号码不合适' WHEN 4 THEN '拍错'
             WHEN 5 THEN '不想买了' ELSE '其他' END"""
 
+# ---------------------------------------------------------------------------
+# Relational surface breadth: semi/anti joins, filter-agg, returns top-k.
+# These widen the batch SQL surface past the reference's streaming shapes —
+# the serving layer's ad-hoc SQL (PUB/mapper/*.java) is the parity anchor.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q6-shaped single-table filter-agg (revenue forecast).
+
+    Scale: zero joins, zero wide shuffles — every predicate
+    (shipdate range, discount band, quantity cap) is pushed to the
+    parquet scan and the sum is a map-side partial + single final
+    reduce. The canonical "does pushdown reach the scan" probe.
+    """
+    li = t["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents("l_extendedprice * l_discount")).alias("revenue_cents"))
+    )
+
+
+def semi_join_returned_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Orders having at least one returned lineitem, counted per
+    priority — TPC-H-Q4-shaped EXISTS, expressed as a LEFT SEMI join so
+    the probe side never duplicates (the testdata lineitem carries no
+    commit/receipt dates; the returnflag predicate plays q4's late-line
+    role).
+
+    Scale: the semi join shuffles both sides on orderkey once and emits
+    each order at most once — no post-join dedup, no fan-out; the
+    returnflag filter prunes the build side at the scan.
+    """
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def silent_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers with no order on/after 2000-01-01 — NOT EXISTS as a
+    LEFT ANTI join (churn-list shape).
+
+    Scale: anti join shuffles on custkey once; the date filter prunes
+    the orders side before the shuffle. No null-tolerant NOT IN
+    pitfall (anti join has clean semantics on nulls).
+    """
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", cents("c_acctbal").alias("acctbal_cents"))
+    )
+
+
+def top_returned_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item revenue per customer, top 20 —
+    the serving layer's "problem customers" ranking.
+
+    Scale: lineitem filtered to returns before the orderkey shuffle;
+    nation is broadcast; the final top-20 is TakeOrderedAndProject
+    (per-partition heap + driver merge of 20-row heads, never a full
+    sort).
+    """
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q6_forecast_revenue": """
+        SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
+                   AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "semi_join_returned_orders": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "silent_customers": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    "top_returned_customers": """
+        SELECT c_custkey, c_name, n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                   AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_cents DESC, c_custkey ASC
+        LIMIT 20
+    """,
     "dwd_trade_order_refund": f"""
         SELECT CAST(70000000 + o_orderkey AS VARCHAR) AS id,
                CAST(o_custkey AS VARCHAR) AS user_id,
@@ -1198,6 +1330,10 @@ ORACLES: dict[str, str] = {
 
 BUILDERS = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "semi_join_returned_orders": semi_join_returned_orders,
+    "silent_customers": silent_customers,
+    "top_returned_customers": top_returned_customers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "trade_cdc_projection": trade_cdc_projection,

@@ -13,6 +13,8 @@ from gmall_realtime_ck_spark import registry
 
 def plan_of(tables, name: str) -> str:
     df = registry.BUILDERS[name](tables)
+    # default 100-char metadata truncation cuts long PushedFilters lists
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -100,6 +102,35 @@ def test_refund_flow_dual_dic_broadcasts(tables):
     p = plan_of(tables, "dwd_trade_order_refund")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_q6_all_predicates_pushed(tables):
+    """q6 is the pushdown probe: every predicate (shipdate range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    plan must contain no join and no wide exchange before the final
+    single-row reduce."""
+    p = plan_of(tables, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    pushed = m.group(1)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    assert "Join" not in p
+
+
+def test_semi_and_anti_join_shapes(tables):
+    """EXISTS/NOT EXISTS must plan as LeftSemi/LeftAnti — one shuffle,
+    no duplication, no post-join dedup."""
+    assert "LeftSemi" in plan_of(tables, "semi_join_returned_orders")
+    assert "LeftAnti" in plan_of(tables, "silent_customers")
+
+
+def test_top_returned_is_heap_not_sort(tables):
+    """Top-20 must be TakeOrderedAndProject (bounded per-partition
+    heaps), never a full global sort of the aggregate output."""
+    p = plan_of(tables, "top_returned_customers")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # nation broadcast
 
 
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
