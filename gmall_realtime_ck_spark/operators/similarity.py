@@ -439,6 +439,105 @@ def embedding_neardup_lsh(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup_prune(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then drop near-duplicate
+    members *within* each cluster — the deterministic `label` column
+    plays the k-means assignment (same convention as
+    ``label_centroids``; a learned quantizer drops in at the same
+    seam). Keep rule: within a cluster, a vector is pruned when a
+    lower-id member sits at cosine ≥ threshold (the C4-style greedy
+    rule shared with ``neardup_drop_list``).
+
+    Scale: candidate generation is the block-pair gemm scoped PER
+    CLUSTER — group key (label, bi, bj) — so work is Σ|cluster|²·d,
+    not |corpus|²·d, and peak task memory is two 4096-row blocks
+    regardless of cluster size. The corpus is never collected or
+    broadcast; the tiny candidate list is broadcast into the exact
+    re-score (threshold − ε margin, deterministic fold), keeping the
+    manifest bit-identical to the all-pairs oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"]
+    eps_thr = SEMDEDUP_THRESHOLD - 1e-6
+
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    rows = (
+        emb.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.greatest(F.lit(1), F.ceil(F.col("n") / BLOCK_ROWS)))
+            .alias("blk"),
+            F.greatest(F.lit(1), F.ceil(F.col("n") / BLOCK_ROWS)).alias("n_blocks"),
+        )
+    )
+    partner = F.explode(F.sequence(F.lit(0), F.col("n_blocks") - 1)).alias("other")
+    replicated = (
+        rows.select("*", partner)
+        .select(
+            "label",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
+        .dropDuplicates(["label", "bi", "bj", "vec_id"])
+    )
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _, bi, bj = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if bi == bj:
+            cos = mat @ mat.T
+            ii, jj = np.nonzero((cos >= eps_thr) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        left = pdf["blk"].to_numpy() == bi
+        a_ids, b_ids = ids[left], ids[~left]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        cos = mat[left] @ mat[~left].T
+        ii, jj = np.nonzero(cos >= eps_thr)
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = replicated.groupBy("label", "bi", "bj").applyInPandas(score, "id_a long, id_b long")
+
+    normed = _with_norm(emb)
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("norm").alias("n_a")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("norm").alias("n_b")
+    )
+    dropped = (
+        a.join(F.broadcast(cand.select("id_a", "id_b").distinct()), "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.expr(DOT.format(a="e_a", b="e_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("kept"),
+        )
+    )
+
+
 def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     """Element-wise vector aggregation: per-label centroid components
     (the k-means update step / class-prototype computation). Components
@@ -490,6 +589,22 @@ ORACLES: dict[str, str] = {
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
     """,
+    "semdedup_prune": f"""
+        WITH emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM emb a JOIN emb b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
+                  >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT e.vec_id, e.label::BIGINT AS label,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS kept
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    """,
     "label_centroids": """
         SELECT label, dim_idx, SUM(x_micro)::BIGINT AS sum_micro, COUNT(*) AS n
         FROM (
@@ -511,4 +626,5 @@ BUILDERS = {
     "cosine_topk_ivf": cosine_topk_ivf,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "label_centroids": label_centroids,
+    "semdedup_prune": semdedup_prune,
 }

@@ -317,7 +317,114 @@ def feature_hashing(t: dict[str, DataFrame]) -> DataFrame:
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _STOPS = _stop_list_sql()
 
+def rules_gopher_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style rule bundle (Rae et al. 2021 §A1.1, arXiv:
+    2112.11446) — per-document pass/fail flags for each rule plus the
+    conjunction, so downstream filters can report *why* a document was
+    dropped, not just that it was. Line-level rules (bullet/ellipsis
+    lines) are omitted: the synthetic corpus is single-line; they slot
+    in as two more flag columns on real data.
+
+    Rules (integer permille arithmetic — no float drift):
+    - word count in [50, 100000]
+    - mean word length in [3.0, 10.0]
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct stopwords present
+    - symbol('#', '…')-to-word ratio < 10%
+
+    Scale: map-only column algebra over the documents scan — no
+    shuffle, no UDF, whole-stage codegen end to end.
+    """
+    docs = t["documents"]
+    toks = TOKENS_SPARK.format(c="text")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("n_words"),
+        F.expr(f"aggregate({toks}, 0L, (acc, x) -> acc + length(x))").alias("tok_chars"),
+        F.expr(f"size(filter({toks}, x -> x rlike '[a-z]'))").cast("bigint").alias("alpha_words"),
+        F.expr(
+            f"size(array_distinct(filter({toks}, x -> x in ({_stop_list_sql()}))))"
+        )
+        .cast("bigint")
+        .alias("distinct_stops"),
+        (
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", "")))
+            + (F.length("text") - F.length(F.regexp_replace(F.col("text"), "\\.\\.\\.", ""))) / 3
+        )
+        .cast("bigint")
+        .alias("symbol_hits"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_words",
+        F.expr("CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("r_word_count"),
+        F.expr(
+            "CASE WHEN n_words > 0 AND (tok_chars * 1000) DIV n_words BETWEEN 3000 AND 10000"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("r_mean_word_len"),
+        F.expr(
+            "CASE WHEN n_words > 0 AND (alpha_words * 1000) DIV n_words >= 800"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("r_alpha_ratio"),
+        F.expr("CASE WHEN distinct_stops >= 2 THEN 1 ELSE 0 END").cast("bigint").alias("r_stopwords"),
+        F.expr(
+            "CASE WHEN n_words > 0 AND (symbol_hits * 1000) DIV n_words < 100"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("r_symbol_ratio"),
+    )
+    return d.withColumn(
+        "keep",
+        (
+            F.col("r_word_count")
+            * F.col("r_mean_word_len")
+            * F.col("r_alpha_ratio")
+            * F.col("r_stopwords")
+            * F.col("r_symbol_ratio")
+        ).cast("bigint"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "rules_gopher_quality": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK.format(c='text')})::BIGINT AS n_words,
+                   list_sum(list_transform({TOKENS_DUCK.format(c='text')},
+                                           x -> length(x)))::BIGINT AS tok_chars,
+                   len(list_filter({TOKENS_DUCK.format(c='text')},
+                                   x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_words,
+                   len(list_distinct(list_filter({TOKENS_DUCK.format(c='text')},
+                                   x -> x IN ({_stop_list_sql()}))))::BIGINT AS distinct_stops,
+                   CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        AS BIGINT) AS symbol_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END::BIGINT AS r_word_count,
+                   CASE WHEN n_words > 0 AND (tok_chars * 1000) // n_words BETWEEN 3000 AND 10000
+                        THEN 1 ELSE 0 END::BIGINT AS r_mean_word_len,
+                   CASE WHEN n_words > 0 AND (alpha_words * 1000) // n_words >= 800
+                        THEN 1 ELSE 0 END::BIGINT AS r_alpha_ratio,
+                   CASE WHEN distinct_stops >= 2 THEN 1 ELSE 0 END::BIGINT AS r_stopwords,
+                   CASE WHEN n_words > 0 AND (symbol_hits * 1000) // n_words < 100
+                        THEN 1 ELSE 0 END::BIGINT AS r_symbol_ratio
+            FROM d
+        )
+        SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_alpha_ratio,
+               r_stopwords, r_symbol_ratio,
+               (r_word_count * r_mean_word_len * r_alpha_ratio
+                * r_stopwords * r_symbol_ratio)::BIGINT AS keep
+        FROM r
+    """,
     "traffic_keyword_count": f"""
         SELECT keyword, COUNT(*) AS keyword_count FROM (
             SELECT unnest({_TOKS_D}) AS keyword FROM documents
@@ -441,6 +548,7 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
+    "rules_gopher_quality": rules_gopher_quality,
     "traffic_keyword_count": traffic_keyword_count,
     "doc_token_count": doc_token_count,
     "text_quality_score": text_quality_score,

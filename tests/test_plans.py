@@ -133,6 +133,25 @@ def test_top_returned_is_heap_not_sort(tables):
     assert "BroadcastHashJoin" in p  # nation broadcast
 
 
+def test_gopher_rules_map_only(tables):
+    """The rule bundle is pure column algebra: no shuffle may appear
+    between the documents scan and the output."""
+    p = plan_of(tables, "rules_gopher_quality")
+    assert "Exchange" not in p
+    assert "FlatMapGroupsInPandas" not in p  # no Python in the hot path
+
+
+def test_semdedup_scoped_gemm(tables):
+    """SemDeDup candidates come from the per-cluster block-pair gemm
+    (FlatMapGroupsInPandas keyed by label,bi,bj) and the tiny candidate
+    list is broadcast into the exact re-score — the corpus side must
+    never be broadcast wholesale or cross-joined."""
+    p = plan_of(tables, "semdedup_prune")
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
 def test_no_cartesian_anywhere(tables, name):
     """Global invariant: no declared batch query may plan a cartesian
