@@ -966,7 +966,132 @@ def top_returned_customers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q7_nation_traffic(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral volume: revenue shipped between two
+    chosen nations, by supplier-nation/customer-nation/year. Exercises
+    the two-aliases-of-one-dim self-join disambiguation (supp nation vs
+    cust nation) the reference's double dic lookup also needs
+    (DWD:trade-order-refund/db/app/DwdTradeOrderRefund.java:79-82).
+
+    Scale: both nation aliases broadcast; lineitem⋈orders shuffles on
+    orderkey once; the nation-pair filter prunes before the shuffle via
+    the broadcast joins on supplier/customer.
+    """
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sup = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"))
+    )
+
+
+def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3 suppliers' permille of
+    ASIA-region order revenue per year — a conditional-aggregate ratio
+    (the same SUM(CASE)/SUM shape as ``promo_revenue``) over a 5-way
+    star join.
+
+    Scale: one fact shuffle on orderkey; supplier/nation/customer/
+    region sides are broadcast; the ratio is integer permille so the
+    oracle agrees bit-for-bit.
+    """
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    sup_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rev_cents", cents("l_extendedprice * (1 - l_discount)"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev_cents")).otherwise(0)
+            ).alias("nation_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .withColumn("share_permille", F.expr("(nation_cents * 1000) DIV total_cents"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q7_nation_traffic": """
+        SELECT supp_nation, cust_nation, ship_year,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                   AS revenue_cents
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    "q8_market_share": """
+        SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+               SUM(CASE WHEN sn.n_name = 'NATION_3'
+                        THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS nation_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                   AS total_cents,
+               CAST((SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) * 1000)
+                   // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   AS BIGINT) AS share_permille
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        GROUP BY 1
+    """,
     "q6_forecast_revenue": """
         SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
                    AS revenue_cents
@@ -1331,6 +1456,8 @@ ORACLES: dict[str, str] = {
 BUILDERS = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_traffic": q7_nation_traffic,
+    "q8_market_share": q8_market_share,
     "semi_join_returned_orders": semi_join_returned_orders,
     "silent_customers": silent_customers,
     "top_returned_customers": top_returned_customers,

@@ -133,6 +133,18 @@ def test_top_returned_is_heap_not_sort(tables):
     assert "BroadcastHashJoin" in p  # nation broadcast
 
 
+def test_q7_q8_star_joins_broadcast(tables):
+    """The bilateral-volume and market-share stars must broadcast every
+    dim side (supplier/customer/nation/region enrichments) — exactly
+    one shuffled fact join (lineitem⋈orders on orderkey) each."""
+    p7 = plan_of(tables, "q7_nation_traffic")
+    assert p7.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p7
+    p8 = plan_of(tables, "q8_market_share")
+    assert p8.count("BroadcastHashJoin") >= 1
+    assert "LeftSemi" in p8
+
+
 def test_gopher_rules_map_only(tables):
     """The rule bundle is pure column algebra: no shuffle may appear
     between the documents scan and the output."""
