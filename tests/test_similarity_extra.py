@@ -94,6 +94,30 @@ def test_lsh_neardup_recall(tables):
     assert recall >= 0.5, f"LSH near-dup recall {recall:.3f} below floor"
 
 
+def test_two_sided_ann_never_collects_queries(tables, monkeypatch):
+    """The two-sided path exists precisely so the query side can scale
+    with the corpus: it must not touch the bounded-broadcast query
+    collector at all (only the n_cells × dims centroid table may reach
+    the driver)."""
+    def boom(df, op):
+        raise AssertionError(f"{op}: query side collected by two-sided ANN")
+
+    monkeypatch.setattr(sim, "_collect_query_side", boom)
+    sim.topk_two_sided_ann(tables).explain()
+
+
+def test_two_sided_ann_recall_floor(tables):
+    """Two-sided ANN probes the same cells as the broadcast IVF path —
+    identical probe selection must give identical results, so pin
+    set-equality against cosine_topk_ivf, plus the same recall floor
+    against the exact baseline."""
+    ivf = {(r["q_id"], r["rank"]): r["neighbor_id"]
+           for r in sim.cosine_topk_ivf(tables).collect()}
+    two = {(r["q_id"], r["rank"]): r["neighbor_id"]
+           for r in sim.topk_two_sided_ann(tables).collect()}
+    assert two == ivf
+
+
 def test_query_collect_guard(tables, monkeypatch):
     """Past MAX_QUERY_ROWS the ANN query collect must fail explicitly,
     not OOM the driver."""
