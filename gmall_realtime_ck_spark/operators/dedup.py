@@ -407,7 +407,7 @@ ORACLES["neardup_drop_list"] = _MINHASH_CTE + f"""
 # it extends the minhash CTE stack.
 from .text import _stop_list_sql  # noqa: E402  (no circular: text doesn't import back)
 
-ORACLES["corpus_clean_manifest"] = _MINHASH_CTE + f"""
+ORACLES["text_clean_manifest"] = _MINHASH_CTE + f"""
         , sizes AS (
             SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         ), inter AS (

@@ -57,7 +57,7 @@ def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "pii_redaction": f"""
+    "text_pii_redaction": f"""
         WITH annotated AS (
             SELECT doc_id, {_ANNOT_DUCK} AS raw FROM documents
         )
@@ -71,5 +71,5 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
-    "pii_redaction": pii_redaction,
+    "text_pii_redaction": pii_redaction,
 }

@@ -1050,7 +1050,7 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "q7_nation_traffic": """
+    "join_nation_traffic": """
         SELECT supp_nation, cust_nation, ship_year,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
                    AS revenue_cents
@@ -1069,7 +1069,7 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY supp_nation, cust_nation, ship_year
     """,
-    "q8_market_share": """
+    "join_market_share": """
         SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
                SUM(CASE WHEN sn.n_name = 'NATION_3'
                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
@@ -1092,7 +1092,7 @@ ORACLES: dict[str, str] = {
             WHERE r_name = 'ASIA')
         GROUP BY 1
     """,
-    "q6_forecast_revenue": """
+    "agg_forecast_revenue": """
         SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
                    AS revenue_cents
         FROM lineitem
@@ -1101,14 +1101,14 @@ ORACLES: dict[str, str] = {
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
-    "semi_join_returned_orders": """
+    "join_semi_returned_orders": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY o_orderpriority
     """,
-    "silent_customers": """
+    "join_anti_silent_customers": """
         SELECT c_custkey, c_name,
                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
         FROM customer
@@ -1116,7 +1116,7 @@ ORACLES: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
-    "top_returned_customers": """
+    "customers_top_returned": """
         SELECT c_custkey, c_name, n_name,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
                    AS revenue_cents
@@ -1344,7 +1344,7 @@ ORACLES: dict[str, str] = {
             JOIN region ON n_regionkey = r_regionkey
         ) WHERE rk <= 3
     """,
-    "monthly_active_churn": """
+    "retention_monthly_churn": """
         WITH h1 AS (
             SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
         ), h2 AS (
@@ -1356,7 +1356,7 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'new', user_id FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
     """,
-    "event_type_pivot": """
+    "traffic_event_pivot": """
         SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
                SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
@@ -1455,12 +1455,12 @@ ORACLES: dict[str, str] = {
 
 BUILDERS = {
     "q1_pricing_summary": q1_pricing_summary,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_nation_traffic": q7_nation_traffic,
-    "q8_market_share": q8_market_share,
-    "semi_join_returned_orders": semi_join_returned_orders,
-    "silent_customers": silent_customers,
-    "top_returned_customers": top_returned_customers,
+    "agg_forecast_revenue": q6_forecast_revenue,
+    "join_nation_traffic": q7_nation_traffic,
+    "join_market_share": q8_market_share,
+    "join_semi_returned_orders": semi_join_returned_orders,
+    "join_anti_silent_customers": silent_customers,
+    "customers_top_returned": top_returned_customers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "trade_cdc_projection": trade_cdc_projection,
@@ -1484,8 +1484,8 @@ BUILDERS = {
     "event_value_percentiles": event_value_percentiles,
     "datetime_functions": datetime_functions,
     "best_parts_per_region": best_parts_per_region,
-    "monthly_active_churn": monthly_active_churn,
-    "event_type_pivot": event_type_pivot,
+    "retention_monthly_churn": monthly_active_churn,
+    "traffic_event_pivot": event_type_pivot,
     "trade_gmv_rollup": trade_gmv_rollup,
     "dwd_trade_order_refund": dwd_trade_order_refund,
     "dwd_refund_pay_success": refund_pay_success_flow,

@@ -262,7 +262,7 @@ ORACLES: dict[str, str] = {
                (SUM(fp % 1000000007) % 1000000007)::BIGINT AS fp_checksum
         FROM fps GROUP BY doc_id
     """,
-    "benchmark_contamination": f"""
+    "sample_contamination": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
         ), sh AS (
@@ -340,7 +340,7 @@ ORACLES: dict[str, str] = {
 BUILDERS = {
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
-    "benchmark_contamination": benchmark_contamination,
+    "sample_contamination": benchmark_contamination,
     "repetition_ratio": repetition_ratio,
     "corpus_vocab_stats": corpus_vocab_stats,
     "sequence_pack_assign": sequence_pack_assign,

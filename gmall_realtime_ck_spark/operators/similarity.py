@@ -676,7 +676,7 @@ ORACLES: dict[str, str] = {
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
     """,
-    "semdedup_prune": f"""
+    "embedding_semdedup": f"""
         WITH emb AS (
             SELECT vec_id, label, embedding,
                    sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
@@ -692,7 +692,7 @@ ORACLES: dict[str, str] = {
                CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS kept
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
     """,
-    "label_centroids": """
+    "sim_label_centroids": """
         SELECT label, dim_idx, SUM(x_micro)::BIGINT AS sum_micro, COUNT(*) AS n
         FROM (
             SELECT label,
@@ -712,7 +712,7 @@ BUILDERS = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_topk_ivf": cosine_topk_ivf,
     "embedding_neardup_lsh": embedding_neardup_lsh,
-    "label_centroids": label_centroids,
-    "semdedup_prune": semdedup_prune,
+    "sim_label_centroids": label_centroids,
+    "embedding_semdedup": semdedup_prune,
     "topk_two_sided_ann": topk_two_sided_ann,
 }

@@ -393,7 +393,7 @@ def rules_gopher_quality(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "rules_gopher_quality": f"""
+    "doc_gopher_rules": f"""
         WITH d AS (
             SELECT doc_id,
                    len({TOKENS_DUCK.format(c='text')})::BIGINT AS n_words,
@@ -480,14 +480,14 @@ ORACLES: dict[str, str] = {
                ((SUM(n_tokens) * 1000) // COUNT(*))::BIGINT AS avg_tokens_permille
         FROM k GROUP BY source
     """,
-    "feature_hashing": f"""
+    "text_feature_hashing": f"""
         SELECT doc_id,
                ({H28_DUCK.format(c='token')} % {HASH_DIM})::BIGINT AS dim,
                COUNT(*) AS weight
         FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
         GROUP BY doc_id, dim
     """,
-    "bigram_topk": f"""
+    "text_bigram_topk": f"""
         WITH tk0 AS (
             SELECT lang, {_TOKS_D} AS tk FROM documents
         ), bg AS (
@@ -548,16 +548,16 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
-    "rules_gopher_quality": rules_gopher_quality,
+    "doc_gopher_rules": rules_gopher_quality,
     "traffic_keyword_count": traffic_keyword_count,
     "doc_token_count": doc_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
-    "corpus_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
-    "bigram_topk": bigram_topk,
+    "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
+    "text_bigram_topk": bigram_topk,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
-    "feature_hashing": feature_hashing,
+    "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
 }

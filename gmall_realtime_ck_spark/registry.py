@@ -93,6 +93,15 @@ _PRIORITY_HEAD = [
     "flow_quality_filter",
     "flow_session_windows",
     "flow_window_counts",
+    # new round-2 queries (no r1 row under any name) — named to sort in-window
+    "agg_forecast_revenue",
+    "join_nation_traffic",
+    "join_market_share",
+    "join_semi_returned_orders",
+    "join_anti_silent_customers",
+    "customers_top_returned",
+    "doc_gopher_rules",
+    "embedding_semdedup",
     # rows-only checks (no SQL-expressible oracle) — after the oracled set
     "approx_uv_window",
     "flow_dedup_first",

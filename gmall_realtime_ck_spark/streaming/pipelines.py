@@ -313,7 +313,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.text import ORACLES as TXT
 
     return {
-        "flow_pii_redaction": PRIV["pii_redaction"],
+        "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],
         "flow_window_counts": REL["agg_tumbling_typed"],
         "flow_daily_uv": ST["traffic_daily_uv"],

@@ -70,7 +70,7 @@ def test_lsh_join_not_allpairs(tables):
 def test_pii_redaction_is_map_only(tables):
     """PII scan/redact must be a pure map: no Exchange (shuffle) in the
     plan — it scales linearly with input splits at 100 TB."""
-    p = plan_of(tables, "pii_redaction")
+    p = plan_of(tables, "text_pii_redaction")
     assert "Exchange" not in p, p
 
 
@@ -109,7 +109,7 @@ def test_q6_all_predicates_pushed(tables):
     discount band, quantity cap) must reach the parquet scan, and the
     plan must contain no join and no wide exchange before the final
     single-row reduce."""
-    p = plan_of(tables, "q6_forecast_revenue")
+    p = plan_of(tables, "agg_forecast_revenue")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert m, p
     pushed = m.group(1)
@@ -121,14 +121,14 @@ def test_q6_all_predicates_pushed(tables):
 def test_semi_and_anti_join_shapes(tables):
     """EXISTS/NOT EXISTS must plan as LeftSemi/LeftAnti — one shuffle,
     no duplication, no post-join dedup."""
-    assert "LeftSemi" in plan_of(tables, "semi_join_returned_orders")
-    assert "LeftAnti" in plan_of(tables, "silent_customers")
+    assert "LeftSemi" in plan_of(tables, "join_semi_returned_orders")
+    assert "LeftAnti" in plan_of(tables, "join_anti_silent_customers")
 
 
 def test_top_returned_is_heap_not_sort(tables):
     """Top-20 must be TakeOrderedAndProject (bounded per-partition
     heaps), never a full global sort of the aggregate output."""
-    p = plan_of(tables, "top_returned_customers")
+    p = plan_of(tables, "customers_top_returned")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # nation broadcast
 
@@ -137,10 +137,10 @@ def test_q7_q8_star_joins_broadcast(tables):
     """The bilateral-volume and market-share stars must broadcast every
     dim side (supplier/customer/nation/region enrichments) — exactly
     one shuffled fact join (lineitem⋈orders on orderkey) each."""
-    p7 = plan_of(tables, "q7_nation_traffic")
+    p7 = plan_of(tables, "join_nation_traffic")
     assert p7.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p7
-    p8 = plan_of(tables, "q8_market_share")
+    p8 = plan_of(tables, "join_market_share")
     assert p8.count("BroadcastHashJoin") >= 1
     assert "LeftSemi" in p8
 
@@ -148,7 +148,7 @@ def test_q7_q8_star_joins_broadcast(tables):
 def test_gopher_rules_map_only(tables):
     """The rule bundle is pure column algebra: no shuffle may appear
     between the documents scan and the output."""
-    p = plan_of(tables, "rules_gopher_quality")
+    p = plan_of(tables, "doc_gopher_rules")
     assert "Exchange" not in p
     assert "FlatMapGroupsInPandas" not in p  # no Python in the hot path
 
@@ -158,7 +158,7 @@ def test_semdedup_scoped_gemm(tables):
     (FlatMapGroupsInPandas keyed by label,bi,bj) and the tiny candidate
     list is broadcast into the exact re-score — the corpus side must
     never be broadcast wholesale or cross-joined."""
-    p = plan_of(tables, "semdedup_prune")
+    p = plan_of(tables, "embedding_semdedup")
     assert "FlatMapGroupsInPandas" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
