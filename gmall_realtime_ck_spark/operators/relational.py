@@ -1049,7 +1049,370 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Further TPC-H-shaped coverage over the synthetic schema (no partsupp /
+# shipmode columns exist, so q2/q11/q17 reshape their cost/inventory legs
+# onto lineitem). All money/quantity arithmetic is integer cents so the
+# DuckDB oracle agrees bit-for-bit (see SCALE.md / memory notes).
+# ---------------------------------------------------------------------------
+
+
+def rel_q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q2-shaped min-cost supplier per part: for size-15 parts,
+    the EUROPE supplier with the lowest observed unit price (derived
+    from lineitem since the testdata has no partsupp), ties broken by
+    suppkey. Exercises the correlated-MIN shape as a window QUALIFY.
+
+    Scale: part (filtered) and supplier⋈nation⋈region sides broadcast;
+    lineitem aggregates once on the composite (part, supp) key; the
+    per-part argmin is a second narrow shuffle on partkey over the
+    already-aggregated (≤ |part|×|supplier|) rows — never over raw
+    lineitem.
+    """
+    from pyspark.sql import Window
+
+    parts = t["part"].filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name")
+    )
+    cost = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "unit_cents",
+            F.expr("cast(round(l_extendedprice * 100) as bigint) DIV cast(l_quantity as bigint)"),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(F.min("unit_cents").alias("cost_cents"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("cost_cents"), F.asc("s_suppkey"))
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "cost_cents")
+    )
+
+
+def rel_q11_value_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q11-shaped HAVING-over-global-total: supplier nations whose
+    shipped value exceeds 1/25 of worldwide value (inventory value
+    reshaped onto lineitem — no partsupp in the testdata).
+
+    Scale: one keyed shuffle to the per-nation aggregate; the global
+    total is an unpartitioned window over THAT (≤|nation|-row) result —
+    the fact table is scanned once and never re-shuffled, and no join
+    (not even a 1-row broadcast) appears in the plan.
+    """
+    from pyspark.sql import Window
+    per_nation = (
+        t["lineitem"]
+        .join(t["supplier"].select("s_suppkey", "s_nationkey").hint("broadcast"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents("l_extendedprice * l_quantity")).alias("value_cents"))
+    )
+    total = F.sum("value_cents").over(Window.partitionBy())
+    return (
+        per_nation.withColumn("total_cents", total)
+        .filter(F.col("value_cents") * 25 > F.col("total_cents"))
+        .select("n_name", "value_cents")
+    )
+
+
+def rel_q13_orders_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregate: distribution of customers
+    by order count (urgent orders excluded), zeros included via the
+    left outer join.
+
+    Scale: shuffle 1 on custkey (count per customer), shuffle 2 on the
+    tiny count domain — the classic histogram-of-counts; no skew risk
+    because level-2 keys are bounded by max orders/customer.
+    """
+    ords = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def rel_q17_small_qty_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q17-shaped correlated-average filter: revenue from lines
+    whose quantity is below 20% of the part's average quantity, stated
+    as the exact integer cross-multiplication
+    ``5 * qty_cents * n_lines < sum_qty_cents`` so no float average is
+    ever compared (cross-engine float averages drift on sum order).
+
+    Scale: the per-part aggregate is tiny (|part| rows) and broadcast
+    back against lineitem — the fact table shuffles zero times.
+    """
+    li = t["lineitem"].withColumn("qty_cents", cents("l_quantity"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum("qty_cents").alias("sum_qc"), F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("qty_cents") * 5 * F.col("n_lines") < F.col("sum_qc"))
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("total_cents"),
+        )
+        .withColumn("avg_yearly_cents", F.expr("total_cents DIV 7"))
+    )
+
+
+def rel_q18_large_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: orders whose line quantity
+    sum exceeds 250 units, with customer attribution.
+
+    Scale: lineitem aggregates on orderkey (map-side partial sums make
+    the shuffle carry one row per order), the >250 filter then prunes
+    to a sliver before the orders/customer joins.
+    """
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > 25_000)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            cents("o_totalprice").alias("total_cents"),
+            "sum_qty_cents",
+        )
+    )
+
+
+def rel_q19_disjunctive(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive bracket join: revenue from three
+    OR'd (brand, size, quantity) brackets — the stress test for
+    disjunction handling in join planning (naively this becomes a
+    cartesian with a residual filter).
+
+    Scale: part is broadcast so each bracket evaluates as a residual on
+    a hash join, not a nested-loop; the shared `p_size <= 15` bound is
+    conjunctive and pushes to the part scan.
+    """
+    bracket = (
+        ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#21") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_size") <= 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"))
+    )
+
+
+def rel_q22_inactive_balance(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q22-shaped: per-nation count and balance of above-average-
+    balance customers with no order in the last three years of the
+    dataset (1999+). The average is the exact integer
+    cross-multiplication ``bal_cents * n_pos > sum_cents`` (never a
+    float AVG), and NOT EXISTS is a left anti join.
+
+    Scale: the positive-balance average is a 1-row global aggregate
+    (map-side partial sums) collected to the driver and injected as a
+    literal — the same O(1) scalar-subquery execution Spark itself
+    plans, and the pattern gmall/dim.py already uses for O(config)
+    state; the anti join then shuffles customer/orders on custkey once.
+    """
+    cust = t["customer"].withColumn("bal_cents", cents("c_acctbal"))
+    sum_cents, n_pos = (
+        cust.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents"), F.count(F.lit(1)))
+        .first()
+    )
+    rich = cust.filter(F.col("bal_cents") * F.lit(n_pos) > F.lit(sum_cents))
+    return (
+        rich.join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totbal_cents"),
+        )
+    )
+
+
+def rel_running_gmv(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-customer running order total (cumulative window) — the
+    serving layer's customer-lifetime-value curve.
+
+    Scale: one shuffle on custkey, one sort per partition; the frame is
+    ROWS UNBOUNDED PRECEDING so Spark streams it without buffering the
+    whole partition.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(cents("o_totalprice")).over(w).alias("running_cents"),
+    )
+
+
+def rel_order_gaps(t: dict[str, DataFrame]) -> DataFrame:
+    """Seconds between a customer's consecutive orders (LAG window) —
+    inter-arrival analysis; -1 marks the first order.
+
+    Scale: same single custkey shuffle + per-partition sort as
+    ``rel_running_gmv``; epoch-second integer arithmetic keeps the
+    oracle exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag(F.unix_timestamp("o_orderdate")).over(w)
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.unix_timestamp("o_orderdate") - prev, F.lit(-1))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "rel_q2_min_cost_supplier": """
+        SELECT p_partkey, p_name, s_suppkey, s_name, cost_cents
+        FROM (
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       // CAST(l_quantity AS BIGINT))::BIGINT AS cost_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND r_name = 'EUROPE'
+            GROUP BY p_partkey, p_name, s_suppkey, s_name
+        )
+        QUALIFY row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY cost_cents ASC, s_suppkey ASC) = 1
+    """,
+    "rel_q11_value_share": """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))::BIGINT
+                   AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT)) * 25 > (
+            SELECT SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+    """,
+    "rel_q13_orders_histogram": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "rel_q17_small_qty_revenue": """
+        WITH li AS (SELECT l_partkey,
+                           CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+                    FROM lineitem),
+        per_part AS (SELECT l_partkey AS pp_key, SUM(qty_cents) AS sum_qc,
+                            COUNT(*) AS n_lines
+                     FROM li GROUP BY l_partkey)
+        SELECT SUM(price_cents)::BIGINT AS total_cents,
+               (SUM(price_cents) // 7)::BIGINT AS avg_yearly_cents
+        FROM li JOIN per_part ON l_partkey = pp_key
+        WHERE qty_cents * 5 * n_lines < sum_qc
+    """,
+    "rel_q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               sum_qty_cents
+        FROM (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "rel_q19_disjunctive": """
+        SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                   AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "rel_q22_inactive_balance": """
+        WITH cust AS (SELECT c_custkey, c_nationkey,
+                             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+                      FROM customer),
+        pos AS (SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n_pos
+                FROM cust WHERE bal_cents > 0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               SUM(bal_cents)::BIGINT AS totbal_cents
+        FROM cust, pos
+        WHERE bal_cents * n_pos > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_nationkey
+    """,
+    "rel_running_gmv": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+        FROM orders
+    """,
+    "rel_order_gaps": """
+        SELECT o_orderkey, o_custkey,
+               COALESCE(epoch(o_orderdate)::BIGINT - LAG(epoch(o_orderdate)::BIGINT) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                   -1)::BIGINT AS gap_sec
+        FROM orders
+    """,
     "join_nation_traffic": """
         SELECT supp_nation, cust_nation, ship_year,
                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
@@ -1490,4 +1853,13 @@ BUILDERS = {
     "dwd_trade_order_refund": dwd_trade_order_refund,
     "dwd_refund_pay_success": refund_pay_success_flow,
     "dws_user_register_window": dws_user_register_window,
+    "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
+    "rel_q11_value_share": rel_q11_value_share,
+    "rel_q13_orders_histogram": rel_q13_orders_histogram,
+    "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
+    "rel_q18_large_orders": rel_q18_large_orders,
+    "rel_q19_disjunctive": rel_q19_disjunctive,
+    "rel_q22_inactive_balance": rel_q22_inactive_balance,
+    "rel_running_gmv": rel_running_gmv,
+    "rel_order_gaps": rel_order_gaps,
 }

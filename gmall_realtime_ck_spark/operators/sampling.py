@@ -226,11 +226,68 @@ def source_overlap(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def sample_mixture_resample(t: dict[str, DataFrame]) -> DataFrame:
+    """Domain-mixture resampling: hit target corpus proportions by
+    computing each source's keep-rate FROM its observed size, then
+    deterministically sampling. Target weights here are synthetic
+    (source index mod 5, weights 1..5 → the weight-unit total over 20
+    sources is 60); on real data they come from a mixture config (The
+    Pile / DoReMi-style domain reweighting). The keep decision is the
+    exact integer cross-multiplication
+    ``bucket · n_source · 60 < N · units · 1000`` — no float rate is
+    ever computed, so the oracle agrees bit-for-bit.
+
+    Scale: one tiny aggregation (|sources| rows) broadcast back onto
+    the corpus; the keep decision itself is map-only on (text, source).
+    Unlike RNG sampling, the md5-bucket choice is reproducible across
+    engines, runs, and reshuffles.
+    """
+    docs = t["documents"]
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    per_source = per_source.withColumn(
+        "total_docs", F.sum("n_source").over(Window.partitionBy())
+    )
+    bucket = (F.expr(H28_SPARK.format(c="text")) % 1000).cast("bigint")
+    units = (F.lit(1) + F.expr("CAST(substr(source, 4) AS BIGINT)") % 5).cast("bigint")
+    return (
+        docs.join(F.broadcast(per_source), "source")
+        .select(
+            "doc_id",
+            "source",
+            units.alias("target_units"),
+            F.col("n_source").cast("bigint").alias("n_source"),
+            bucket.alias("bucket"),
+            (
+                bucket * F.col("n_source") * 60
+                < F.col("total_docs") * units * 1000
+            )
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
+    "sample_mixture_resample": f"""
+        WITH per_source AS (
+            SELECT source, COUNT(*)::BIGINT AS n_source FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_source)::BIGINT AS total_docs FROM per_source)
+        SELECT doc_id, d.source,
+               (1 + CAST(substr(d.source, 4) AS BIGINT) % 5)::BIGINT AS target_units,
+               n_source,
+               ({H28_DUCK.format(c='text')} % 1000)::BIGINT AS bucket,
+               CASE WHEN ({H28_DUCK.format(c='text')} % 1000) * n_source * 60
+                         < total_docs * (1 + CAST(substr(d.source, 4) AS BIGINT) % 5) * 1000
+                    THEN 1 ELSE 0 END::BIGINT AS keep
+        FROM documents d
+        JOIN per_source ON d.source = per_source.source
+        CROSS JOIN tot
+    """,
     "corpus_train_test_split": f"""
         SELECT doc_id,
                ({H28_DUCK.format(c='text')} % {SPLIT_BUCKETS})::BIGINT AS bucket,
@@ -346,4 +403,5 @@ BUILDERS = {
     "sequence_pack_assign": sequence_pack_assign,
     "stratified_sample": stratified_sample,
     "source_overlap": source_overlap,
+    "sample_mixture_resample": sample_mixture_resample,
 }

@@ -392,7 +392,64 @@ def rules_gopher_quality(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def text_span_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet/C4-style span-level exact dedup with reassembly: documents
+    are cut into fixed 10-token spans, every span is kept only at its
+    first occurrence corpus-wide (ordered by doc_id, span position),
+    and surviving spans are stitched back into a cleaned text.
+    Removes boilerplate repeated across documents without dropping the
+    documents themselves (CCNet, arXiv:1911.00359 §4.1).
+
+    Scale: spans fan out ~|tokens|/10 rows, then ONE aggregation keyed
+    on the span string computes the argmin owner via a partial-
+    aggregatable ``min(struct(doc_id, span_idx))`` — deliberately NOT a
+    row_number window, so a span duplicated a billion times collapses
+    map-side instead of single-reducer sorting; the reassembly is a
+    second keyed shuffle on doc_id. No Python, no skew cliff.
+    """
+    docs = t["documents"]
+    spans = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1),"
+            " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"
+        ).alias("spans"),
+    ).select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    first_owner = (
+        spans.groupBy("span")
+        .agg(F.min(F.struct("doc_id", "span_idx")).alias("o"))
+        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.span_idx").alias("span_idx"), "span")
+    )
+    return (
+        first_owner.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("span_idx", "span"))).alias("kept"))
+        .select(
+            "doc_id",
+            F.size("kept").cast("bigint").alias("n_kept_spans"),
+            F.array_join(F.expr("transform(kept, x -> x.span)"), " ").alias("clean_text"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_span_dedup": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        spans AS (
+            SELECT doc_id, u.i AS span_idx,
+                   array_to_string(tk[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS span
+            FROM d, UNNEST(range(CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS u(i)
+        ),
+        kept AS (
+            SELECT doc_id, span_idx, span,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id ASC, span_idx ASC) AS rn
+            FROM spans
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_kept_spans,
+               string_agg(span, ' ' ORDER BY span_idx ASC) AS clean_text
+        FROM kept WHERE rn = 1
+        GROUP BY doc_id
+    """,
     "doc_gopher_rules": f"""
         WITH d AS (
             SELECT doc_id,
@@ -560,4 +617,5 @@ BUILDERS = {
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
+    "text_span_dedup": text_span_dedup,
 }
