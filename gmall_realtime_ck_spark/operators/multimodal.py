@@ -173,6 +173,70 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("media_id") % every_n == 0)
 
 
+def media_from_docs(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the utf-8
+    bytes of each text stand in for a payload, with typed metadata
+    (mime routed by doc_id, dimensions from the byte count). This keeps
+    the multimodal pipeline runnable — and DuckDB-oracled — without
+    codec libraries or binary testdata.
+    """
+    docs = t["documents"]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'"
+            " WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END"
+        ).alias("mime"),
+        (F.length("text") % 256).cast("int").alias("width"),
+        (F.length("text") % 128).cast("int").alias("height"),
+        F.length("text").cast("long").alias("n_bytes"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def xmodal_media_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Declared multimodal pipeline: metadata-only pruning (mime route
+    + size floor decided WITHOUT reading payloads) → Arrow-batched
+    mapInPandas feature extraction over the binary column. The fake
+    decoder is deterministic integer arithmetic over the payload bytes,
+    so the whole pipeline — including the Python stage — is
+    DuckDB-oracled (codepoint sums; the corpus is ASCII).
+
+    Scale: the filter prunes on metadata columns before any byte
+    crosses the Arrow boundary; the UDF is per-batch, stateless, and
+    map-only — no shuffle anywhere in the plan.
+    """
+    media = media_from_docs(t)
+    pruned = media.filter(
+        (F.col("mime").startswith("image/")) & (F.col("n_bytes") >= 100)
+    )
+    return extract_features(pruned)
+
+
+BUILDERS = {
+    "xmodal_media_features": xmodal_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "xmodal_media_features": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                        WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+                   length(text)::BIGINT AS n_bytes,
+                   list_aggregate(list_transform(string_split(text, ''),
+                                                 c -> unicode(c)), 'sum')::BIGINT AS byte_sum
+            FROM documents
+        )
+        SELECT media_id, mime, 3::INTEGER AS feat_dim,
+               (byte_sum % 1000000007)::BIGINT AS checksum,
+               ((byte_sum * 1000) // n_bytes)::BIGINT AS mean_byte_milli
+        FROM m
+        WHERE mime LIKE 'image/%' AND n_bytes >= 100
+    """,
+}
+
+
 def make_fake_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
     """Synthetic media table for tests: seeded binary payloads."""
     import random

@@ -241,3 +241,12 @@ def test_mixture_resample_broadcasts_rates(tables):
     p = plan_of(tables, "sample_mixture_resample")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_media_features_map_only(tables):
+    """The multimodal feature pipeline must be shuffle-free: metadata
+    filter → Arrow mapInPandas, nothing else. The decode stage is the
+    only Python in the plan."""
+    p = plan_of(tables, "xmodal_media_features")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
