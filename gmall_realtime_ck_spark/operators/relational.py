@@ -1304,7 +1304,131 @@ def rel_order_gaps(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def rel_q16_supplier_variety(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q16-shaped supplier variety: distinct suppliers observed
+    shipping each (brand, type) family, excluding one brand and the
+    PROMO type prefix — supplier relationships reshaped onto lineitem
+    (the testdata has no partsupp).
+
+    Scale: lineitem projects to (partkey, suppkey) distinct pairs
+    first (massive map-side dedup), joins the filtered part dim
+    broadcast, then one distinct-count shuffle on the small (brand,
+    type) domain.
+    """
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5") & (~F.col("p_type").startswith("PROMO"))
+    )
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def rel_rolling_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Trailing-7-day revenue per customer nation — a RANGE-frame
+    window (``RANGE BETWEEN 6 PRECEDING``) over an integer day index,
+    the time-series smoothing shape (the Flink reference's windows are
+    tumbling only; range frames are the batch superset).
+
+    Scale: one shuffle on nation to the per-(nation, day) aggregate
+    (≤ |nation|×|days| rows — tiny), then the range window runs over
+    that aggregate, never over raw orders.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        t["orders"]
+        .join(t["customer"].hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("day_idx"))
+        .agg(F.sum(cents("o_totalprice")).alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("day_idx").cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "n_name",
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )
+
+
+def rel_sales_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE aggregation over (nation, order year): every subtotal
+    combination plus the grand total, with GROUPING flags so consumers
+    can tell a real NULL from a subtotal row — the OLAP cross-tab
+    superset of the reference's ROLLUP serving query.
+
+    Scale: Spark expands grouping sets map-side (4 rows per input row
+    here) and partial-aggregates before the single shuffle — the
+    expansion never hits the network unaggregated.
+    """
+    enriched = (
+        t["orders"]
+        .join(t["customer"].hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.year("o_orderdate").alias("order_year"), cents("o_totalprice").alias("rev"))
+    )
+    return (
+        enriched.cube("n_name", "order_year")
+        .agg(
+            F.sum("rev").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("order_year").cast("bigint").alias("g_year"),
+        )
+        .select(
+            "n_name",
+            F.col("order_year").cast("bigint").alias("order_year"),
+            "g_nation",
+            "g_year",
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "rel_q16_supplier_variety": """
+        SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+        GROUP BY p_brand, p_type
+    """,
+    "rel_rolling_revenue": """
+        WITH daily AS (
+            SELECT n_name,
+                   date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS day_idx,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS day_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, day_idx, day_cents,
+               SUM(day_cents) OVER (PARTITION BY n_name ORDER BY day_idx
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+                   AS rolling_7d_cents
+        FROM daily
+    """,
+    "rel_sales_cube": """
+        SELECT n_name,
+               EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+               GROUPING(n_name)::BIGINT AS g_nation,
+               GROUPING(EXTRACT(year FROM o_orderdate))::BIGINT AS g_year,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, EXTRACT(year FROM o_orderdate))
+    """,
     "rel_q2_min_cost_supplier": """
         SELECT p_partkey, p_name, s_suppkey, s_name, cost_cents
         FROM (
@@ -1862,4 +1986,7 @@ BUILDERS = {
     "rel_q22_inactive_balance": rel_q22_inactive_balance,
     "rel_running_gmv": rel_running_gmv,
     "rel_order_gaps": rel_order_gaps,
+    "rel_q16_supplier_variety": rel_q16_supplier_variety,
+    "rel_rolling_revenue": rel_rolling_revenue,
+    "rel_sales_cube": rel_sales_cube,
 }

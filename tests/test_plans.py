@@ -250,3 +250,29 @@ def test_media_features_map_only(tables):
     p = plan_of(tables, "xmodal_media_features")
     assert "Exchange" not in p
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_q16_distinct_pairs_before_join(tables):
+    """The (part,supp) distinct must partial-aggregate before the
+    brand/type rollup — two HashAggregate pairs, part side broadcast."""
+    p = plan_of(tables, "rel_q16_supplier_variety")
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_rolling_revenue_windows_over_aggregate(tables):
+    """The RANGE frame must run over the per-(nation, day) aggregate —
+    a Window above a HashAggregate — never over raw orders."""
+    p = plan_of(tables, "rel_rolling_revenue")
+    assert "Window" in p and "HashAggregate" in p
+    assert p.index("Window") < p.index("HashAggregate")  # window consumes the agg
+
+
+def test_cube_expands_then_partial_aggregates(tables):
+    """CUBE must plan as Expand + partial HashAggregate before the
+    single shuffle — the grouping-set expansion never crosses the
+    network unaggregated."""
+    p = plan_of(tables, "rel_sales_cube")
+    assert "Expand" in p
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1, p
