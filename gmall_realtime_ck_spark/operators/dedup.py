@@ -330,13 +330,13 @@ _MINHASH_CTE = f"""
 """
 
 ORACLES: dict[str, str] = {
-    "dedup_exact": """
+    "text_dedup_exact": """
         SELECT doc_id, (rn > 1)::BIGINT AS is_dup FROM (
             SELECT doc_id, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
             FROM documents
         )
     """,
-    "minhash_lsh_pairs": _MINHASH_CTE
+    "text_minhash_lsh_pairs": _MINHASH_CTE
     + f"""
         SELECT doc_a, doc_b, ({_SIG_MATCHES_D})::BIGINT AS sig_matches
         FROM pairs
@@ -356,7 +356,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
-    "ngram_jaccard_pairs": _MINHASH_CTE
+    "text_ngram_jaccard_pairs": _MINHASH_CTE
     + f"""
         , sizes AS (
             SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -378,7 +378,7 @@ ORACLES: dict[str, str] = {
     """,
 }
 
-ORACLES["neardup_drop_list"] = _MINHASH_CTE + f"""
+ORACLES["text_neardup_drop_list"] = _MINHASH_CTE + f"""
         , sizes AS (
             SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         ), inter AS (
@@ -443,10 +443,10 @@ ORACLES["text_clean_manifest"] = _MINHASH_CTE + f"""
     """
 
 BUILDERS = {
-    "dedup_exact": dedup_exact,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "text_dedup_exact": dedup_exact,
+    "text_minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_docs": simhash_docs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "neardup_drop_list": neardup_drop_list,
-    "neardup_clusters": neardup_clusters,  # rows-only: iterative
+    "text_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "text_neardup_drop_list": neardup_drop_list,
+    "text_neardup_clusters": neardup_clusters,  # rows-only: iterative
 }

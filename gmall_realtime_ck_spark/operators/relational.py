@@ -1401,7 +1401,7 @@ ORACLES: dict[str, str] = {
         WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
         GROUP BY p_brand, p_type
     """,
-    "rel_rolling_revenue": """
+    "win_rolling_revenue": """
         WITH daily AS (
             SELECT n_name,
                    date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS day_idx,
@@ -1417,7 +1417,7 @@ ORACLES: dict[str, str] = {
                    AS rolling_7d_cents
         FROM daily
     """,
-    "rel_sales_cube": """
+    "win_sales_cube": """
         SELECT n_name,
                EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
                GROUPING(n_name)::BIGINT AS g_nation,
@@ -1429,7 +1429,7 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY CUBE (n_name, EXTRACT(year FROM o_orderdate))
     """,
-    "rel_q2_min_cost_supplier": """
+    "rel_q02_min_cost_supplier": """
         SELECT p_partkey, p_name, s_suppkey, s_name, cost_cents
         FROM (
             SELECT p_partkey, p_name, s_suppkey, s_name,
@@ -1521,7 +1521,7 @@ ORACLES: dict[str, str] = {
                           AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY c_nationkey
     """,
-    "rel_running_gmv": """
+    "win_running_gmv": """
         SELECT o_orderkey, o_custkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
@@ -1530,7 +1530,7 @@ ORACLES: dict[str, str] = {
                    ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
         FROM orders
     """,
-    "rel_order_gaps": """
+    "win_order_gaps": """
         SELECT o_orderkey, o_custkey,
                COALESCE(epoch(o_orderdate)::BIGINT - LAG(epoch(o_orderdate)::BIGINT) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
@@ -1977,16 +1977,16 @@ BUILDERS = {
     "dwd_trade_order_refund": dwd_trade_order_refund,
     "dwd_refund_pay_success": refund_pay_success_flow,
     "dws_user_register_window": dws_user_register_window,
-    "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
+    "rel_q02_min_cost_supplier": rel_q2_min_cost_supplier,
     "rel_q11_value_share": rel_q11_value_share,
     "rel_q13_orders_histogram": rel_q13_orders_histogram,
     "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
     "rel_q18_large_orders": rel_q18_large_orders,
     "rel_q19_disjunctive": rel_q19_disjunctive,
     "rel_q22_inactive_balance": rel_q22_inactive_balance,
-    "rel_running_gmv": rel_running_gmv,
-    "rel_order_gaps": rel_order_gaps,
+    "win_running_gmv": rel_running_gmv,
+    "win_order_gaps": rel_order_gaps,
     "rel_q16_supplier_variety": rel_q16_supplier_variety,
-    "rel_rolling_revenue": rel_rolling_revenue,
-    "rel_sales_cube": rel_sales_cube,
+    "win_rolling_revenue": rel_rolling_revenue,
+    "win_sales_cube": rel_sales_cube,
 }

@@ -118,7 +118,7 @@ def trade_cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "dedup_first_per_key": """
+    "table_dedup_first_per_key": """
         SELECT user_id, event_type,
                event_id AS first_event_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
@@ -167,7 +167,7 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
-    "dedup_first_per_key": dedup_first_per_key,
+    "table_dedup_first_per_key": dedup_first_per_key,
     "traffic_daily_uv": traffic_daily_uv,
     "returning_users": returning_users,
     "traffic_new_visitor_repair": traffic_new_visitor_repair,

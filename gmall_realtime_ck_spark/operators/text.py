@@ -582,7 +582,7 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= {TFIDF_TOP_K}
     """,
-    "doc_fingerprint": f"""
+    "text_doc_fingerprint": f"""
         WITH toks AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
         ), sh AS (
@@ -610,8 +610,8 @@ BUILDERS = {
     "doc_token_count": doc_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
+    "text_doc_fingerprint": doc_fingerprint,
+    "text_doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
     "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "text_bigram_topk": bigram_topk,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,

@@ -62,7 +62,7 @@ def test_partial_aggregation_is_mapside(tables):
 def test_lsh_join_not_allpairs(tables):
     """The minhash candidate join must be an equi-join on
     (band_id, band_key) — never a cartesian/all-pairs product."""
-    p = plan_of(tables, "minhash_lsh_pairs")
+    p = plan_of(tables, "text_minhash_lsh_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -178,7 +178,7 @@ def test_q2_argmin_aggregates_before_window(tables):
     """The per-part argmin must window over the (part,supp) aggregate
     (≤ |part|×|supplier| rows), with part and supplier sides broadcast
     — lineitem itself is never sorted."""
-    p = plan_of(tables, "rel_q2_min_cost_supplier")
+    p = plan_of(tables, "rel_q02_min_cost_supplier")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
     assert "Window" in p
@@ -208,7 +208,7 @@ def test_q19_disjunction_is_hash_join(tables):
 def test_window_queries_single_shuffle(tables):
     """Running-GMV and order-gap windows: exactly one exchange (the
     custkey partition) feeds the sort+window — no second wide shuffle."""
-    for name in ("rel_running_gmv", "rel_order_gaps"):
+    for name in ("win_running_gmv", "win_order_gaps"):
         p = plan_of(tables, name)
         assert p.count("Exchange hashpartitioning") == 1, p
         assert "Window" in p
@@ -263,7 +263,7 @@ def test_q16_distinct_pairs_before_join(tables):
 def test_rolling_revenue_windows_over_aggregate(tables):
     """The RANGE frame must run over the per-(nation, day) aggregate —
     a Window above a HashAggregate — never over raw orders."""
-    p = plan_of(tables, "rel_rolling_revenue")
+    p = plan_of(tables, "win_rolling_revenue")
     assert "Window" in p and "HashAggregate" in p
     assert p.index("Window") < p.index("HashAggregate")  # window consumes the agg
 
@@ -272,7 +272,7 @@ def test_cube_expands_then_partial_aggregates(tables):
     """CUBE must plan as Expand + partial HashAggregate before the
     single shuffle — the grouping-set expansion never crosses the
     network unaggregated."""
-    p = plan_of(tables, "rel_sales_cube")
+    p = plan_of(tables, "win_sales_cube")
     assert "Expand" in p
     assert p.count("HashAggregate") >= 2
     assert p.count("Exchange hashpartitioning") == 1, p
