@@ -571,7 +571,10 @@ def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
     return ev.select(
         "event_id",
         F.unix_timestamp("ts").alias("epoch_s"),
-        F.unix_millis("ts").alias("epoch_ms"),
+        # parquet tz-less timestamp[us] reads as TIMESTAMP_NTZ; unix_millis
+        # accepts only TIMESTAMP — the cast re-anchors at the session TZ
+        # (pinned UTC), which is exactly how DuckDB reads the same column.
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("epoch_ms"),
         F.year("ts").cast("bigint").alias("y"),
         F.month("ts").cast("bigint").alias("m"),
         F.dayofmonth("ts").cast("bigint").alias("d"),

@@ -14,9 +14,31 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import load_tables
-from .operators import dedup, layout, multimodal, privacy, relational, sampling, similarity, stateful, text
+from .operators import (
+    dedup,
+    layout,
+    multimodal,
+    privacy,
+    relational,
+    relational_tpch,
+    sampling,
+    similarity,
+    stateful,
+    text,
+)
 
-_MODULES = [relational, stateful, text, dedup, similarity, layout, sampling, privacy, multimodal]
+_MODULES = [
+    relational,
+    relational_tpch,
+    stateful,
+    text,
+    dedup,
+    similarity,
+    layout,
+    sampling,
+    privacy,
+    multimodal,
+]
 
 
 def _collect() -> tuple[dict[str, Callable], dict[str, str]]:

@@ -276,3 +276,61 @@ def test_cube_expands_then_partial_aggregates(tables):
     assert "Expand" in p
     assert p.count("HashAggregate") >= 2
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q4_semi_join_no_pair_blowup(tables):
+    """The EXISTS must plan as a semi join (at most one output row per
+    order) with the date-range filter pushed to the orders scan — never
+    an inner join + distinct."""
+    p = plan_of(tables, "ship_priority_semi")
+    assert "LeftSemi" in p
+    m = re.search(r"PushedFilters: \[([^\]]*GreaterThanOrEqual\(o_orderdate[^\]]*)\]", p)
+    assert m, p
+
+
+def test_q9_fact_never_shuffles_for_joins(tables):
+    """Part/supplier/nation all broadcast into lineitem — the only
+    exchange is the final (nation, year) aggregate."""
+    p = plan_of(tables, "supplier_nation_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q12_shipdate_range_pushed(tables):
+    """The 1997 ship-year bracket must reach the lineitem scan; the
+    lateness comparison against o_orderdate stays as a post-join
+    filter (it references both sides)."""
+    p = plan_of(tables, "ship_returnflag_priority")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1), p
+
+
+def test_q15_max_rejoins_as_broadcast(tables):
+    """The global MAX must re-join the per-supplier aggregate as a
+    1-row broadcast — no driver collect, no global sort."""
+    p = plan_of(tables, "supplier_top_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "Sort " not in p or "SortMergeJoin" not in p
+
+
+def test_q20_aggregates_before_semi_join(tables):
+    """The (supplier, part) threshold aggregate runs before the semi
+    join against supplier — qualifying pairs collapse to distinct
+    suppkeys first, so the semi join probes a tiny build side."""
+    p = plan_of(tables, "rel_q20_surplus_suppliers")
+    assert "LeftSemi" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_correlations_are_hash_joins(tables):
+    """Both the EXISTS (semi) and NOT EXISTS (anti) correlate on the
+    orderkey equi-key with the supplier inequality as a residual —
+    hash joins, never nested loops; lines collapse to distinct
+    (order, supplier) pairs before either correlation."""
+    p = plan_of(tables, "rel_q21_waiting_suppliers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the pair-collapse aggregate sits below the correlations
+    assert p.count("HashAggregate") >= 4
