@@ -30,18 +30,33 @@ def _as_stream_dir(file_path: str) -> str:
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5/S6-style bounded file stream over the driver's events table
-    (nanos ts read as long — configure_runtime — and normalized)."""
+    """S5/S6-style bounded file stream over the driver's events table.
+
+    The stream schema is taken from a batch read of the same file, so
+    the stream sees exactly the types the file carries (``ts`` is a
+    typed ``timestamp[us]`` parquet column in current testdata). Only
+    when ``ts`` really arrives as a raw long (TIMESTAMP(NANOS) under
+    the nanosAsLong flag) is the long→timestamp conversion applied —
+    the identical guard the batch path uses (catalog.load_table), so
+    batch and stream can never silently disagree on event time again.
+    """
     configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
+        spark.readStream.schema(schema)
         .format("parquet")
-        .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+        .load(_as_stream_dir(path))
     )
-    # integer div: ns epochs exceed double's exact range (see catalog)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
+        # integer div: ns epochs exceed double's exact range (see catalog)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); the cast keeps the wall
+        # clock under the session timezone, so stream ≡ batch holds.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8) -> DataFrame:

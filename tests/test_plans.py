@@ -311,7 +311,8 @@ def test_q15_max_rejoins_as_broadcast(tables):
     1-row broadcast — no driver collect, no global sort."""
     p = plan_of(tables, "supplier_top_revenue")
     assert p.count("BroadcastHashJoin") >= 2
-    assert "Sort " not in p or "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "Sort " not in p
 
 
 def test_q20_aggregates_before_semi_join(tables):

@@ -124,3 +124,13 @@ def test_query_collect_guard(tables, monkeypatch):
     monkeypatch.setattr(sim, "MAX_QUERY_ROWS", 3)
     with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
         sim.cosine_topk(tables)
+
+
+def test_exact_neardup_rejects_unbounded_corpus(tables, monkeypatch):
+    """Scale contract (VERDICT r2 #4): the exact block-pair path's
+    shuffle is O(n²/BLOCK_ROWS) — past MAX_EXACT_NEARDUP_ROWS it must
+    refuse with a pointer to the LSH / cluster-scoped paths, not melt
+    the shuffle service."""
+    monkeypatch.setattr(sim, "MAX_EXACT_NEARDUP_ROWS", 10)
+    with pytest.raises(ValueError, match="MAX_EXACT_NEARDUP_ROWS"):
+        sim.embedding_neardup_pairs(tables).collect()
