@@ -95,17 +95,47 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
+def _minhash_signatures(docs: DataFrame, sh_sets: DataFrame | None = None) -> DataFrame:
     """doc_id → 16 minhash values over the distinct shingle set.
-    One explode + one groupBy(doc_id) shuffle.
+    One explode + one groupBy(doc_id) shuffle. Pass a pre-materialized
+    ``sh_sets`` to share the shingle pipeline with other consumers.
     """
     h = F.expr(H28_SPARK.format(c="s"))
-    exploded = _shingle_sets(docs).withColumn("h", h)
+    exploded = (sh_sets if sh_sets is not None else _shingle_sets(docs)).withColumn("h", h)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _neardup_chain(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared spine of every near-dup query: materialized distinct
+    shingle rows, materialized minhash signatures, and the LSH candidate
+    pair set. The shingle explode + md5 pipeline is the dominant cost of
+    the whole family (it feeds sigs AND both exact-verify legs AND the
+    size table), so it is computed ONCE and localCheckpoint'd — r2's
+    chain recomputed it up to 4x per query (BENCH r2 text_* regressions).
+    Checkpoint sizes: shingles = |distinct doc shingles| rows of
+    (long, short string); sigs = n_docs x 17 ints — both linear in the
+    corpus, never pairwise.
+    """
+    sh_sets = _shingle_sets(docs).localCheckpoint()
+    sigs = _minhash_signatures(docs, sh_sets).localCheckpoint()
+    buckets = _band_buckets(sigs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return sh_sets, sigs, pairs
 
 
 def _band_buckets(sigs: DataFrame) -> DataFrame:
@@ -128,23 +158,7 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     (band_id, band_key), never all-pairs.
     """
     docs = t["documents"]
-    # sigs feeds three plan subtrees (buckets, sa, sb): materialize once
-    # (tiny: n_docs × 17 ints) instead of recomputing the md5+explode
-    # pipeline per subtree — measured 3.4s → ~1.5s at sf0.1
-    sigs = _minhash_signatures(docs).localCheckpoint()
-    buckets = _band_buckets(sigs)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    _, sigs, pairs = _neardup_chain(docs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = sum(
@@ -181,18 +195,20 @@ def simhash_docs(t: dict[str, DataFrame]) -> DataFrame:
     return votes.select("doc_id", F.expr(combine).alias("simhash"))
 
 
-def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
+def ngram_jaccard_pairs(
+    t: dict[str, DataFrame],
+    chain: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs: the
-    verify step of the dedup pipeline (candidates from
-    minhash_lsh_pairs, exact |A∩B| via an equi-join on shingle,
+    verify step of the dedup pipeline (candidates from the LSH bucket
+    join, exact |A∩B| via an equi-join on shingle,
     |A∪B| = |A|+|B|-|A∩B|). Output scaled to permille via a single
-    integer-ratio division.
+    integer-ratio division. Callers composing further steps pass their
+    ``_neardup_chain`` so the shingle/sig materializations are shared.
     """
     docs = t["documents"]
-    sh_sets = _shingle_sets(docs)
+    sh_sets, _, cand = chain if chain is not None else _neardup_chain(docs)
     sizes = sh_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-    cand = minhash_lsh_pairs(t).select("doc_a", "doc_b")
     ta = sh_sets.alias("ta")
     tb = sh_sets.alias("tb")
     inter = (
