@@ -1,0 +1,217 @@
+"""User-behavior analytics over the events table: ordered funnel,
+RFM segmentation, robust (MAD) anomaly detection.
+
+The realtime-warehouse reading of the reference's DWS layer — its
+windows count page views / carts / orders per user bucket
+(DWS:trade-sku-order-window, DwsTradeOrderWindow); these operators are
+the cross-event-type analyses a warehouse user runs ON those counts:
+conversion between stages, customer-value segmentation, and outlier
+screening. All pure column algebra — every shuffle is keyed on
+user_id or event_type, aggregates are partial-aggregatable, and the
+only joins are per-user aggregate ⋈ per-user aggregate (co-partitioned
+on the groupBy key, no broadcast of anything fact-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import cents
+
+
+def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered three-stage funnel view → click → purchase: a user
+    counts for a stage only if the stage's event happens strictly
+    after the user's qualifying time for the previous stage (first
+    view, then first qualifying click, then first qualifying
+    purchase). Three per-user min-aggregations, each one keyed shuffle
+    on user_id; the stage tables join co-partitioned on user_id.
+    At 100 TB: no window functions over raw events, no broadcast of
+    anything user-cardinality — partial min-aggs collapse map-side.
+    """
+    ev = t["events"].select("user_id", "event_type", "ts")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("users")),
+        c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM segmentation of purchasing users: value-boundary quartiles
+    of recency (latest purchase time), frequency (purchase count) and
+    monetary (cent-exact revenue). Quartile q ∈ 1..4, 1 = best
+    (metric ≥ its p75); equal metric values always land in the same
+    quartile (no arbitrary tie splitting).
+
+    Deliberately NOT ntile: a global ntile window is a single-partition
+    sort of every user — the classic scale cliff. Here the boundaries
+    are one exact-percentile aggregation over the |users|-row AGGREGATE
+    (itself one keyed shuffle over purchases), broadcast back as a
+    1-row literal; bucketing is then a map-side comparison. No global
+    sort anywhere at any corpus size.
+    """
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        # ts is TIMESTAMP_NTZ from parquet; session TZ is UTC, so the
+        # LTZ cast is epoch-faithful and matches DuckDB's epoch_us
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    # 9 doubles collected to the driver and inlined as literals — the
+    # scalar-subquery execution (the rel_q22 pattern); bucketing is
+    # then a pure map, no join anywhere in the returned plan
+    b = per_user.agg(
+        F.expr("percentile(last_us, array(0.25, 0.5, 0.75))").alias("rb"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
+        F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mb"),
+    ).first()
+
+    def quartile(metric: str, bnds: list[float]) -> F.Column:
+        # 1 = top quartile; >= each ascending boundary walks it down
+        return (
+            F.lit(4) - sum(((F.col(metric) >= F.lit(float(x))).cast("int") for x in bnds), F.lit(0))
+        ).cast("bigint")
+
+    return per_user.select(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        quartile("last_us", b["rb"]).alias("r_quartile"),
+        quartile("freq", b["fb"]).alias("f_quartile"),
+        quartile("monetary_cents", b["mb"]).alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust per-type outlier screen: flag events whose value deviates
+    from the type median by more than 3× the median absolute deviation
+    (MAD) — the screen a pipeline runs before trusting `value` sums.
+    Medians are exact interpolated percentiles (both engines use the
+    same (a+b)/2 interpolation), computed per event_type — a
+    |types|-row aggregate broadcast back into the scan; outliers are
+    emitted with cent-exact values. Two aggregation passes over events,
+    each keyed on event_type; no windows over raw rows.
+    """
+    ev = t["events"].select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))
+        .select("event_id", "event_type", cents("value").alias("value_cents"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, COUNT(*)::BIGINT AS users FROM v
+        UNION ALL
+        SELECT '2_click' AS stage, COUNT(*)::BIGINT AS users FROM c
+        UNION ALL
+        SELECT '3_purchase' AS stage, COUNT(*)::BIGINT AS users FROM p
+    """,
+    "user_rfm_segments": """
+        WITH per_user AS (
+            SELECT user_id,
+                   epoch_us(max(ts)) AS last_us,
+                   COUNT(*)::BIGINT AS freq,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS monetary_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), bounds AS (
+            SELECT quantile_cont(last_us, [0.25, 0.5, 0.75]) AS rb,
+                   quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
+                   quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mb
+            FROM per_user
+        ), q AS (
+            SELECT user_id, freq, monetary_cents,
+                   (4 - (last_us >= rb[1])::INT - (last_us >= rb[2])::INT
+                      - (last_us >= rb[3])::INT)::BIGINT AS r_quartile,
+                   (4 - (freq >= fb[1])::INT - (freq >= fb[2])::INT
+                      - (freq >= fb[3])::INT)::BIGINT AS f_quartile,
+                   (4 - (monetary_cents >= mb[1])::INT - (monetary_cents >= mb[2])::INT
+                      - (monetary_cents >= mb[3])::INT)::BIGINT AS m_quartile
+            FROM per_user, bounds
+        )
+        SELECT user_id, freq, monetary_cents, r_quartile, f_quartile, m_quartile,
+               r_quartile::VARCHAR || '-' || f_quartile::VARCHAR || '-' ||
+               m_quartile::VARCHAR AS segment
+        FROM q
+    """,
+    "events_anomaly_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_id, dev.event_type,
+               CAST(round(dev.value * 100) AS BIGINT) AS value_cents
+        FROM dev JOIN mad USING (event_type)
+        WHERE dev.adev > 3.0 * mad.mad
+    """,
+}
+
+BUILDERS = {
+    "funnel_conversion": funnel_conversion,
+    "user_rfm_segments": user_rfm_segments,
+    "events_anomaly_mad": events_anomaly_mad,
+}

@@ -668,9 +668,111 @@ def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: squared euclidean distance between a float-array column and a
+#: double-array column, as a deterministic sequential fold
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+    "cast(0 as double), (acc, x) -> acc + x)"
+)
+
+
+def embedding_kmeans_assign(t: dict[str, DataFrame], n_iters: int = 2) -> DataFrame:
+    """Lloyd k-means over the embedding column with deterministic
+    seeding (initial centroids = per-label means) and ``n_iters``
+    assign→update rounds — the iterative-algorithm pattern (centroid
+    clustering for SemDeDup/IVF cell builds) expressed as pure
+    DataFrame ops with a full SQL oracle.
+
+    Engine-exact by construction: centroid components are averaged in
+    fixed-point micro-units (order-independent int sums — the
+    ``label_centroids`` trick), so both engines derive bit-identical
+    centroids; assignment ties break on cluster id by taking
+    ``array_min`` over (dist, cl) structs (never a row_number window,
+    never a sort).
+
+    Scale: per round, ONE shuffle — the posexplode centroid update
+    keyed on (cl, pos), cardinality clusters × dims, independent of
+    corpus size. The k × dims centroid matrix is collected (bounded by
+    design — the IVF-centroid posture) and inlined as literals, so
+    assignment is a PURE MAP over the corpus: no join, no shuffle, no
+    window in the assignment plan (plan-asserted).
+    """
+    emb = t["embeddings"].select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("cl")
+    )
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select("cl", F.posexplode("embedding").alias("pos", "x")).withColumn(
+            "xm", F.expr("cast(round(cast(x as double) * 1000000) as bigint)")
+        )
+        per = comp.groupBy("cl", "pos").agg(
+            (F.sum("xm") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias("v")
+        )
+        return per.groupBy("cl").agg(
+            F.expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").alias("c")
+        )
+
+    assigned = emb
+    for _ in range(n_iters):
+        # k × dims doubles to the driver — bounded by design, the same
+        # posture as the IVF centroid matrix; inlined as literals so
+        # assignment is a PURE MAP (argmin over an in-expression struct
+        # array — no join, no shuffle of the corpus)
+        cent_rows = sorted(centroids(assigned).collect(), key=lambda r: r["cl"])
+        arms = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        SQDIST.format(
+                            a="embedding",
+                            b="array(" + ",".join(f"cast({v!r} as double)" for v in row["c"]) + ")",
+                        )
+                    ).alias("d"),
+                    F.lit(int(row["cl"])).cast("bigint").alias("cl"),
+                )
+                for row in cent_rows
+            ]
+        )
+        assigned = emb.select(
+            "vec_id", "embedding", F.array_min(arms).getField("cl").alias("cl")
+        )
+    return assigned.select("vec_id", F.col("cl").alias("cluster"))
+
+
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
+    "embedding_kmeans_assign": """
+        WITH ex AS (
+            SELECT vec_id, label::BIGINT AS cl, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm,
+                   embedding[i]::DOUBLE AS x
+            FROM embeddings, range(1, 65) r(i)
+        ), c0 AS (
+            SELECT cl, i, SUM(xm) / (1000000.0 * COUNT(*)) AS v
+            FROM ex GROUP BY cl, i
+        ), d1 AS (
+            SELECT ex.vec_id, c0.cl, SUM((ex.x - c0.v) * (ex.x - c0.v)) AS d
+            FROM ex JOIN c0 USING (i) GROUP BY ex.vec_id, c0.cl
+        ), a1 AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+                FROM d1) WHERE rn = 1
+        ), c1 AS (
+            SELECT a1.cl, ex.i, SUM(ex.xm) / (1000000.0 * COUNT(*)) AS v
+            FROM ex JOIN a1 USING (vec_id) GROUP BY a1.cl, ex.i
+        ), d2 AS (
+            SELECT ex.vec_id, c1.cl, SUM((ex.x - c1.v) * (ex.x - c1.v)) AS d
+            FROM ex JOIN c1 ON ex.i = c1.i GROUP BY ex.vec_id, c1.cl
+        ), a2 AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+                FROM d2) WHERE rn = 1
+        )
+        SELECT vec_id, cl AS cluster FROM a2
+    """,
     "cosine_topk": f"""
         WITH emb AS (
             SELECT vec_id, embedding, sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
@@ -736,4 +838,5 @@ BUILDERS = {
     "sim_label_centroids": label_centroids,
     "embedding_semdedup": semdedup_prune,
     "topk_two_sided_ann": topk_two_sided_ann,
+    "embedding_kmeans_assign": embedding_kmeans_assign,
 }

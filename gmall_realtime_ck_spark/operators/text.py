@@ -431,7 +431,47 @@ def text_span_dedup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_inverted_index(t: dict[str, DataFrame], min_df: int = 5, max_postings: int = 20) -> DataFrame:
+    """Inverted index build: token → document frequency + the first
+    ``max_postings`` doc_ids (sorted). The retrieval-side artifact a
+    corpus pipeline emits next to TF-IDF — and the shape BM25 /
+    contamination-lookup serving needs.
+
+    Scale: one explode to distinct (token, doc_id) rows, ONE aggregation
+    keyed on token. Postings are capped AFTER the sort inside the
+    aggregate (the smallest ``max_postings`` ids), so the output row per
+    token is bounded no matter how hot the token — the full posting list
+    of a stopword at 100 TB would be corpus-sized; a production index
+    shards hot postings, a stats/serving index truncates, which is the
+    contract here (df keeps the true count). min_df prunes the long
+    hapax tail before it ever shuffles twice (count and postings come
+    from the same agg).
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(TOKENS_SPARK.format(c="text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "corpus_inverted_index": f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest({TOKENS_DUCK.format(c='text')}) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*)::BIGINT AS df,
+               (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        FROM tok GROUP BY token
+        HAVING COUNT(*) >= 5
+    """,
     "text_span_dedup": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         spans AS (
@@ -615,6 +655,7 @@ BUILDERS = {
     "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "text_bigram_topk": bigram_topk,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
+    "corpus_inverted_index": corpus_inverted_index,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
     "text_span_dedup": text_span_dedup,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import load_tables
 from .operators import (
+    behavior,
     dedup,
     layout,
     multimodal,
@@ -28,6 +29,7 @@ from .operators import (
 )
 
 _MODULES = [
+    behavior,
     relational,
     relational_tpch,
     stateful,
@@ -88,59 +90,68 @@ BENCH_ONLY = {"cosine_topk_pandas", "text_doc_fingerprint_fast", "embedding_near
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # hash-red in r1, fixed this round — must land green driver rows
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "promo_revenue",
-    "corpus_report",
-    # new this round
-    "dwd_trade_order_refund",
-    "dwd_refund_pay_success",
-    "dws_user_register_window",
-    "flow_user_register",
-    # oracled but no driver row in r1 (fell past the alphabetical cap)
-    "corpus_tfidf_top_terms",
-    "datetime_functions",
-    "doc_token_count",
-    "best_supplier",
-    "best_parts_per_region",
-    "dws_trade_order_window",
-    "corpus_train_test_split",
-    "event_value_percentiles",
-    "corpus_vocab_stats",
-    "agg_global_uv",
-    "agg_sliding_counts",
-    "agg_tumbling_typed",
-    "doc_winnowing",
+    # --- Round-3 window (the driver verifies the first 50 positions of
+    # queries(); CORRECTNESS_r02 confirms the cap is positional). ---
+    # The five streaming rows red in r2 (events_file_stream ts bug,
+    # fixed this round) — must re-land green:
+    "flow_window_counts",
     "flow_daily_uv",
     "flow_interval_join",
-    "flow_pii_redaction",
-    "flow_quality_filter",
     "flow_session_windows",
-    "flow_window_counts",
-    # new round-2 queries (no r1 row under any name) — named to sort in-window
-    "agg_forecast_revenue",
-    "join_nation_traffic",
-    "join_market_share",
-    "join_semi_returned_orders",
-    "join_anti_silent_customers",
-    "customers_top_returned",
-    "doc_gopher_rules",
-    "embedding_semdedup",
-    # new round-2 TPC-H shapes (windowed in by rotating out r1-green names)
-    "rel_q02_min_cost_supplier",
-    "rel_q11_value_share",
-    "rel_q13_orders_histogram",
-    "rel_q16_supplier_variety",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive",
-    # rows-only checks (no SQL-expressible oracle) — after the oracled set
-    "approx_uv_window",
-    "flow_dedup_first",
-    "flow_keyword_pipeline",
-    "cosine_topk_ivf",
+    "flow_user_register",
+    # The 15 round-2 queries that have never had a driver row
+    # (VERDICT r2 "What's missing" #1 / "Next round" #3):
+    "ship_priority_semi",
+    "supplier_nation_profit",
+    "ship_returnflag_priority",
+    "supplier_top_revenue",
+    "rel_q20_surplus_suppliers",
+    "rel_q21_waiting_suppliers",
+    "rel_q22_inactive_balance",
+    "win_order_gaps",
+    "win_rolling_revenue",
+    "win_running_gmv",
+    "win_sales_cube",
+    "topk_two_sided_ann",
+    "text_span_dedup",
+    "sample_mixture_resample",
+    "xmodal_media_features",
+    # Changed this round (scale-contract cap) — re-verify:
+    "embedding_neardup_pairs",
+    # New round-3 operators:
+    "funnel_conversion",
+    "user_rfm_segments",
+    "events_anomaly_mad",
+    "corpus_inverted_index",
+    "embedding_kmeans_assign",
+    # Touched this round (near-dup chain sharing) — re-verify:
+    "text_minhash_lsh_pairs",
+    "text_ngram_jaccard_pairs",
+    "text_neardup_drop_list",
+    "text_clean_manifest",
+    "text_dedup_exact",
+    "simhash_docs",
+    "text_doc_fingerprint",
+    # r1-green under their r1 names, rotated out of the r2 window —
+    # re-verify under the current names (regression hygiene; the local
+    # DuckDB gate has covered them continuously):
+    "trade_status_filter",
+    "trade_cdc_projection",
+    "trade_conditional_delta",
+    "trade_interval_join",
+    "trade_left_outer_orders",
+    "trade_lookup_join_dim",
+    "trade_cart_add_uu",
+    "trade_gmv_rollup",
+    "traffic_daily_uv",
+    "traffic_event_pivot",
+    "traffic_keyword_count",
+    "traffic_log_split",
+    "traffic_new_visitor_repair",
+    "table_config_routed_split",
+    "table_dedup_first_per_key",
+    "text_lang_id",
+    "text_quality_score",
 ]
 
 

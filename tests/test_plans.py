@@ -335,3 +335,47 @@ def test_q21_correlations_are_hash_joins(tables):
     assert "BroadcastNestedLoopJoin" not in p
     # the pair-collapse aggregate sits below the correlations
     assert p.count("HashAggregate") >= 4
+
+
+def test_rfm_no_global_sort_no_ntile_window(tables):
+    """RFM quartiles come from percentile boundaries inlined as driver
+    literals (the scalar-subquery pattern) — never a global ntile
+    window (a single-partition sort of all users) and no join at all;
+    the only Exchange is the user_id-keyed aggregation."""
+    p = plan_of(tables, "user_rfm_segments")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_funnel_joins_are_keyed_no_cartesian(tables):
+    p = plan_of(tables, "funnel_conversion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anomaly_mad_medians_broadcast(tables):
+    """Per-type median/MAD tables (|types| rows) broadcast into the
+    events scan — events itself never shuffles for the screen."""
+    p = plan_of(tables, "events_anomaly_mad")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_inverted_index_single_keyed_shuffle(tables):
+    """token-keyed aggregation; postings capped inside the aggregate
+    (slice after sort), so no second shuffle and no window."""
+    p = plan_of(tables, "corpus_inverted_index")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_kmeans_assignment_is_pure_map(tables):
+    """Lloyd assignment with driver-literal centroids must plan as a
+    pure map over the corpus — no join, no shuffle, no window (the
+    centroid updates run as separate bounded jobs per round)."""
+    p = plan_of(tables, "embedding_kmeans_assign")
+    assert "Join" not in p
+    assert "Exchange" not in p, p
+    assert "Window" not in p
