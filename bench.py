@@ -37,6 +37,24 @@ def main() -> int:
     for df in tables.values():
         df.head(1)
 
+    # untimed engine warmup: exercise whole-stage codegen, shuffle,
+    # window, HOF-lambda and Arrow/Python-worker paths once, so the
+    # alphabetically-first timed queries don't absorb one-time process
+    # costs (JIT, janino compile, Python worker pool spin-up) — measured
+    # up to tens of seconds on a cold JVM, pure noise for per-query
+    # comparisons. Each query is still timed on a single execution.
+    for warm_name in (
+        "q1_pricing_summary",   # scan + codegen agg
+        "win_running_gmv",      # window function path
+        "text_dedup_exact",     # md5 + row_number
+        "cosine_topk_pandas",   # Arrow mapInPandas + numpy workers
+    ):
+        if warm_name in registry.BUILDERS:
+            try:
+                registry.BUILDERS[warm_name](tables).count()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 

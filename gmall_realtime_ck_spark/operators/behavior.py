@@ -20,17 +20,26 @@ from pyspark.sql import functions as F
 from .relational import cents
 
 
+#: qualifying window between funnel stages — a click converts only
+#: within this much of the first view, a purchase within this much of
+#: the qualifying click (at the fixture's event rate this yields a
+#: discriminating 150/60/25-shaped funnel instead of everyone passing)
+FUNNEL_WINDOW = "24 HOURS"
+
+
 def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
     """Ordered three-stage funnel view → click → purchase: a user
     counts for a stage only if the stage's event happens strictly
-    after the user's qualifying time for the previous stage (first
-    view, then first qualifying click, then first qualifying
-    purchase). Three per-user min-aggregations, each one keyed shuffle
-    on user_id; the stage tables join co-partitioned on user_id.
-    At 100 TB: no window functions over raw events, no broadcast of
-    anything user-cardinality — partial min-aggs collapse map-side.
+    after — and within FUNNEL_WINDOW of — the user's qualifying time
+    for the previous stage (first view, then first qualifying click,
+    then first qualifying purchase). Three per-user min-aggregations,
+    each one keyed shuffle on user_id; the stage tables join
+    co-partitioned on user_id. At 100 TB: no window functions over raw
+    events, no broadcast of anything user-cardinality — partial
+    min-aggs collapse map-side.
     """
     ev = t["events"].select("user_id", "event_type", "ts")
+    bound = F.expr(f"INTERVAL {FUNNEL_WINDOW}")
 
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -40,14 +49,14 @@ def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + bound))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + bound))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
@@ -151,11 +160,13 @@ ORACLES: dict[str, str] = {
             WHERE event_type = 'view' GROUP BY user_id
         ), c AS (
             SELECT e.user_id, min(e.ts) AS t2
-            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            FROM events e JOIN v ON e.user_id = v.user_id
+             AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOURS
             WHERE e.event_type = 'click' GROUP BY e.user_id
         ), p AS (
             SELECT e.user_id, min(e.ts) AS t3
-            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            FROM events e JOIN c ON e.user_id = c.user_id
+             AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOURS
             WHERE e.event_type = 'purchase' GROUP BY e.user_id
         )
         SELECT '1_view' AS stage, COUNT(*)::BIGINT AS users FROM v

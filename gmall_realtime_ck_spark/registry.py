@@ -120,6 +120,7 @@ _PRIORITY_HEAD = [
     "embedding_neardup_pairs",
     # New round-3 operators:
     "funnel_conversion",
+    "flow_funnel",
     "user_rfm_segments",
     "events_anomaly_mad",
     "corpus_inverted_index",
@@ -150,7 +151,6 @@ _PRIORITY_HEAD = [
     "traffic_new_visitor_repair",
     "table_config_routed_split",
     "table_dedup_first_per_key",
-    "text_lang_id",
     "text_quality_score",
 ]
 

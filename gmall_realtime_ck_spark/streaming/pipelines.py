@@ -305,10 +305,41 @@ def flow_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(urw(ev, size="5 seconds", ts_col="et"), "complete")
 
 
+def flow_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference stateful streaming: the ordered view→click→
+    purchase funnel as a per-user 3-stage state machine
+    (``applyInPandasWithState``, state = 3 longs/user). The bounded
+    availableNow run delivers each user's history in one group call, so
+    the monotone update is exact and the BATCH funnel oracle applies
+    verbatim; the collected per-user stages aggregate order-
+    independently via max(stage).
+    """
+    from .state import funnel_stage_state
+
+    ev = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    collected = _run_to_memory(funnel_stage_state(ev), "append")
+    final = collected.groupBy("user_id").agg(F.max("stage").alias("s"))
+    parts = [
+        final.filter(F.col("s") >= k).agg(
+            F.lit(lbl).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+        for k, lbl in ((1, "1_view"), (2, "2_click"), (3, "3_purchase"))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # Declared streaming queries (driver contract): signature
 # (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
 # complete-mode / order-independent outputs are batch-equivalent.
 STREAM_BUILDERS = {
+    "flow_funnel": flow_funnel,
     "flow_window_counts": flow_window_counts,
     "flow_daily_uv": flow_daily_uv,
     "flow_dedup_first": flow_dedup_first,  # rows-only: arrival-order pick
@@ -322,12 +353,14 @@ STREAM_BUILDERS = {
 
 
 def stream_oracles() -> dict[str, str]:
+    from ..operators.behavior import ORACLES as BEH
     from ..operators.privacy import ORACLES as PRIV
     from ..operators.relational import ORACLES as REL
     from ..operators.stateful import ORACLES as ST
     from ..operators.text import ORACLES as TXT
 
     return {
+        "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],
         "flow_window_counts": REL["agg_tumbling_typed"],

@@ -233,3 +233,74 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: s
     per key; Spark evicts state once the watermark passes.
     """
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+
+#: funnel qualifying window in epoch micros — MUST equal
+#: operators.behavior.FUNNEL_WINDOW (24 h) for the shared oracle
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def funnel_stage_state(events: DataFrame) -> DataFrame:
+    """Streaming ordered-funnel state machine (beyond-reference T-op):
+    per user, track (t1, t2, t3) = first view, first qualifying click
+    (> t1, within the 24 h window), first qualifying purchase (> t2,
+    within the window) as epoch-micros state; emit the user's current
+    max stage after each group call.
+
+    Input columns: user_id, event_type, us (epoch micros). The update
+    is monotone (t1/t2/t3 only move earlier as new history arrives), so
+    on a bounded availableNow run — where each user's full history
+    lands in one group call — the result is EXACTLY the batch funnel
+    (oracle applies verbatim). Across multiple out-of-event-time-order
+    micro-batches the stages are a monotone approximation, the same
+    arrival-order property T1/T3 document.
+
+    Scale: state is 3 longs per user — O(keys); the output stream is
+    one row per (user, group call), aggregated downstream by max(stage)
+    which is order-independent.
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        parts = [pdf[["event_type", "us"]] for pdf in pdf_iter]
+        pdf = pd.concat(parts) if parts else pd.DataFrame({"event_type": [], "us": []})
+        et, us = pdf["event_type"], pdf["us"]
+
+        v = us[et == "view"]
+        if len(v):
+            m = int(v.min())
+            t1 = m if t1 is None else min(t1, m)
+        if t1 is not None:
+            c = us[(et == "click") & (us > t1) & (us <= t1 + _FUNNEL_WINDOW_US)]
+            if len(c):
+                m = int(c.min())
+                t2 = m if t2 is None else min(t2, m)
+        if t2 is not None:
+            p = us[(et == "purchase") & (us > t2) & (us <= t2 + _FUNNEL_WINDOW_US)]
+            if len(p):
+                m = int(p.min())
+                t3 = m if t3 is None else min(t3, m)
+
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        state.update((t1, t2, t3))
+        yield pd.DataFrame({"user_id": [uid], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _FUNNEL_OUT, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
+    )
