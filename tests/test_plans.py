@@ -379,3 +379,14 @@ def test_kmeans_assignment_is_pure_map(tables):
     assert "Join" not in p
     assert "Exchange" not in p, p
     assert "Window" not in p
+
+
+def test_neardup_scoped_gemm_and_broadcast(tables):
+    """The cluster-scoped exact near-dup path: candidates from the
+    per-cluster block-pair gemm (FlatMapGroupsInPandas keyed by
+    label,bi,bj), tiny candidate list broadcast into the exact
+    re-score; the corpus is never cross-joined or broadcast."""
+    p = plan_of(tables, "embedding_neardup_scoped")
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
