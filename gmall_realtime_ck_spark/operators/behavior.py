@@ -102,10 +102,13 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mb"),
     ).first()
 
-    def quartile(metric: str, bnds: list[float]) -> F.Column:
-        # 1 = top quartile; >= each ascending boundary walks it down
+    def quartile(metric: str, bnds: list[float] | None) -> F.Column:
+        # 1 = top quartile; >= each ascending boundary walks it down.
+        # bnds is None only when there are no purchasers at all — the
+        # output is empty then, any literal works.
         return (
-            F.lit(4) - sum(((F.col(metric) >= F.lit(float(x))).cast("int") for x in bnds), F.lit(0))
+            F.lit(4)
+            - sum(((F.col(metric) >= F.lit(float(x))).cast("int") for x in bnds or [0.0] * 3), F.lit(0))
         ).cast("bigint")
 
     return per_user.select(

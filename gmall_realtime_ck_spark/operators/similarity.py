@@ -759,6 +759,8 @@ def embedding_kmeans_assign(t: dict[str, DataFrame], n_iters: int = 2) -> DataFr
         # assignment is a PURE MAP (argmin over an in-expression struct
         # array — no join, no shuffle of the corpus)
         cent_rows = sorted(centroids(assigned).collect(), key=lambda r: r["cl"])
+        if not cent_rows:  # empty corpus: nothing to assign
+            return emb.select("vec_id", F.col("cl").alias("cluster")).limit(0)
         arms = F.array(
             *[
                 F.struct(
