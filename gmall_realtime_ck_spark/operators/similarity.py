@@ -310,7 +310,7 @@ def cosine_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
 N_PROBE = 2  # coarse cells probed per query
 
 
-def cosine_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
+def cosine_topk_ivf(t: dict[str, DataFrame], cells: DataFrame | None = None) -> DataFrame:
     """IVF multi-probe ANN: the ``label`` column acts as the
     coarse-quantizer cell id (in production: k-means over a sample,
     assign by nearest centroid). Cell centroids are computed from the
@@ -321,10 +321,18 @@ def cosine_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     never shuffles — the (query, probe-cell) table broadcasts into the
     scan. Declared without a value oracle (approximate by
     construction).
+
+    ``cells`` (vec_id → cluster) overrides the label column as the
+    cell assignment — the seam a learned quantizer plugs into (see
+    ``cosine_topk_ivf_kmeans``).
     """
     import numpy as np
 
     emb = _with_norm(t["embeddings"])
+    if cells is not None:
+        emb = emb.drop("label").join(
+            cells.select("vec_id", F.col("cluster").cast("int").alias("label")), "vec_id"
+        )
     spark = emb.sparkSession
 
     # 1. centroids: distributed (label, dim) sum/count, collected small
@@ -377,6 +385,18 @@ def cosine_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def cosine_topk_ivf_kmeans(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF probing over k-means-REFINED cells: the coarse quantizer is
+    ``embedding_kmeans_assign`` (2 Lloyd rounds from the label init)
+    instead of the raw label column — the composition a production
+    index build runs (cluster → assign → probe). Same probe machinery,
+    same output schema; bench-only (approximate, like the other IVF
+    paths); recall vs the exact baseline is pytest-pinned alongside the
+    label-cell variant.
+    """
+    return cosine_topk_ivf(t, cells=embedding_kmeans_assign(t))
 
 
 def topk_two_sided_ann(t: dict[str, DataFrame]) -> DataFrame:
@@ -888,6 +908,7 @@ BUILDERS = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_scoped": embedding_neardup_scoped,
     "cosine_topk_ivf": cosine_topk_ivf,
+    "cosine_topk_ivf_kmeans": cosine_topk_ivf_kmeans,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_label_centroids": label_centroids,
     "embedding_semdedup": semdedup_prune,

@@ -72,7 +72,12 @@ ORACLES = {**ORACLES, **STREAM_ORACLES}
 #: Timed by bench.py but excluded from the driver-checked ``queries()``
 #: surface: strict performance variants of queries that already have an
 #: oracled row (same semantics, different physical strategy).
-BENCH_ONLY = {"cosine_topk_pandas", "text_doc_fingerprint_fast", "embedding_neardup_lsh"}
+BENCH_ONLY = {
+    "cosine_topk_pandas",
+    "text_doc_fingerprint_fast",
+    "embedding_neardup_lsh",
+    "cosine_topk_ivf_kmeans",
+}
 
 #: Driver-row priority. Round 1 evidence: CORRECTNESS_r01.json contains
 #: exactly the alphabetically-first 50 declared names even though the r1

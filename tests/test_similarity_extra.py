@@ -134,3 +134,19 @@ def test_exact_neardup_rejects_unbounded_corpus(tables, monkeypatch):
     monkeypatch.setattr(sim, "MAX_EXACT_NEARDUP_ROWS", 10)
     with pytest.raises(ValueError, match="MAX_EXACT_NEARDUP_ROWS"):
         sim.embedding_neardup_pairs(tables).collect()
+
+
+def test_kmeans_ivf_recall_floor(tables):
+    """The k-means-refined IVF variant must clear the same
+    probing-beats-random recall floor as the label-cell variant."""
+    exact = {}
+    for r in sim.cosine_topk(tables).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    ref = {}
+    for r in sim.cosine_topk_ivf_kmeans(tables).collect():
+        ref.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & ref.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    n_cells = tables["embeddings"].select("label").distinct().count()
+    assert total > 0
+    assert hits / total > sim.N_PROBE / n_cells
