@@ -185,7 +185,56 @@ def asof_view_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: z-order curve resolution: bits per dimension (2 dims → 32-bit key)
+ZORDER_BITS = 16
+
+
+def zorder_key_expr(x: str, y: str, bits: int = ZORDER_BITS, shift_op: str = "<<") -> str:
+    """SQL expression interleaving the low ``bits`` bits of two integer
+    columns into a Morton (z-order) key — identical arithmetic on both
+    engines (pure & | << on int64). Unrolled: 2·bits masked shifts, all
+    inside whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x}) >> {i}) & 1) {shift_op} {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) {shift_op} {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def layout_zorder_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Multi-dimensional clustering key: Morton (z-order) interleave of
+    (o_custkey, order epoch-day) — the Delta/Iceberg `ZORDER BY` layout
+    primitive. Sorting a 100 TB fact by this key co-locates rows close
+    in BOTH dimensions, so min/max footer stats prune scans for
+    customer-range AND date-range predicates at once (plain date
+    partitioning prunes only one). Emitted here as the smallest
+    verifiable unit: the key itself plus each row's rank-ordered
+    position, over a deterministic top slice.
+
+    Plan shape: key computation is a pure map (codegen bit ops); the
+    top-200 is TakeOrdered (per-partition heap + driver merge of 200-row
+    heads), never a global sort of the fact.
+    """
+    orders = t["orders"]
+    z = zorder_key_expr("o_custkey % 65536", "cast(unix_micros(cast(o_orderdate as timestamp)) div 86400000000 as bigint) % 65536")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").cast("string").alias("o_date"),
+        F.expr(z).cast("bigint").alias("zkey"),
+    )
+    return keyed.orderBy("zkey", "o_orderkey").limit(200)
+
+
 ORACLES: dict[str, str] = {
+    "layout_zorder_orders": f"""
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               {zorder_key_expr("o_custkey % 65536", "(epoch_us(o_orderdate) // 86400000000) % 65536")}::BIGINT AS zkey
+        FROM orders
+        ORDER BY zkey, o_orderkey
+        LIMIT 200
+    """,
     "asof_view_before_purchase": """
         SELECT p.event_id, p.user_id,
                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -198,6 +247,7 @@ ORACLES: dict[str, str] = {
 
 BUILDERS = {
     "asof_view_before_purchase": asof_view_before_purchase,
+    "layout_zorder_orders": layout_zorder_orders,
 }
 
 

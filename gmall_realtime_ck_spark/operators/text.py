@@ -234,6 +234,61 @@ def bigram_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
+    """Perplexity filtering — the quality screen CCNet/Gopher run with a
+    KenLM model, here with a corpus-trained Laplace-smoothed bigram LM
+    so both engines reproduce it bit-for-bit: score every document by
+    its average negative log-likelihood under the per-language bigram
+    model trained on the corpus itself (repetitive/templated docs score
+    low, rare-token soup scores high).
+
+    P(w2|w1) = (c(w1w2) + 1) / (c(w1·) + V).  Scale shape: the model is
+    built by keyed aggregation over exploded bigrams (vocabulary-, not
+    corpus-, sized), log-probs are computed once per distinct
+    (lang, bigram) and joined back to doc bigrams on that same key —
+    one keyed shuffle each, nothing fact-sized broadcast (only the
+    |langs|-row vocab table). Docs with < 2 tokens carry no bigrams and
+    are absent, matching the oracle.
+    """
+    docs = t["documents"]
+    tk0 = docs.select("doc_id", "lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    bg = tk0.select(
+        "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
+    )
+    model = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("bg_ct"))
+    ctx = (
+        model.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .groupBy("lang", "w1")
+        .agg(F.sum("bg_ct").alias("ctx_ct"))
+    )
+    vocab = (
+        tk0.select("lang", F.explode("tk").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        model.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .join(ctx, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "bigram",
+            F.log(
+                (F.col("bg_ct") + 1).cast("double")
+                / (F.col("ctx_ct") + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(scored, ["lang", "bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("avg_nll"),
+        )
+    )
+
+
 def corpus_tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     """Per-document top terms by a tf-idf surrogate. For a fixed corpus
     size N, idf = ln(N/df) is strictly decreasing in df, so ranking by
@@ -584,6 +639,35 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
         GROUP BY doc_id, dim
     """,
+    "doc_perplexity_bigram": f"""
+        WITH tk0 AS (
+            SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
+        ), bg AS (
+            SELECT doc_id, lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk0
+        ), model AS (
+            SELECT lang, bigram, COUNT(*) AS bg_ct FROM bg GROUP BY lang, bigram
+        ), ctx AS (
+            SELECT lang, split_part(bigram, ' ', 1) AS w1, SUM(bg_ct) AS ctx_ct
+            FROM model GROUP BY lang, w1
+        ), vocab AS (
+            SELECT lang, COUNT(DISTINCT tok) AS v
+            FROM (SELECT lang, unnest(tk) AS tok FROM tk0) GROUP BY lang
+        ), scored AS (
+            SELECT m.lang, m.bigram,
+                   ln((m.bg_ct + 1)::DOUBLE / (c.ctx_ct + v.v)::DOUBLE) AS logp
+            FROM model m
+            JOIN ctx c ON m.lang = c.lang AND split_part(m.bigram, ' ', 1) = c.w1
+            JOIN vocab v ON m.lang = v.lang
+        )
+        SELECT bg.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               round(-avg(s.logp), 6) AS avg_nll
+        FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
+        GROUP BY bg.doc_id
+    """,
     "text_bigram_topk": f"""
         WITH tk0 AS (
             SELECT lang, {_TOKS_D} AS tk FROM documents
@@ -654,6 +738,7 @@ BUILDERS = {
     "text_doc_fingerprint_fast": doc_fingerprint_fast,  # rows-only (xxhash64)
     "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "text_bigram_topk": bigram_topk,
+    "doc_perplexity_bigram": doc_perplexity_bigram,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
     "text_feature_hashing": feature_hashing,

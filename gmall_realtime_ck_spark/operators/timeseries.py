@@ -1,0 +1,275 @@
+"""Time-series & behavioral-sequence operators over the events table.
+
+Extends the reference's window family (tumbling/sliding/session —
+SURVEY §2.5, DWS window apps) with the shapes a warehouse team reaches
+for next: Flink-style CUMULATE windows (FlinkSQL's third TVF, absent
+from the reference's tumbling-only jobs), calendar gap-filling (the
+`WITH FILL` idiom of the reference's ClickHouse serving layer),
+session-scoped page-path transitions, and weekly cohort retention.
+
+Scale posture: every operator aggregates raw events FIRST (one keyed
+shuffle with map-side partials) and runs window functions only over the
+resulting aggregate (|days|×|types| or |users| rows), never over raw
+events — except the path transitions, whose per-user `lag` is the
+canonical sessionization shape (state bounded by one user's events per
+partition). Calendar spines come from 1-row min/max aggregates exploded
+driver-free via `sequence()` — no `collect`, no Python in any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import cents, date_str, ts_str
+
+#: CUMULATE geometry: 24 h span advancing in 6 h steps.
+CUMULATE_STEPS = 4
+CUMULATE_STEP_HOURS = 6
+
+#: session gap for path transitions — same 30 min the session-window
+#: queries use (relational.session_window_events)
+PATH_GAP_MINUTES = 30
+
+
+def win_cumulate_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Flink CUMULATE TVF re-expressed on Spark: each event lands in
+    every window [day_start, day_start + 6h·k) whose end lies after the
+    event — per day the 06/12/18/24 h expanding prefixes, the "GMV so
+    far today, refreshed every 6 h" readout the reference serves from
+    per-day ClickHouse partitions (SUGG:TradeStatsMapper.java GMV-today).
+
+    Plan: a 4-way `explode(sequence(...))` fan-out (pure map, ×4 rows)
+    followed by ONE keyed shuffle on (window-end, type) with map-side
+    partial aggregation — never a window function over raw events, and
+    cardinality after the shuffle is windows×types, not events.
+    """
+    ev = t["events"].select("ts", "event_type", "value")
+    step_us = CUMULATE_STEP_HOURS * 3_600_000_000
+    fan = ev.withColumn("day0", F.date_trunc("day", F.col("ts"))).withColumn(
+        # smallest k with window end k·step strictly after ts is
+        # floor(us_into_day / step_us) + 1 (exact-boundary events fall
+        # in the NEXT window, matching Flink's [start, end) assignment);
+        # ts is TIMESTAMP_NTZ — the LTZ cast is epoch-faithful under the
+        # session's UTC timezone (H6)
+        "k",
+        F.explode(
+            F.expr(
+                f"sequence(cast((unix_micros(cast(ts as timestamp)) - "
+                f"unix_micros(cast(day0 as timestamp))) div {step_us} as int) + 1, "
+                f"{CUMULATE_STEPS})"
+            )
+        ),
+    )
+    out = (
+        fan.withColumn(
+            "edt_ts",
+            F.expr(f"day0 + make_interval(0, 0, 0, 0, k * {CUMULATE_STEP_HOURS})"),
+        )
+        .groupBy("day0", "edt_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            ts_str("day0").alias("stt"),
+            ts_str("edt_ts").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_cents",
+        )
+    )
+    return out
+
+
+def ts_gap_fill_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Dense per-(type, day) daily series with zero-filled gaps and a
+    running total — the ClickHouse `GROUP BY ... WITH FILL` /
+    `ORDER BY dt WITH FILL` idiom of the reference's serving layer
+    (SUGG sugg-dashboards chart over days), which a plain GROUP BY
+    cannot produce (missing days simply vanish).
+
+    The calendar spine is `sequence(min_day, max_day)` exploded from a
+    single 1-row global aggregate and cross-joined with the distinct
+    type list (|days| × |types| rows — broadcast-sized at any corpus
+    scale, since days grow with TIME, not data volume). The running
+    total windows over the dense AGGREGATE, never raw events.
+    """
+    ev = t["events"].select(F.to_date("ts").alias("day"), "event_type", "value")
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("pv_ct"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+    # global calendar bounds as driver literals — the O(1)
+    # scalar-subquery execution (the rel_q22 / RFM pattern): a 2-value
+    # min/max collect, never data; the spine is then a join-free
+    # explode over the |types|-row aggregate
+    d0, d1 = t["events"].agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    if d0 is None:  # degenerate empty input: no calendar to fill
+        return ev.sparkSession.createDataFrame(
+            [], "event_type string, dt string, pv_ct bigint, value_cents bigint, cum_cents bigint"
+        )
+    types = ev.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(F.expr(f"sequence(date'{d0}', date'{d1}')")).alias("day"),
+    )
+    dense = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("pv_ct", F.lit(0)).alias("pv_ct"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dense.select(
+        "event_type",
+        date_str("day").alias("dt"),
+        "pv_ct",
+        "value_cents",
+        F.sum("value_cents").over(w).alias("cum_cents"),
+    )
+
+
+def path_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Page-path analysis: counts of consecutive event-type transitions
+    within a user's session (events ≤ 30 min apart) — the transition
+    matrix behind the traffic team's Sankey, computed from the same
+    per-mid keyed ordering the reference's visitor-repair keyed state
+    walks (DwdTrafficBaseLogSplit keyBy(mid)).
+
+    One `lag` window per user (the canonical sessionization shape —
+    state is one user's events, partition key is user_id, skew bounded
+    by the busiest single user), then a keyed count shuffle on the
+    (src, dst) pair with map-side partials.
+    """
+    ev = t["events"].select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {PATH_GAP_MINUTES} MINUTES")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts") <= F.col("prev_ts") + gap))
+    return steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.countDistinct("user_id").alias("uniq_users"),
+    )
+
+
+def cohort_weekly_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week; for each (cohort_week, week_offset) the distinct users active
+    that many weeks later — the classic growth readout one level up
+    from the reference's per-day UV windows (DwsTrafficVcChArIsNew).
+
+    Two aggregates over events (first-seen per user; distinct active
+    (user, week)) joined co-partitioned on user_id, then a keyed count
+    — every shuffle is on user_id or the (cohort, offset) pair, all
+    partial-aggregatable; nothing fact-sized is broadcast or windowed.
+    """
+    ev = t["events"].select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .groupBy(date_str("cohort_wk").alias("cohort_week"), "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "win_cumulate_counts": f"""
+        WITH fan AS (
+            SELECT date_trunc('day', ts) AS day0,
+                   unnest(generate_series(
+                       (epoch_us(ts - date_trunc('day', ts)) //
+                        ({CUMULATE_STEP_HOURS} * 3600000000))::INT + 1,
+                       {CUMULATE_STEPS})) AS k,
+                   event_type, value
+            FROM events
+        )
+        SELECT strftime(day0, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(day0 + to_hours(k * {CUMULATE_STEP_HOURS}),
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               COUNT(*) AS pv_ct,
+               SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM fan
+        GROUP BY day0, k, event_type
+    """,
+    "ts_gap_fill_daily": """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, COUNT(*) AS pv_ct,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events GROUP BY event_type, day
+        ), span AS (
+            SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+        ), days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+        ), spine AS (
+            SELECT t.event_type, days.day
+            FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        ), dense AS (
+            SELECT spine.event_type, spine.day,
+                   COALESCE(daily.pv_ct, 0)::BIGINT AS pv_ct,
+                   COALESCE(daily.value_cents, 0)::BIGINT AS value_cents
+            FROM spine LEFT JOIN daily
+              ON spine.event_type = daily.event_type AND spine.day = daily.day
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS dt, pv_ct, value_cents,
+               SUM(value_cents) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
+        FROM dense
+    """,
+    "path_transition_matrix": """
+        WITH steps AS (
+            SELECT user_id,
+                   lag(event_type) OVER w AS src,
+                   event_type AS dst,
+                   lag(ts) OVER w AS prev_ts,
+                   ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT src, dst, COUNT(*) AS transitions,
+               COUNT(DISTINCT user_id)::BIGINT AS uniq_users
+        FROM steps
+        WHERE prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTES
+        GROUP BY src, dst
+    """,
+    "cohort_weekly_retention": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ), first AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, wk FROM ev
+        )
+        SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+               (date_diff('day', cohort_wk, wk) // 7)::BIGINT AS week_offset,
+               COUNT(DISTINCT user_id)::BIGINT AS active_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY cohort_wk, week_offset
+    """,
+}
+
+BUILDERS = {
+    "win_cumulate_counts": win_cumulate_counts,
+    "ts_gap_fill_daily": ts_gap_fill_daily,
+    "path_transition_matrix": path_transition_matrix,
+    "cohort_weekly_retention": cohort_weekly_retention,
+}

@@ -201,6 +201,113 @@ def flow_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_sentineled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_file_stream plus two far-future sentinel files staged
+    behind the real data (one file per micro-batch via
+    maxFilesPerTrigger=1).
+
+    Outer-join null rows and final windows emit only when the watermark
+    PASSES them, and the watermark for batch N is computed from data
+    seen through batch N-1 — so a bounded single-batch run can never
+    flush its own tail. The sentinels (user_id = -1, one event of each
+    joined type, ts far beyond the data) advance the watermark over all
+    real rows in batch 2 and trigger the final state eviction in batch
+    3 — the bounded-run equivalent of the reference jobs' idle-source
+    watermark advance (DwdTradeOrderDetail.java withIdleness). All real
+    data rides batch 1, so nothing is ever late-dropped and the result
+    is deterministic. Sentinel rows are filtered out downstream by
+    user_id.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = _as_stream_dir(path)
+
+    arrow_schema = pq.read_schema(path)
+    ts_field = arrow_schema.field("ts")
+    tmax = pq.read_table(path, columns=["ts"])["ts"]
+    import pyarrow.compute as pc
+
+    far = []
+    for bump_days in (30, 31):
+        if pa.types.is_timestamp(ts_field.type):
+            unit = {"s": 1, "ms": 1000, "us": 1_000_000, "ns": 1_000_000_000}[
+                ts_field.type.unit
+            ]
+            base = pc.max(tmax.cast(pa.int64())).as_py()
+            far.append(pa.scalar(base + bump_days * 86400 * unit, pa.int64()).cast(ts_field.type))
+        else:  # TIMESTAMP(NANOS) refreshes read ts as a raw int64
+            base = pc.max(tmax).as_py()
+            far.append(pa.scalar(base + bump_days * 86400 * 10**9, ts_field.type))
+
+    now = os.path.getmtime(os.path.join(d, os.path.basename(path)))
+    for i, ts_val in enumerate(far):
+        rows = {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([ts_val.as_py()] * 2, ts_field.type),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["view", "purchase"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+        sp = os.path.join(d, f"zz_sentinel_{i}.parquet")
+        pq.write_table(
+            pa.table({f.name: rows[f.name] for f in arrow_schema}, schema=arrow_schema), sp
+        )
+        os.utime(sp, (now + 100 + i * 100, now + 100 + i * 100))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def flow_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 streaming — watermarked stream-stream LEFT OUTER interval
+    join: every view, with the purchase it led to within the following
+    hour or NULL. The reference's left join emits Flink retractions
+    (SURVEY §2.4 J2, DwdTradeOrderDetail's left joins); Structured
+    Streaming instead holds the unmatched row in state and emits it
+    exactly once, after the watermark passes its match horizon — the
+    sentinel batches (see _events_stream_sentineled) drive that horizon
+    past all real data, so the bounded result equals the batch left
+    join and the SQL oracle applies verbatim.
+    """
+    ev = _events_stream_sentineled(spark, sf_dir)
+
+    def typed(df, event_type):
+        return df.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(f"{event_type}_id"),
+            F.col("user_id").alias(f"{event_type}_user"),
+            F.col("ts").alias(f"{event_type}_ts"),
+        )
+
+    v = typed(ev, "view").withWatermark("view_ts", "10 minutes")
+    p = typed(ev, "purchase").withWatermark("purchase_ts", "10 minutes")
+    cond = (
+        (F.col("view_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = v.join(p, cond, "leftOuter").select(
+        F.col("view_id"),
+        F.col("purchase_id"),
+        F.col("view_user").alias("user_id"),
+    )
+    return _run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
+
+
 def flow_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows as a live stream (complete mode ⇒ equals the
     batch result, same oracle): per-user 30-min-gap sessions — the
@@ -345,6 +452,7 @@ STREAM_BUILDERS = {
     "flow_dedup_first": flow_dedup_first,  # rows-only: arrival-order pick
     "flow_keyword_pipeline": flow_keyword_pipeline,  # rows-only: fixture input
     "flow_interval_join": flow_interval_join,
+    "flow_left_outer": flow_left_outer,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -376,6 +484,15 @@ def stream_oracles() -> dict[str, str]:
                    COUNT(*) AS register_ct
             FROM events WHERE event_type = 'signup'
             GROUP BY 1, 2, 3
+        """,
+        "flow_left_outer": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL '1 hour'
         """,
         "flow_interval_join": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,

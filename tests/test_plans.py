@@ -390,3 +390,44 @@ def test_neardup_scoped_gemm_and_broadcast(tables):
     assert "FlatMapGroupsInPandas" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_cumulate_single_keyed_shuffle(tables):
+    """CUMULATE = explode fan-out (pure map, ×4 rows) + ONE keyed
+    aggregation shuffle with map-side partials — never a window
+    function over raw events."""
+    p = plan_of(tables, "win_cumulate_counts")
+    assert "Window" not in p
+    assert "Generate explode" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_gap_fill_windows_over_aggregate_only(tables):
+    """The calendar spine must be hash-joined (broadcast, no nested
+    loop), and the running total must sort the dense AGGREGATE, never
+    raw events: every Sort sits above a HashAggregate, and the only
+    exchanges are the keyed aggregation shuffles."""
+    p = plan_of(tables, "ts_gap_fill_daily")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p  # running total over the dense aggregate
+
+
+def test_zorder_topk_never_global_sorts(tables):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge of 200-row heads), not a global Sort of the
+    fact table."""
+    p = plan_of(tables, "layout_zorder_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_perplexity_model_joins_are_keyed(tables):
+    """The bigram-LM score join must be a keyed hash join on
+    (lang, bigram) — the corpus is never broadcast (only the |langs|-row
+    vocab table is), and no window function appears anywhere."""
+    p = plan_of(tables, "doc_perplexity_bigram")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
