@@ -234,6 +234,60 @@ def bigram_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: PSI doc-length bucketing: bucket = min(n_chars // PSI_BUCKET_CHARS, PSI_BUCKETS-1)
+PSI_BUCKETS = 10
+PSI_BUCKET_CHARS = 200
+
+
+def corpus_drift_psi(t: dict[str, DataFrame]) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of each
+    source's doc-length distribution against the whole corpus — the
+    screen a data pipeline runs per ingest batch to catch a source
+    silently changing shape (truncation bugs, boilerplate floods)
+    before it skews the training mix.
+
+    PSI_s = Σ_b (p_sb − q_b)·ln(p_sb/q_b) over fixed-width length
+    deciles, add-1-smoothed so empty buckets stay finite. Integer
+    bucketing (no percentile pass) keeps it one scan: a (source,
+    bucket) keyed count, totals derived by re-aggregating that tiny
+    frame, and the ≤PSI_BUCKETS-row corpus distribution broadcast back.
+    Nothing corpus-sized moves after the first map-side-combined count.
+    """
+    docs = t["documents"]
+    b = F.least(
+        (F.col("n_chars") / PSI_BUCKET_CHARS).cast("bigint"), F.lit(PSI_BUCKETS - 1)
+    )
+    counts = docs.groupBy("source", b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    # densify over the FIXED bucket domain 0..PSI_BUCKETS-1 (join-free
+    # explode of a literal sequence over the |sources|-row aggregate),
+    # add-1 smoothing
+    dense = counts.select("source").distinct().select(
+        "source",
+        F.explode(F.expr(f"sequence(0L, {PSI_BUCKETS - 1}L)")).alias("bucket"),
+    )
+    dense = dense.join(counts, ["source", "bucket"], "left").select(
+        "source", "bucket", (F.coalesce("ct", F.lit(0)) + 1).alias("ct")
+    )
+    src_tot = dense.groupBy("source").agg(F.sum("ct").alias("s_tot"))
+    all_b = dense.groupBy("bucket").agg(F.sum("ct").alias("b_ct"))
+    all_tot = dense.agg(F.sum("ct").alias("g_tot"))
+    g_tot = float(all_tot.first()[0])  # O(1) scalar (rel_q22 pattern)
+    scored = (
+        dense.join(src_tot, "source")
+        .join(F.broadcast(all_b), "bucket")
+        .select(
+            "source",
+            (
+                (F.col("ct") / F.col("s_tot") - F.col("b_ct") / F.lit(g_tot))
+                * F.log((F.col("ct") / F.col("s_tot")) / (F.col("b_ct") / F.lit(g_tot)))
+            ).alias("term"),
+        )
+    )
+    return scored.groupBy("source").agg(F.round(F.sum("term"), 6).alias("psi"))
+
+
 def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
     """Perplexity filtering — the quality screen CCNet/Gopher run with a
     KenLM model, here with a corpus-trained Laplace-smoothed bigram LM
@@ -639,6 +693,31 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
         GROUP BY doc_id, dim
     """,
+    "corpus_drift_psi": f"""
+        WITH counts AS (
+            SELECT source, least(n_chars // {PSI_BUCKET_CHARS}, {PSI_BUCKETS - 1}) AS bucket,
+                   COUNT(*) AS ct
+            FROM documents GROUP BY source, bucket
+        ), dense AS (
+            SELECT s.source, b.bucket, COALESCE(c.ct, 0) + 1 AS ct
+            FROM (SELECT DISTINCT source FROM counts) s
+            CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket) b
+            LEFT JOIN counts c ON c.source = s.source AND c.bucket = b.bucket
+        ), src_tot AS (
+            SELECT source, SUM(ct) AS s_tot FROM dense GROUP BY source
+        ), all_b AS (
+            SELECT bucket, SUM(ct) AS b_ct FROM dense GROUP BY bucket
+        ), g AS (
+            SELECT SUM(ct)::DOUBLE AS g_tot FROM dense
+        )
+        SELECT d.source,
+               round(SUM((d.ct / t.s_tot - a.b_ct / g.g_tot) *
+                         ln((d.ct / t.s_tot) / (a.b_ct / g.g_tot))), 6) AS psi
+        FROM dense d
+        JOIN src_tot t ON d.source = t.source
+        JOIN all_b a ON d.bucket = a.bucket, g
+        GROUP BY d.source
+    """,
     "doc_perplexity_bigram": f"""
         WITH tk0 AS (
             SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
@@ -739,6 +818,7 @@ BUILDERS = {
     "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "text_bigram_topk": bigram_topk,
     "doc_perplexity_bigram": doc_perplexity_bigram,
+    "corpus_drift_psi": corpus_drift_psi,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
     "text_feature_hashing": feature_hashing,

@@ -44,7 +44,15 @@ def win_cumulate_counts(t: dict[str, DataFrame]) -> DataFrame:
     partial aggregation — never a window function over raw events, and
     cardinality after the shuffle is windows×types, not events.
     """
-    ev = t["events"].select("ts", "event_type", "value")
+    return cumulate_counts(t["events"])
+
+
+def cumulate_counts(events: DataFrame) -> DataFrame:
+    """Shared batch/stream CUMULATE transform (see win_cumulate_counts;
+    streaming twin: streaming.pipelines.flow_cumulate). The explode is
+    stateless, so the same code runs on a stream; only the final
+    aggregation becomes stateful there (complete mode)."""
+    ev = events.select("ts", "event_type", "value")
     step_us = CUMULATE_STEP_HOURS * 3_600_000_000
     fan = ev.withColumn("day0", F.date_trunc("day", F.col("ts"))).withColumn(
         # smallest k with window end k·step strictly after ts is

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import load_tables
 from .operators import (
     behavior,
+    graph,
     dedup,
     layout,
     multimodal,
@@ -32,6 +33,7 @@ from .operators import (
 _MODULES = [
     behavior,
     timeseries,
+    graph,
     relational,
     relational_tpch,
     stateful,
@@ -144,6 +146,9 @@ _PRIORITY_HEAD = [
     "doc_perplexity_bigram",
     "layout_zorder_orders",
     "flow_left_outer",
+    "corpus_drift_psi",
+    "graph_pagerank",
+    "flow_cumulate",
     # Touched this round (near-dup chain sharing) — re-verify:
     "text_minhash_lsh_pairs",
     "text_ngram_jaccard_pairs",
@@ -160,15 +165,14 @@ _PRIORITY_HEAD = [
     "trade_conditional_delta",
     "trade_interval_join",
     "trade_left_outer_orders",
-    "trade_lookup_join_dim",
-    "trade_cart_add_uu",
-    "trade_gmv_rollup",
     # (round-4 rotation: traffic_daily_uv, traffic_event_pivot,
     # traffic_keyword_count, traffic_log_split,
     # traffic_new_visitor_repair, table_config_routed_split,
-    # table_dedup_first_per_key moved past the window — all r1-green
-    # under these exact names and continuously covered by the local
-    # DuckDB gate — to make room for the seven round-4 queries above.)
+    # table_dedup_first_per_key, trade_lookup_join_dim,
+    # trade_cart_add_uu, trade_gmv_rollup moved past the window — all
+    # r1-green under these exact names and continuously covered by the
+    # local DuckDB gate — to make room for the ten round-4 queries
+    # above.)
 ]
 
 

@@ -333,6 +333,19 @@ def flow_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def flow_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windows as a live stream — the geometry Flink's
+    CUMULATE TVF actually serves ("GMV so far today", refreshed every
+    step): the shared batch transform's explode fan-out is stateless,
+    so it runs unchanged on the stream; the windowed aggregation runs
+    in complete mode, whose final table equals the batch result ⇒ the
+    batch oracle applies verbatim."""
+    from ..operators.timeseries import cumulate_counts
+
+    ev = events_file_stream(spark, sf_dir)
+    return _run_to_memory(cumulate_counts(ev), "complete")
+
+
 def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the driver's documents table — the
     streaming-ingest shape of a training-corpus pipeline (new shards
@@ -453,6 +466,7 @@ STREAM_BUILDERS = {
     "flow_keyword_pipeline": flow_keyword_pipeline,  # rows-only: fixture input
     "flow_interval_join": flow_interval_join,
     "flow_left_outer": flow_left_outer,
+    "flow_cumulate": flow_cumulate,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -467,7 +481,10 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.stateful import ORACLES as ST
     from ..operators.text import ORACLES as TXT
 
+    from ..operators.timeseries import ORACLES as TS
+
     return {
+        "flow_cumulate": TS["win_cumulate_counts"],
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],

@@ -143,3 +143,63 @@ def test_serving_endpoints(spark, tmp_path):
     )
     top = serving.channel_uv_topk(tw, "2024-11-24", limit=1).collect()
     assert top[0]["ch"] == "web"
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tables, tmp_path):
+    """The z-ordered layout must give parquet-footer pruning on BOTH
+    clustered columns; a 1-D date-sorted layout of the same data gives
+    it on the date only (every file spans the full custkey range).
+    Mechanical check over the written files' row-group statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    orders = tables["orders"].withColumn(
+        "day_i",
+        F.expr("cast(unix_micros(cast(o_orderdate as timestamp)) div 86400000000 as bigint)"),
+    ).select("o_orderkey", "o_custkey", "day_i")
+
+    zpath, dpath = str(tmp_path / "zord"), str(tmp_path / "dsort")
+    layout.write_zordered(orders, zpath, "o_custkey", "day_i", n_files=8)
+    orders.repartitionByRange(8, "day_i").sortWithinPartitions("day_i").write.mode(
+        "overwrite"
+    ).parquet(dpath)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                out.append((min(los), max(his)))
+        return out
+
+    lo_c, hi_c = [
+        int(x) for x in orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    ]
+    mid_c = (lo_c + hi_c) // 2
+    pred = (lo_c, mid_c // 2)  # bottom-quarter custkey band
+
+    def hits(ranges, lo, hi):
+        return sum(1 for flo, fhi in ranges if not (fhi < lo or flo > hi))
+
+    z_c = file_ranges(zpath, "o_custkey")
+    d_c = file_ranges(dpath, "o_custkey")
+    assert len(z_c) >= 4 and len(d_c) >= 4
+    # 1-D date layout: custkey predicate prunes nothing
+    assert hits(d_c, *pred) == len(d_c)
+    # z-order: the same predicate must prune at least one file
+    assert hits(z_c, *pred) < len(z_c)
+    # and the date dimension must still prune on the z layout too
+    lo_d, hi_d = [int(x) for x in orders.agg(F.min("day_i"), F.max("day_i")).first()]
+    mid_d = (lo_d + hi_d) // 2
+    z_d = file_ranges(zpath, "day_i")
+    assert hits(z_d, lo_d, (lo_d + mid_d) // 2) < len(z_d)
+    # round-trip integrity: same rows
+    assert spark.read.parquet(zpath).count() == orders.count()

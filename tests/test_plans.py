@@ -431,3 +431,24 @@ def test_perplexity_model_joins_are_keyed(tables):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_psi_nothing_fact_sized_moves(tables):
+    """After the first map-side-combined (source, bucket) count, the
+    PSI pipeline operates on ≤ |sources|×PSI_BUCKETS rows: no window,
+    no nested loop, the corpus distribution joins back as a broadcast."""
+    p = plan_of(tables, "corpus_drift_psi")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_iterations_are_keyed_joins(tables):
+    """Each PageRank iteration must be a keyed edge⋈rank hash join +
+    keyed aggregation — no broadcast of the edge list, no nested loop,
+    no window anywhere."""
+    p = plan_of(tables, "graph_pagerank")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
