@@ -156,7 +156,93 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: attribution lookback — a purchase credits its last touch only if the
+#: touch happened within this window, else it counts as 'direct'
+ATTR_WINDOW = "7 DAYS"
+
+
+def attr_last_touch(t: dict[str, DataFrame]) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the most
+    recent preceding click/view by the same user within a 7-day
+    lookback (else 'direct'), then attributed purchase counts and
+    cents roll up per channel — the marketing readout one level up
+    from the reference's per-channel traffic windows
+    (DwsTrafficVcChArIsNewPageViewWindow's ch dimension).
+
+    Plan: ONE per-user ordered window (`last(..., ignorenulls)` over
+    preceding rows) walks each user's merged touch/purchase timeline —
+    the same bounded-by-one-user sessionization shape as
+    ``path_transition_matrix`` — followed by one tiny keyed count on
+    the channel. No self-join of events against events, so there is no
+    touches×purchases blow-up at scale.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"].filter(F.col("event_type").isin("click", "view", "purchase"))
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        cents("value").alias("v"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("touch"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    en = base.select(
+        "event_type",
+        "ts",
+        "v",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    channel = F.coalesce(
+        F.when(
+            F.col("last_touch_ts").isNotNull()
+            & (F.col("ts") <= F.col("last_touch_ts") + F.expr(f"INTERVAL {ATTR_WINDOW}")),
+            F.col("last_touch"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        en.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "v")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum("v").alias("attributed_cents"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "attr_last_touch": """
+        WITH base AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type <> 'purchase' THEN event_type END AS touch,
+                   CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts
+            FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        ), en AS (
+            SELECT event_type, ts, v,
+                   last_value(touch IGNORE NULLS) OVER w AS last_touch,
+                   last_value(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT COALESCE(CASE WHEN last_touch_ts IS NOT NULL
+                              AND ts <= last_touch_ts + INTERVAL 7 DAYS
+                             THEN last_touch END, 'direct') AS channel,
+               COUNT(*)::BIGINT AS purchases,
+               SUM(v)::BIGINT AS attributed_cents
+        FROM en WHERE event_type = 'purchase'
+        GROUP BY channel
+    """,
     "funnel_conversion": """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events
@@ -228,4 +314,5 @@ BUILDERS = {
     "funnel_conversion": funnel_conversion,
     "user_rfm_segments": user_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
+    "attr_last_touch": attr_last_touch,
 }

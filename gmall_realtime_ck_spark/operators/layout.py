@@ -266,7 +266,33 @@ def layout_zorder_orders(t: dict[str, DataFrame]) -> DataFrame:
     return keyed.orderBy("zkey", "o_orderkey").limit(200)
 
 
+def agg_salted_event_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """The salted two-stage aggregate as a first-class query: per-type
+    event counts and cents totals computed through ``salted_aggregate``
+    — results identical to the plain groupBy (the oracle IS the plain
+    groupBy), but a hot event_type spreads over 16 reducers in stage 1
+    instead of melting one. The event_type domain here is tiny, which
+    is exactly the regime where groupBy skew bites at 100 TB: ~5 keys
+    over 1000 executors means single-reducer hot spots without the
+    salt; AQE rebalances joins but not groupBy skew.
+    """
+    from .relational import cents
+
+    ev = t["events"].select("event_type", cents("value").alias("v"))
+    out = salted_aggregate(ev, ["event_type"], {"v": "sum", "event_type": "count"})
+    return out.select(
+        "event_type",
+        F.col("count_event_type").alias("n_events"),
+        F.col("sum_v").alias("value_cents"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "agg_salted_event_stats": """
+        SELECT event_type, COUNT(*)::BIGINT AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM events GROUP BY event_type
+    """,
     "layout_zorder_orders": f"""
         SELECT o_orderkey, o_custkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_date,
@@ -288,6 +314,7 @@ ORACLES: dict[str, str] = {
 BUILDERS = {
     "asof_view_before_purchase": asof_view_before_purchase,
     "layout_zorder_orders": layout_zorder_orders,
+    "agg_salted_event_stats": agg_salted_event_stats,
 }
 
 

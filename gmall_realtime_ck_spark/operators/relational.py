@@ -1396,7 +1396,100 @@ def rel_sales_cube(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def table_cdc_snapshot_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC upsert-merge to a current-state snapshot: replay a
+    deterministic insert/update/delete envelope stream (synthesized
+    from ``orders`` the way ``_refund_envelopes`` synthesizes Maxwell
+    rows) down to one latest row per key, dropping keys whose final op
+    is a delete — the batch equivalent of the reference's upsert-kafka
+    materialization (FlinkSinkUtil.getUpsertKafkaSink, SURVEY §2.2 K3)
+    and of a Hudi/Delta MERGE INTO compaction.
+
+    Plan: the envelope legs are map-only unions; the merge is ONE
+    aggregation keyed on order key using a partial-aggregatable
+    ``max_by(payload, struct(ts, seq))`` argmax — deliberately NOT a
+    row_number window, so a key with a billion versions collapses
+    map-side instead of single-reducer sorting. Version counts ride
+    the same agg.
+    """
+    o = t["orders"]
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("ts0"),
+        F.col("o_orderstatus").alias("status0"),
+        cents("o_totalprice").alias("cents0"),
+    )
+    ins = base.select(
+        "key", F.lit("insert").alias("op"), F.lit(1).alias("seq"),
+        F.col("ts0").alias("ts"), F.col("status0").alias("status"),
+        F.col("cents0").alias("total_cents"),
+    )
+    upd1 = base.filter(F.col("key") % 3 == 0).select(
+        "key", F.lit("update").alias("op"), F.lit(2).alias("seq"),
+        (F.col("ts0") + F.expr("INTERVAL 3 DAYS")).alias("ts"),
+        F.lit("P2").alias("status"),
+        (F.col("cents0") + 500).alias("total_cents"),
+    )
+    upd2 = base.filter(F.col("key") % 6 == 0).select(
+        "key", F.lit("update").alias("op"), F.lit(3).alias("seq"),
+        (F.col("ts0") + F.expr("INTERVAL 6 DAYS")).alias("ts"),
+        F.lit("F2").alias("status"),
+        (F.col("cents0") + 700).alias("total_cents"),
+    )
+    dels = base.filter(F.col("key") % 7 == 0).select(
+        "key", F.lit("delete").alias("op"), F.lit(9).alias("seq"),
+        (F.col("ts0") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("bigint").alias("total_cents"),
+    )
+    ops = ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
+    merged = ops.groupBy("key").agg(
+        F.expr(
+            "max_by(struct(op, status, total_cents, ts), struct(ts, seq))"
+        ).alias("last"),
+        F.count(F.lit(1)).alias("version_ct"),
+    )
+    return merged.filter(F.col("last.op") != "delete").select(
+        F.col("key").alias("o_orderkey"),
+        F.col("last.status").alias("final_status"),
+        F.col("last.total_cents").alias("total_cents"),
+        "version_ct",
+        ts_str(F.col("last.ts")).alias("last_ts"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "table_cdc_snapshot_merge": """
+        WITH base AS (
+            SELECT o_orderkey AS key, o_orderdate::TIMESTAMP AS ts0,
+                   o_orderstatus AS status0,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents0
+            FROM orders
+        ), ops AS (
+            SELECT key, 'insert' AS op, 1 AS seq, ts0 AS ts,
+                   status0 AS status, cents0 AS total_cents FROM base
+            UNION ALL
+            SELECT key, 'update', 2, ts0 + INTERVAL 3 DAY, 'P2', cents0 + 500
+            FROM base WHERE key % 3 = 0
+            UNION ALL
+            SELECT key, 'update', 3, ts0 + INTERVAL 6 DAY, 'F2', cents0 + 700
+            FROM base WHERE key % 6 = 0
+            UNION ALL
+            SELECT key, 'delete', 9, ts0 + INTERVAL 10 DAY, NULL, NULL
+            FROM base WHERE key % 7 = 0
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY ts DESC, seq DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY key) AS version_ct
+            FROM ops
+        )
+        SELECT key AS o_orderkey, status AS final_status, total_cents,
+               version_ct::BIGINT AS version_ct,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
     "rel_q16_supplier_variety": """
         SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
@@ -1966,6 +2059,7 @@ BUILDERS = {
     "serving_topk_channel": serving_topk_channel,
     "traffic_log_split": traffic_log_split,
     "table_config_routed_split": table_config_routed_split,
+    "table_cdc_snapshot_merge": table_cdc_snapshot_merge,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

@@ -267,11 +267,52 @@ def sample_mixture_resample(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 15  # max documents kept per source domain
+
+
+def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-domain quota sampling: keep at most DOMAIN_CAP documents per
+    source, chosen by content-hash order (md5 of text, doc_id
+    tie-break) — the "no single domain dominates the mixture" guard
+    every web-corpus pipeline applies (C4 caps pages per domain;
+    Gopher/MassiveText dedups then caps). Hash order makes the quota a
+    deterministic uniform sample of the domain rather than
+    "first-N-crawled" bias.
+
+    Scale: ONE shuffle keyed on source for the rank. The ordering key
+    is a uniform hash, so the per-domain sort spills-friendly
+    sort-aggregates; for mega-domains (a single source at petabyte
+    scale) the two-phase alternative — per-partition top-CAP via the
+    space-saving shape, then a global merge of |partitions|·CAP rows —
+    drops in without changing results; at the declared CAP the window
+    is the simpler, equally-correct plan.
+    """
+    docs = t["documents"]
+    h = F.expr(H28_SPARK.format(c="text")).alias("h")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rank")
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
+    "sample_domain_cap": f"""
+        SELECT doc_id, source, rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {H28_DUCK.format(c='text')} ASC, doc_id ASC
+                   )::BIGINT AS rank
+            FROM documents
+        ) WHERE rank <= {DOMAIN_CAP}
+    """,
     "sample_mixture_resample": f"""
         WITH per_source AS (
             SELECT source, COUNT(*)::BIGINT AS n_source FROM documents GROUP BY source
@@ -404,4 +445,5 @@ BUILDERS = {
     "stratified_sample": stratified_sample,
     "source_overlap": source_overlap,
     "sample_mixture_resample": sample_mixture_resample,
+    "sample_domain_cap": sample_domain_cap,
 }

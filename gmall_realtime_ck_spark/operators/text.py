@@ -570,7 +570,155 @@ def corpus_inverted_index(t: dict[str, DataFrame], min_df: int = 5, max_postings
     )
 
 
+#: space-saving sketch capacity per partition — must be ≥ HH_K for the
+#: superset guarantee (untracked ⇒ partition count ≤ n_p/capacity).
+HH_CAPACITY = 512
+#: heavy-hitter threshold: a token is heavy iff count * HH_K > total.
+HH_K = 200
+
+
+def _space_saving_candidates(toks: DataFrame, capacity: int = HH_CAPACITY) -> DataFrame:
+    """Phase-1 bounded-memory candidate generation (space-saving /
+    stream-summary, Metwally et al. 2005): each partition keeps at most
+    ``capacity`` counters; a new token evicts the minimum counter and
+    inherits its count. Guarantee: every token whose partition-local
+    count exceeds n_p/capacity is still tracked when the partition
+    drains, so the union of per-partition survivors is a superset of
+    all global φ-heavy hitters with φ = 1/capacity ≥ 1/HH_K — no matter
+    how large the vocabulary grows. Arrow batches are pre-reduced with
+    ``value_counts`` so the Python dict work is per-distinct-token, not
+    per-row.
+    """
+    import pandas as pd
+
+    def sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for token, w in pdf["token"].value_counts().items():
+                w = int(w)
+                if token in counters:
+                    counters[token] += w
+                elif len(counters) < capacity:
+                    counters[token] = w
+                else:
+                    victim = min(counters, key=counters.get)
+                    floor = counters.pop(victim)
+                    counters[token] = floor + w
+        yield pd.DataFrame({"token": list(counters)})
+
+    return toks.mapInPandas(sketch, "token string")
+
+
+def corpus_heavy_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact φ-heavy-hitters over the corpus vocabulary (φ = 1/HH_K):
+    tokens whose count clears total/HH_K, with exact counts and permille
+    share. Two-phase: a bounded-memory space-saving sketch per partition
+    nominates candidates (superset guarantee, see
+    ``_space_saving_candidates``), then ONE exact recount restricted to
+    the candidate set via a broadcast semi join confirms or rejects
+    each. The final numbers are exact — the sketch only prunes.
+
+    Scale: the groupBy that would otherwise shuffle one row per
+    distinct token (vocabulary-sized — billions of keys at 100 TB)
+    instead shuffles only rows matching ≤ capacity·partitions
+    candidates; sketch output is O(capacity) rows per partition
+    regardless of input size. The corpus is scanned twice (sketch +
+    recount) — a deliberate trade of a cheap rescan for a bounded
+    shuffle.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    from pyspark.sql import Window
+
+    cands = _space_saving_candidates(toks).distinct()
+    # Non-candidates collapse into one sentinel bucket so the SAME
+    # aggregate yields both exact candidate counts and the true corpus
+    # total (window-summed over ≤|candidates|+1 rows). The sentinel is
+    # a hot key by construction — harmless, because count(1) partial-
+    # aggregates map-side: each mapper emits one sentinel row.
+    bucketed = toks.join(
+        F.broadcast(cands.withColumn("_c", F.lit(1))), "token", "left"
+    ).select(
+        F.when(F.col("_c") == 1, F.col("token")).otherwise(F.lit("\x00other")).alias("token")
+    )
+    counts = bucketed.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    total = F.sum("ct").over(Window.partitionBy())
+    return (
+        counts.withColumn("total", total)
+        .filter((F.col("token") != "\x00other") & (F.col("ct") * HH_K > F.col("total")))
+        .select(
+            "token",
+            "ct",
+            F.expr("ct * 1000 div total").alias("share_permille"),
+        )
+    )
+
+
+#: fixed hashed-feature weight: pseudo-random integer milliweight in
+#: [-1000, 1000], derived from the dimension index (Knuth multiplicative
+#: constant) — identical closed form on both engines.
+_CLF_W = "({d} * 2654435761) % 2001 - 1000"
+
+
+def doc_quality_classifier(t: dict[str, DataFrame]) -> DataFrame:
+    """fastText-style linear quality classifier inference as pure
+    column algebra: hash each token into HASH_DIM buckets (the
+    ``text_feature_hashing`` transform), score a document as the sum of
+    per-token integer milliweights from a fixed weight table, keep iff
+    the logit is positive. Stand-in for the quality classifiers used to
+    filter web corpora (GPT-3 appendix A; CCNet arXiv:1911.00359) with
+    a deterministic weight vector so both engines agree bit-for-bit.
+
+    Scale: model inference never leaves the JVM — the weight "table" is
+    a closed-form expression on the hashed dimension, so scoring is one
+    explode + ONE partial-aggregatable sum keyed on doc_id; no Python,
+    no weight broadcast, no division (integer logits only).
+    """
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    hashed = tok.withColumn(
+        "dim", F.expr(H28_SPARK.format(c="token")) % HASH_DIM
+    )
+    logit = F.sum(F.expr(_CLF_W.format(d="dim"))).alias("logit")
+    return (
+        hashed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), logit)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit",
+            (F.col("logit") > 0).cast("bigint").alias("keep"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "corpus_heavy_tokens": f"""
+        WITH tok AS (
+            SELECT unnest({TOKENS_DUCK.format(c='text')}) AS token FROM documents
+        ), tot AS (
+            SELECT COUNT(*) AS total FROM tok
+        ), c AS (
+            SELECT token, COUNT(*)::BIGINT AS ct FROM tok GROUP BY token
+        )
+        SELECT token, ct, (ct * 1000 // total)::BIGINT AS share_permille
+        FROM c, tot WHERE ct * {HH_K} > total
+    """,
+    "doc_quality_classifier": f"""
+        WITH h AS (
+            SELECT doc_id, ({H28_DUCK.format(c='token')} % {HASH_DIM}) AS dim
+            FROM (SELECT doc_id, unnest({TOKENS_DUCK.format(c='text')}) AS token
+                  FROM documents)
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               SUM({_CLF_W.format(d='dim')})::BIGINT AS logit,
+               (SUM({_CLF_W.format(d='dim')}) > 0)::BIGINT AS keep
+        FROM h GROUP BY doc_id
+    """,
     "corpus_inverted_index": f"""
         WITH tok AS (
             SELECT DISTINCT doc_id, unnest({TOKENS_DUCK.format(c='text')}) AS token
@@ -821,6 +969,8 @@ BUILDERS = {
     "corpus_drift_psi": corpus_drift_psi,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
+    "corpus_heavy_tokens": corpus_heavy_tokens,
+    "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
     "text_span_dedup": text_span_dedup,

@@ -199,7 +199,65 @@ def cohort_weekly_retention(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ts_ohlc_hourly(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly OHLC downsample of the event value series per type — the
+    hypertable/materialized-rollup readout (TimescaleDB continuous
+    aggregates; the reference's ClickHouse serving layer pre-aggregates
+    the same way per day). Open/close pick the value at the earliest/
+    latest (ts, event_id) in the bucket; high/low/sum/count are plain
+    extrema. All values in exact integer cents.
+
+    Scale: ONE keyed shuffle on (type, hour). Open/close are
+    ``min_by``/``max_by`` over a struct ordering key — partial-
+    aggregatable argmin/argmax that combines map-side, deliberately NOT
+    a row_number window over raw events (which would sort every bucket
+    on one reducer). Output cardinality is |types|×|hours|, independent
+    of event volume.
+    """
+    ev = t["events"].select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        cents("value").alias("v"),
+        "ts",
+        "event_id",
+    )
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", "hr")
+        .agg(
+            F.expr("min_by(v, struct(ts, event_id))").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.expr("max_by(v, struct(ts, event_id))").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            ts_str("hr").alias("hour"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_ohlc_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               first(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id) AS open_cents,
+               MAX(CAST(round(value * 100) AS BIGINT)) AS high_cents,
+               MIN(CAST(round(value * 100) AS BIGINT)) AS low_cents,
+               last(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id) AS close_cents,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
     "win_cumulate_counts": f"""
         WITH fan AS (
             SELECT date_trunc('day', ts) AS day0,
@@ -280,4 +338,5 @@ BUILDERS = {
     "ts_gap_fill_daily": ts_gap_fill_daily,
     "path_transition_matrix": path_transition_matrix,
     "cohort_weekly_retention": cohort_weekly_retention,
+    "ts_ohlc_hourly": ts_ohlc_hourly,
 }

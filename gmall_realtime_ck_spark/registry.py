@@ -149,22 +149,28 @@ _PRIORITY_HEAD = [
     "corpus_drift_psi",
     "graph_pagerank",
     "flow_cumulate",
-    # Touched this round (near-dup chain sharing) — re-verify:
+    # New round-5 operators (heavy hitters, classifier inference,
+    # domain cap, OHLC rollup, attribution, CDC merge, salted agg):
+    "corpus_heavy_tokens",
+    "doc_quality_classifier",
+    "sample_domain_cap",
+    "ts_ohlc_hourly",
+    "attr_last_touch",
+    "table_cdc_snapshot_merge",
+    "agg_salted_event_stats",
+    # Touched by the round-3 near-dup chain sharing — re-verify:
     "text_minhash_lsh_pairs",
     "text_ngram_jaccard_pairs",
     "text_neardup_drop_list",
     "text_clean_manifest",
-    "text_dedup_exact",
     "simhash_docs",
-    "text_doc_fingerprint",
-    # r1-green under their r1 names, rotated out of the r2 window —
-    # re-verify under the current names (regression hygiene; the local
-    # DuckDB gate has covered them continuously):
-    "trade_status_filter",
-    "trade_cdc_projection",
-    "trade_conditional_delta",
-    "trade_interval_join",
-    "trade_left_outer_orders",
+    # (round-5 rotation: text_doc_fingerprint, text_dedup_exact,
+    # trade_status_filter, trade_cdc_projection,
+    # trade_conditional_delta, trade_interval_join,
+    # trade_left_outer_orders moved past the window for the seven new
+    # queries above — all green in r1 under earlier names (rename map
+    # in COVERAGE.md) and continuously covered by the local DuckDB
+    # gate.)
     # (round-4 rotation: traffic_daily_uv, traffic_event_pivot,
     # traffic_keyword_count, traffic_log_split,
     # traffic_new_visitor_repair, table_config_routed_split,

@@ -452,3 +452,64 @@ def test_pagerank_iterations_are_keyed_joins(tables):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_heavy_tokens_recount_is_broadcast_bucketed(tables):
+    """Phase-2 of corpus_heavy_tokens must mark candidates via a
+    BROADCAST join (candidates are O(capacity·partitions) by
+    construction) and collapse everything else into the sentinel bucket
+    BEFORE the keyed count — so the exact recount shuffles at most
+    |candidates|+1 keys with map-side partials, never the vocabulary.
+    The global-total window runs over that bounded aggregate only."""
+    p = plan_of(tables, "corpus_heavy_tokens")
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_count" in p  # map-side combine absorbs the sentinel
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_classifier_inference_stays_jvm_side(tables):
+    """doc_quality_classifier scoring is pure column algebra: one
+    partial-aggregatable sum keyed on doc_id — no Python evaluation
+    node, no window, no join at all (the weight table is a closed-form
+    expression, not data)."""
+    p = plan_of(tables, "doc_quality_classifier")
+    assert "HashAggregate" in p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Window", "Join"):
+        assert bad not in p, f"{bad} in plan"
+
+
+def test_cdc_merge_is_argmax_not_window(tables):
+    """table_cdc_snapshot_merge must collapse versions with a
+    partial-aggregatable max_by (two-phase HashAggregate or a single
+    ObjectHashAggregate with partial mode), never a row_number window
+    sorting every version of a key on one reducer."""
+    p = plan_of(tables, "table_cdc_snapshot_merge")
+    assert "Window" not in p
+    assert "partial_max_by" in p  # map-side combine of the argmax
+
+
+def test_ohlc_is_argminmax_not_window(tables):
+    """ts_ohlc_hourly open/close must come from min_by/max_by inside
+    the single keyed aggregation — no window over raw events."""
+    p = plan_of(tables, "ts_ohlc_hourly")
+    assert "Window" not in p
+    assert "partial_min_by" in p and "partial_max_by" in p
+
+
+def test_attr_last_touch_no_self_join(tables):
+    """Last-touch attribution must be the single per-user ordered
+    window over the merged timeline — no events⋈events self-join, no
+    nested loop; exactly one Window node feeding a keyed aggregate."""
+    p = plan_of(tables, "attr_last_touch")
+    assert "Join" not in p, p
+    assert p.count("Window") == 1 or "RunningWindowFunction" in p
+    assert "HashAggregate" in p
+
+
+def test_salted_agg_two_stage(tables):
+    """agg_salted_event_stats runs two keyed aggregation stages —
+    (key, salt) then key — each with map-side partials, so a hot key
+    spreads across reducers; and two Exchange hops, one per stage."""
+    p = plan_of(tables, "agg_salted_event_stats")
+    assert p.count("HashAggregate") >= 4  # partial+final per stage
+    assert "Window" not in p

@@ -210,3 +210,25 @@ def test_salted_join_matches_plain_join(spark, facts, dim):
     plain = sorted(tuple(r) for r in fdf.join(ddf, "k").collect())
     salted = sorted(tuple(r) for r in layout.salted_join(fdf, ddf, "k").collect())
     assert salted == plain
+
+
+@settings(**SETTINGS)
+@given(
+    tokens=st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+                    min_size=1, max_size=200),
+    capacity=st.integers(2, 6),
+)
+def test_space_saving_candidates_superset(spark, tokens, capacity):
+    """Phase-1 sketch guarantee: every token with global count >
+    n/capacity must appear among the per-partition space-saving
+    survivors, for any input distribution and any capacity — the
+    property the exact recount of corpus_heavy_tokens relies on."""
+    from collections import Counter
+
+    from gmall_realtime_ck_spark.operators.text import _space_saving_candidates
+
+    df = spark.createDataFrame([(t,) for t in tokens], "token string").repartition(3)
+    cands = {r[0] for r in _space_saving_candidates(df, capacity=capacity).collect()}
+    n = len(tokens)
+    heavy = {t for t, c in Counter(tokens).items() if c * capacity > n}
+    assert heavy <= cands, f"missed heavy hitters: {heavy - cands}"
