@@ -338,6 +338,24 @@ def write_sharded(
     writer.parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning (`.../col=value/`) — the
+    layout that turns a partition-key predicate into file-listing
+    pruning (PartitionFilters in the scan) instead of a data read: the
+    Spark equivalent of the reference's per-day ClickHouse partitions
+    (its serving tables PARTITION BY toYYYYMMDD — BASELINE.md DDL).
+    Partition columns must be low-cardinality (day, source, type):
+    one directory per value; high-cardinality keys belong in bucketing
+    or z-ordering instead.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def to_snake_json(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
     """Bean→snake_case JSON serializer
     (COMMON/function/BeanToJsonStrMapFunction.java:13-19): serialize

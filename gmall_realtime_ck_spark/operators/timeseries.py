@@ -214,14 +214,18 @@ def ts_ohlc_hourly(t: dict[str, DataFrame]) -> DataFrame:
     on one reducer). Output cardinality is |types|×|hours|, independent
     of event volume.
     """
-    ev = t["events"].select(
+    return ohlc_hourly(t["events"])
+
+
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    """Shared batch/stream OHLC transform — see ``ts_ohlc_hourly``."""
+    ev = events.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hr"),
         cents("value").alias("v"),
         "ts",
         "event_id",
     )
-    key = F.struct("ts", "event_id")
     return (
         ev.groupBy("event_type", "hr")
         .agg(

@@ -158,6 +158,7 @@ _PRIORITY_HEAD = [
     "attr_last_touch",
     "table_cdc_snapshot_merge",
     "agg_salted_event_stats",
+    "flow_ohlc",
     # Touched by the round-3 near-dup chain sharing — re-verify:
     "text_minhash_lsh_pairs",
     "text_ngram_jaccard_pairs",

@@ -346,6 +346,20 @@ def flow_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(cumulate_counts(ev), "complete")
 
 
+def flow_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly OHLC rollup as a live stream — the continuous-
+    aggregate habitat of the transform (a market-data/metrics feed
+    folding into per-hour candles as events arrive). Shared batch
+    transform (``operators.timeseries.ohlc_hourly``: min_by/max_by
+    argmin/argmax, all re-associable) in complete mode, whose final
+    table equals the batch result ⇒ the batch oracle applies verbatim.
+    """
+    from ..operators.timeseries import ohlc_hourly
+
+    ev = events_file_stream(spark, sf_dir)
+    return _run_to_memory(ohlc_hourly(ev), "complete")
+
+
 def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the driver's documents table — the
     streaming-ingest shape of a training-corpus pipeline (new shards
@@ -467,6 +481,7 @@ STREAM_BUILDERS = {
     "flow_interval_join": flow_interval_join,
     "flow_left_outer": flow_left_outer,
     "flow_cumulate": flow_cumulate,
+    "flow_ohlc": flow_ohlc,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -485,6 +500,7 @@ def stream_oracles() -> dict[str, str]:
 
     return {
         "flow_cumulate": TS["win_cumulate_counts"],
+        "flow_ohlc": TS["ts_ohlc_hourly"],
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],

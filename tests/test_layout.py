@@ -3,6 +3,8 @@ aggregation equivalence, as-of join, snake_case JSON."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -203,3 +205,44 @@ def test_zorder_write_prunes_both_dimensions(spark, tables, tmp_path):
     assert hits(z_d, lo_d, (lo_d + mid_d) // 2) < len(z_d)
     # round-trip integrity: same rows
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
+    """A partition-key predicate over a write_partitioned dataset must
+    become a PartitionFilter (directory pruning — zero data files of
+    other partitions read), with the partition count visible in the
+    scan, and survive round-trip row-identical."""
+    from gmall_realtime_ck_spark.operators.layout import write_partitioned
+
+    path = str(tmp_path / "ev_by_type")
+    ev = tables["events"].select("event_id", "user_id", "event_type", "value")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("event_type") == "click")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan), plan
+    got = {r.event_id for r in q.collect()}
+    want = {r.event_id for r in ev.filter("event_type = 'click'").collect()}
+    assert got == want
+
+
+def test_csv_jsonl_round_trip_with_corrupt_flagging(spark, tmp_path):
+    """read_csv/read_jsonl are schema-pinned (no inference scan) and
+    route malformed rows to the _corrupt column instead of failing the
+    job — the dirty-data-to-the-side posture."""
+    from gmall_realtime_ck_spark.sources.files import read_csv, read_jsonl
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(csv), "id bigint, name string")
+    assert [(r.id, r.name) for r in df.orderBy("id").collect()] == [(1, "alpha"), (2, "beta")]
+
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "name": "alpha"}\n{not json}\n{"id": 3, "name": "gamma"}\n')
+    dj = read_jsonl(spark, str(jl), "id bigint, name string").cache()
+    good = dj.filter(F.col("_corrupt").isNull())
+    bad = dj.filter(F.col("_corrupt").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
