@@ -249,7 +249,72 @@ def ohlc_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+#: linreg epoch — x is days since this date (keeps x small so the
+#: normal-equation arithmetic is numerically identical across engines)
+LINREG_EPOCH = "2024-01-01"
+
+
+def ts_linreg_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type linear trend + next-day forecast over the daily event
+    count series — the capacity-planning readout a warehouse team runs
+    on its window aggregates (least-squares via ``regr_slope`` /
+    ``regr_intercept``, forecast = intercept + slope·(last_day+1)).
+
+    Scale: the regression consumes the DAILY AGGREGATE (|types|×|days|
+    rows after one keyed map-side-combined count), and regr_* are
+    themselves partial-aggregatable sums-of-products — two keyed
+    shuffles total, nothing driver-side. x is days since a fixed
+    recent epoch so both engines run the same small-magnitude
+    arithmetic (an 1970-epoch x would put ~2e4² into the normal
+    equations and expose float-association noise).
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit(LINREG_EPOCH)).cast("double").alias("x"),
+            F.col("ct").cast("double").alias("y"),
+        )
+    )
+    fit = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("intercept"),
+        F.max("x").alias("last_x"),
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round(
+            F.col("intercept") + F.col("slope") * (F.col("last_x") + 1), 6
+        ).alias("forecast_next"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_linreg_forecast": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '{LINREG_EPOCH}', ts::DATE)::DOUBLE AS x,
+                   COUNT(*)::DOUBLE AS y
+            FROM events GROUP BY event_type, ts::DATE
+        ), fit AS (
+            SELECT event_type, COUNT(*)::BIGINT AS n_days,
+                   regr_slope(y, x) AS slope,
+                   regr_intercept(y, x) AS intercept,
+                   MAX(x) AS last_x
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               round(slope, 6) AS slope,
+               round(intercept, 6) AS intercept,
+               round(intercept + slope * (last_x + 1), 6) AS forecast_next
+        FROM fit
+    """,
     "ts_ohlc_hourly": """
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -343,4 +408,5 @@ BUILDERS = {
     "path_transition_matrix": path_transition_matrix,
     "cohort_weekly_retention": cohort_weekly_retention,
     "ts_ohlc_hourly": ts_ohlc_hourly,
+    "ts_linreg_forecast": ts_linreg_forecast,
 }

@@ -21,6 +21,7 @@ from .operators import (
     layout,
     multimodal,
     privacy,
+    quality,
     relational,
     relational_tpch,
     sampling,
@@ -34,6 +35,7 @@ _MODULES = [
     behavior,
     timeseries,
     graph,
+    quality,
     relational,
     relational_tpch,
     stateful,
@@ -159,12 +161,13 @@ _PRIORITY_HEAD = [
     "table_cdc_snapshot_merge",
     "agg_salted_event_stats",
     "flow_ohlc",
-    # Touched by the round-3 near-dup chain sharing — re-verify:
+    "quality_profile_orders",
+    "quality_checks",
+    "ts_linreg_forecast",
+    # Touched by the round-3 near-dup chain sharing — re-verify the
+    # head of the chain (the downstream queries consume its output and
+    # are continuously covered by the local gate):
     "text_minhash_lsh_pairs",
-    "text_ngram_jaccard_pairs",
-    "text_neardup_drop_list",
-    "text_clean_manifest",
-    "simhash_docs",
     # (round-5 rotation: text_doc_fingerprint, text_dedup_exact,
     # trade_status_filter, trade_cdc_projection,
     # trade_conditional_delta, trade_interval_join,

@@ -513,3 +513,32 @@ def test_salted_agg_two_stage(tables):
     p = plan_of(tables, "agg_salted_event_stats")
     assert p.count("HashAggregate") >= 4  # partial+final per stage
     assert "Window" not in p
+
+
+def test_quality_profile_single_pass(tables):
+    """The per-column profile must be ONE aggregation pass: multiple
+    countDistincts plan as a single Expand feeding one keyed aggregate
+    — exactly one scan of orders, no join, no per-column rescans."""
+    p = plan_of(tables, "quality_profile_orders")
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p
+
+
+def test_quality_checks_fk_is_broadcast_anti(tables):
+    """The referential check must probe a broadcast distinct-key build
+    side with a LeftAnti hash join — never a shuffle of orders against
+    customer, never a nested loop."""
+    p = plan_of(tables, "quality_checks")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", p), p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_linreg_runs_on_daily_aggregate(tables):
+    """regr_slope/intercept must consume the daily aggregate: two
+    HashAggregate stages over events (daily count, then the keyed
+    regression sums) and no window anywhere."""
+    p = plan_of(tables, "ts_linreg_forecast")
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final × two stages
