@@ -311,6 +311,45 @@ def neardup_clusters(t: dict[str, DataFrame], threshold_permille: int = 300,
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _SH_D = shingles_duck("tk")
 _H28_D = H28_DUCK.format(c="s")
+#: incremental-dedup batch split: docs with doc_id ≡ 0 (mod 10) play the
+#: incoming ingest batch; the rest are the already-accepted corpus.
+INCR_MOD = 10
+
+
+def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Snapshot-incremental exact dedup — the shape every ingest
+    pipeline runs per batch: an incoming slice is admitted only if its
+    content hash is (a) absent from the already-accepted corpus and
+    (b) first within its own batch (keep-lowest-id). Emits the batch
+    verdict per incoming doc: ``accept`` = 1 iff both hold.
+
+    Scale: ONE hash key drives everything — the within-batch
+    row_number partitions on md5 (group size = duplicate count, no
+    skew beyond actual dup clusters), and the corpus check is a LEFT
+    ANTI-shaped mark join on the same md5 key, so a production run
+    that bucket-writes the accepted-corpus hash manifest by this key
+    (layout.write_bucketed) makes the batch join exchange-free on the
+    corpus side. The corpus is never broadcast and never collected;
+    only the (typically small) incoming batch re-shuffles.
+    """
+    docs = t["documents"].select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    first_in_batch = incoming.withColumn("rn", F.row_number().over(w))
+    known = corpus.select("h").distinct().withColumn("known", F.lit(1))
+    return (
+        first_in_batch.join(known, "h", "left")
+        .select(
+            "doc_id",
+            "h",
+            ((F.col("rn") == 1) & F.col("known").isNull()).cast("bigint").alias("accept"),
+        )
+    )
+
+
 _H60_D = H60_DUCK.format(c="tok")
 
 _MINHASH_AGGS_D = ",\n            ".join(
@@ -346,6 +385,20 @@ _MINHASH_CTE = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "text_incremental_dedup": f"""
+        WITH hashed AS (
+            SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+        ), incoming AS (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM hashed WHERE doc_id % {INCR_MOD} = 0
+        ), known AS (
+            SELECT DISTINCT h FROM hashed WHERE doc_id % {INCR_MOD} <> 0
+        )
+        SELECT i.doc_id, i.h,
+               (i.rn = 1 AND k.h IS NULL)::BIGINT AS accept
+        FROM incoming i LEFT JOIN known k ON i.h = k.h
+    """,
     "text_dedup_exact": """
         SELECT doc_id, (rn > 1)::BIGINT AS is_dup FROM (
             SELECT doc_id, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
@@ -465,4 +518,5 @@ BUILDERS = {
     "text_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "text_neardup_drop_list": neardup_drop_list,
     "text_neardup_clusters": neardup_clusters,  # rows-only: iterative
+    "text_incremental_dedup": incremental_dedup,
 }

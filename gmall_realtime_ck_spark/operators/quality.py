@@ -139,13 +139,13 @@ ORACLES: dict[str, str] = {
               MIN(o_orderpriority) AS r_mn, MAX(o_orderpriority) AS r_mx
             FROM orders
         )
-        SELECT 'o_orderkey' AS column_name, k_n AS n_nulls, k_d::BIGINT AS n_distinct,
+        SELECT 'o_orderkey' AS column_name, k_n::BIGINT AS n_nulls, k_d::BIGINT AS n_distinct,
                k_mn AS min_value, k_mx AS max_value FROM w
-        UNION ALL SELECT 'o_custkey', c_n, c_d::BIGINT, c_mn, c_mx FROM w
-        UNION ALL SELECT 'o_orderstatus', s_n, s_d::BIGINT, s_mn, s_mx FROM w
-        UNION ALL SELECT 'o_totalprice', p_n, p_d::BIGINT, p_mn, p_mx FROM w
-        UNION ALL SELECT 'o_orderdate', d_n, d_d::BIGINT, d_mn, d_mx FROM w
-        UNION ALL SELECT 'o_orderpriority', r_n, r_d::BIGINT, r_mn, r_mx FROM w
+        UNION ALL SELECT 'o_custkey', c_n::BIGINT, c_d::BIGINT, c_mn, c_mx FROM w
+        UNION ALL SELECT 'o_orderstatus', s_n::BIGINT, s_d::BIGINT, s_mn, s_mx FROM w
+        UNION ALL SELECT 'o_totalprice', p_n::BIGINT, p_d::BIGINT, p_mn, p_mx FROM w
+        UNION ALL SELECT 'o_orderdate', d_n::BIGINT, d_d::BIGINT, d_mn, d_mx FROM w
+        UNION ALL SELECT 'o_orderpriority', r_n::BIGINT, r_d::BIGINT, r_mn, r_mx FROM w
     """,
     "quality_checks": """
         SELECT 'orders_pk_unique' AS check_name,

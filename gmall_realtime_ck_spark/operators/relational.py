@@ -1459,7 +1459,143 @@ def table_cdc_snapshot_merge(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: NTILE bucket count for the customer-spend decile report
+DECILES_N = 10
+
+
+def win_ntile_deciles(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer-lifetime-value deciles: NTILE(10) over per-customer
+    total spend (cents-exact), then per-decile population, revenue and
+    spend bounds — the marketing "value segmentation" readout one level
+    up from the serving layer's flat GMV (TradeStatsMapper GMV by ch).
+
+    Scale: aggregate-first — the NTILE runs over the |customers|-row
+    per-customer AGGREGATE (one keyed shuffle with map-side partials),
+    never over orders. The global NTILE is a single-partition window
+    over that aggregate; at 100 TB-of-facts the customer dimension is
+    still ~1e8 rows, and the same report swaps to percent_rank over
+    range-partitioned sort (repartitionByRange) without changing
+    results — the deterministic (spend desc, custkey) order is total
+    either way.
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"]
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+        F.count(F.lit(1)).alias("order_ct"),
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(DECILES_N).over(w).cast("bigint"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").alias("revenue_cents"),
+        F.sum("order_ct").alias("order_ct"),
+        F.min("spend_cents").alias("min_spend_cents"),
+        F.max("spend_cents").alias("max_spend_cents"),
+    )
+
+
+def events_unpivot_metrics(t: dict[str, DataFrame]) -> DataFrame:
+    """UNPIVOT (wide → long): melt the per-day count/sum/distinct-user
+    metric columns into (day, metric, value) rows — the inverse of
+    ``event_type_pivot`` and the shape that feeds a generic metrics
+    store (one ClickHouse row per metric, the reference's serving
+    tables are exactly this long format). Uses Spark's ``stack`` table
+    generator, which plans as a Generate (pure map) over the daily
+    AGGREGATE — the explode multiplies |days| rows by 3, never raw
+    events, and adds no shuffle beyond the one keyed daily aggregate.
+    """
+    ev = t["events"]
+    daily = ev.groupBy(date_str("ts").alias("cur_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pv_ct"),
+        F.sum(cents("value")).alias("value_cents"),
+        F.countDistinct("user_id").alias("uv_ct"),
+    )
+    return daily.selectExpr(
+        "cur_date",
+        "stack(3, 'pv_ct', pv_ct, 'value_cents', value_cents, 'uv_ct', uv_ct) "
+        "as (metric, metric_value)",
+    )
+
+
+#: value-tier dimension for the non-equi range join: [lo, hi) cents
+VALUE_TIERS = [
+    ("micro", 0, 1_000),
+    ("small", 1_000, 5_000),
+    ("mid", 5_000, 20_000),
+    ("large", 20_000, 1 << 62),
+]
+
+
+def range_join_value_tiers(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-equi range join: classify every event into a value tier by
+    joining a [lo, hi) band dimension — the canonical "join on BETWEEN"
+    that hash joins cannot serve. ClickHouse users express this as a
+    dictionary range lookup; here the 4-row tier table **broadcasts**
+    into a BroadcastNestedLoopJoin, so each executor resolves tiers
+    locally — a pure map over events, no shuffle, no cartesian against
+    anything data-sized (plan-asserted). At 100 TB the same plan holds:
+    cost is |events| × |tiers| comparisons map-side; were the band
+    table itself large, the standard rewrite is bucketing both sides on
+    a coarse quantized key (floor(value/step)) to recover an equi-join.
+    """
+    ev = t["events"].select("event_type", cents("value").alias("v"))
+    spark = ev.sparkSession
+    tiers = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_TIERS], "tier string, lo long, hi long"
+    )
+    joined = ev.join(
+        F.broadcast(tiers), (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    return joined.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("value_cents"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "win_ntile_deciles": f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS spend_cents,
+                   COUNT(*) AS order_ct
+            FROM orders GROUP BY o_custkey
+        ), tiled AS (
+            SELECT *, ntile({DECILES_N}) OVER (ORDER BY spend_cents DESC, o_custkey ASC)::BIGINT AS decile
+            FROM spend
+        )
+        SELECT decile, COUNT(*) AS n_customers,
+               SUM(spend_cents)::BIGINT AS revenue_cents,
+               SUM(order_ct)::BIGINT AS order_ct,
+               MIN(spend_cents) AS min_spend_cents,
+               MAX(spend_cents) AS max_spend_cents
+        FROM tiled GROUP BY decile
+    """,
+    "events_unpivot_metrics": """
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+                   COUNT(*)::BIGINT AS pv_ct,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents,
+                   COUNT(DISTINCT user_id)::BIGINT AS uv_ct
+            FROM events GROUP BY 1
+        )
+        SELECT cur_date, 'pv_ct' AS metric, pv_ct AS metric_value FROM daily
+        UNION ALL SELECT cur_date, 'value_cents', value_cents FROM daily
+        UNION ALL SELECT cur_date, 'uv_ct', uv_ct FROM daily
+    """,
+    "range_join_value_tiers": """
+        WITH tiers(tier, lo, hi) AS (
+            VALUES {tiers}
+        ), ev AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        )
+        SELECT event_type, tier, COUNT(*) AS n_events, SUM(v)::BIGINT AS value_cents
+        FROM ev JOIN tiers ON ev.v >= tiers.lo AND ev.v < tiers.hi
+        GROUP BY event_type, tier
+    """.format(
+        tiers=", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in VALUE_TIERS)
+    ),
     "table_cdc_snapshot_merge": """
         WITH base AS (
             SELECT o_orderkey AS key, o_orderdate::TIMESTAMP AS ts0,
@@ -2060,6 +2196,9 @@ BUILDERS = {
     "traffic_log_split": traffic_log_split,
     "table_config_routed_split": table_config_routed_split,
     "table_cdc_snapshot_merge": table_cdc_snapshot_merge,
+    "win_ntile_deciles": win_ntile_deciles,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "range_join_value_tiers": range_join_value_tiers,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import H28_DUCK, H28_SPARK, TOKENS_DUCK, TOKENS_SPARK, shingles_from_tokens
+from .text import (
+    H28_DUCK,
+    H28_SPARK,
+    H60_DUCK,
+    H60_SPARK,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    shingles_from_tokens,
+)
 from .dedup import shingles_duck
 
 SPLIT_BUCKETS = 100
@@ -298,11 +306,55 @@ def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: weighted-priority sample size (global)
+PPS_SAMPLE_K = 100
+
+
+def sample_weighted_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Probability-proportional-to-size sampling: keep the K documents
+    with the lowest priority = hash(text) ÷ n_chars — an integer-exact
+    surrogate of Efraimidis–Spirakis A-Res keys (−ln u ⁄ w), so longer
+    documents are proportionally likelier to be drawn, the weighting a
+    token-budgeted corpus sample wants (each *token* equally likely,
+    not each document). Integer division keeps both engines bit-exact
+    where a transcendental key would drift in the last ulp.
+
+    Scale: the global bottom-K plans as TakeOrderedAndProject —
+    per-partition K-row heaps merged once on the driver, no global
+    sort, no single-partition window over data (plan-asserted); the
+    rank is then assigned on the K collected rows only.
+    """
+    docs = t["documents"]
+    # integer `div`, not `/`: the 60-bit hash exceeds double's exact
+    # range, so float division would drift the low digit
+    pri = F.expr(
+        f"({H60_SPARK.format(c='text')}) div greatest(n_chars, 1L)"
+    ).cast("bigint")
+    picked = (
+        docs.select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(PPS_SAMPLE_K)
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return picked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
+    "sample_weighted_priority": f"""
+        SELECT doc_id, source, n_chars,
+               priority,
+               row_number() OVER (ORDER BY priority, doc_id)::BIGINT AS rank
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ({H60_DUCK.format(c='text')} // greatest(n_chars, 1))::BIGINT AS priority
+            FROM documents
+            ORDER BY priority, doc_id LIMIT {PPS_SAMPLE_K}
+        )
+    """,
     "sample_domain_cap": f"""
         SELECT doc_id, source, rank FROM (
             SELECT doc_id, source,
@@ -436,6 +488,7 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
+    "sample_weighted_priority": sample_weighted_priority,
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,

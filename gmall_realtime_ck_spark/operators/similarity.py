@@ -801,9 +801,107 @@ def embedding_kmeans_assign(t: dict[str, DataFrame], n_iters: int = 2) -> DataFr
     return assigned.select("vec_id", F.col("cl").alias("cluster"))
 
 
+#: product-quantization geometry: 64 dims → 4 subspaces × 16 dims
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16
+
+
+def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each
+    embedding into 4 contiguous 16-dim subvectors and
+    assign each to its nearest per-subspace codeword — the memory-
+    compression layer under IVF-PQ ANN indexes (a 64-float vector
+    becomes 4 small codes, a 64× shrink at code-book granularity).
+    Codebooks are derived deterministically as per-label subvector
+    means in fixed-point micro-units (the ``label_centroids`` /
+    ``embedding_kmeans_assign`` trick), so both engines compute
+    bit-identical codewords; ties break to the lowest codeword id.
+
+    Scale: codebook derivation is ONE shuffle keyed (label, pos) with
+    cardinality labels × dims — independent of corpus size; the
+    labels × dims codeword matrix is collected (bounded by design, the
+    IVF-centroid posture) and inlined, so encoding is a PURE MAP over
+    the corpus: per row, 4 in-expression argmins over
+    `slice(embedding, …)` — no join, no shuffle, no window
+    (plan-asserted). Emits long form (vec_id, subspace, code).
+    """
+    emb = t["embeddings"].select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("cl")
+    )
+    comp = emb.select("cl", F.posexplode("embedding").alias("pos", "x")).withColumn(
+        "xm", F.expr("cast(round(cast(x as double) * 1000000) as bigint)")
+    )
+    per = comp.groupBy("cl", "pos").agg(
+        (F.sum("xm") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias("v")
+    )
+    cent = per.groupBy("cl").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").alias("c")
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["cl"])
+    if not rows:  # empty corpus: nothing to encode
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("bigint").alias("subspace"),
+            F.lit(0).cast("bigint").alias("code"),
+        ).limit(0)
+    subs = []
+    for s in range(PQ_SUBSPACES):
+        arms = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        SQDIST.format(
+                            a=f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                            b="array("
+                            + ",".join(
+                                f"cast({v!r} as double)"
+                                for v in row["c"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                            )
+                            + ")",
+                        )
+                    ).alias("d"),
+                    F.lit(int(row["cl"])).cast("bigint").alias("cl"),
+                )
+                for row in rows
+            ]
+        )
+        subs.append(
+            F.struct(
+                F.lit(s).cast("bigint").alias("subspace"),
+                F.array_min(arms).getField("cl").alias("code"),
+            )
+        )
+    fan = emb.select("vec_id", F.explode(F.array(*subs)).alias("sc"))
+    return fan.select(
+        "vec_id",
+        F.col("sc.subspace").alias("subspace"),
+        F.col("sc.code").alias("code"),
+    )
+
+
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
+    "embedding_pq_codes": f"""
+        WITH ex AS (
+            SELECT vec_id, label::BIGINT AS cl, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm,
+                   embedding[i]::DOUBLE AS x,
+                   ((i - 1) // {PQ_SUBDIM})::BIGINT AS sub
+            FROM embeddings, range(1, 65) r(i)
+        ), c0 AS (
+            SELECT cl, i, SUM(xm) / (1000000.0 * COUNT(*)) AS v
+            FROM ex GROUP BY cl, i
+        ), d AS (
+            SELECT ex.vec_id, ex.sub, c0.cl, SUM((ex.x - c0.v) * (ex.x - c0.v)) AS d
+            FROM ex JOIN c0 USING (i) GROUP BY ex.vec_id, ex.sub, c0.cl
+        )
+        SELECT vec_id, sub AS subspace, cl AS code FROM (
+            SELECT vec_id, sub, cl,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cl) AS rn
+            FROM d
+        ) WHERE rn = 1
+    """,
     "embedding_kmeans_assign": """
         WITH ex AS (
             SELECT vec_id, label::BIGINT AS cl, i,
@@ -914,4 +1012,5 @@ BUILDERS = {
     "embedding_semdedup": semdedup_prune,
     "topk_two_sided_ann": topk_two_sided_ann,
     "embedding_kmeans_assign": embedding_kmeans_assign,
+    "embedding_pq_codes": embedding_pq_codes,
 }

@@ -696,7 +696,65 @@ def doc_quality_classifier(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: BPE statistics: top-K adjacent-symbol pairs reported
+BPE_PAIR_TOP_K = 50
+
+
+def corpus_bpe_pair_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Byte-pair-encoding merge statistics (the first BPE training
+    iteration, Sennrich et al. 2016): corpus-wide frequencies of
+    adjacent character pairs inside words, weighted by word frequency —
+    the pair with the top count is the first merge a tokenizer trainer
+    would pick. Top-50 pairs, ties broken lexicographically.
+
+    Scale: pairs are generated from the DISTINCT word vocabulary, not
+    the token stream — one (word) groupBy collapses the corpus to
+    vocab-sized cardinality first (Zipf: orders of magnitude smaller),
+    then the per-word char-pair explode fans out |word|-1 rows per
+    DISTINCT word and re-aggregates keyed on the pair. Alphanumeric
+    pairs have ≤ 36² distinct values, so the final top-K window runs
+    over ≤ 1296 rows — a single-partition window over a bounded
+    aggregate, never over data.
+    """
+    docs = t["documents"]
+    words = docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wct"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wct",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wct").alias("ct"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("ct"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_PAIR_TOP_K)
+        .select("pair", "ct", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "corpus_bpe_pair_counts": f"""
+        WITH words AS (
+            SELECT unnest({TOKENS_DUCK.format(c="text")}) AS w FROM documents
+        ), vocab AS (
+            SELECT w, COUNT(*) AS ct FROM words GROUP BY w
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair,
+                   ct
+            FROM vocab WHERE length(w) >= 2
+        ), agg AS (
+            SELECT pair, SUM(ct)::BIGINT AS ct FROM pairs GROUP BY pair
+        )
+        SELECT pair, ct, rank FROM (
+            SELECT pair, ct,
+                   row_number() OVER (ORDER BY ct DESC, pair ASC)::BIGINT AS rank
+            FROM agg
+        ) WHERE rank <= {BPE_PAIR_TOP_K}
+    """,
     "corpus_heavy_tokens": f"""
         WITH tok AS (
             SELECT unnest({TOKENS_DUCK.format(c='text')}) AS token FROM documents
@@ -974,4 +1032,5 @@ BUILDERS = {
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
     "text_span_dedup": text_span_dedup,
+    "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
 }

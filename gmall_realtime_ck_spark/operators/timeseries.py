@@ -295,7 +295,87 @@ def ts_linreg_forecast(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: EWMA smoothing factor α (decay p = 1 − α) and trailing horizon
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 14
+
+
+def ts_ewma_control(t: dict[str, DataFrame]) -> DataFrame:
+    """EWMA control chart over the per-(type, day) event-count series —
+    the smoothed-baseline anomaly screen (Roberts 1959; the streaming
+    twin of the MAD screen in ``events_anomaly_mad``) a pipeline runs
+    on its daily window aggregates. ewma_t is the exponentially-
+    weighted average of the trailing 14 observations (weights
+    (1−α)^lag, normalized); ``deviation`` is today's count minus it.
+
+    Engine-exact by construction: the weighted sum is factored as
+    p^rn · Σ_frame(x_i · p^−rn_i) — a plain window SUM over a trailing
+    ROWS frame, so both engines add the same 14 terms in the same
+    order (term-magnitude ratio inside a frame is bounded by p^−13, so
+    the factorization loses no precision). The p^−rn scaling bounds the
+    usable series length at ~2000 rows per key (double overflow) —
+    far past any daily series; longer horizons re-zero the epoch.
+
+    Scale: aggregate-first — one keyed (type, day) count shuffle, then
+    windows over the |types|×|days| AGGREGATE, never raw events.
+    """
+    p = 1.0 - EWMA_ALPHA
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    frame = wo.rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    scaled = daily.withColumn("rn", F.row_number().over(wo)).select(
+        "event_type",
+        "day",
+        "ct",
+        "rn",
+        (F.col("ct").cast("double") * F.pow(F.lit(1.0 / p), F.col("rn"))).alias("u_num"),
+        F.pow(F.lit(1.0 / p), F.col("rn")).alias("u_den"),
+    )
+    ewma = (
+        F.pow(F.lit(p), F.col("rn"))
+        * F.sum("u_num").over(frame)
+        / (F.pow(F.lit(p), F.col("rn")) * F.sum("u_den").over(frame))
+    )
+    return scaled.select(
+        "event_type",
+        date_str("day").alias("dt"),
+        "ct",
+        F.round(ewma, 6).alias("ewma"),
+        F.round(F.col("ct") - ewma, 6).alias("deviation"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_ewma_control": f"""
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
+            FROM events GROUP BY event_type, day
+        ), scaled AS (
+            SELECT event_type, day, ct,
+                   row_number() OVER wo AS rn,
+                   ct::DOUBLE * pow(1.0 / {1.0 - EWMA_ALPHA}, row_number() OVER wo) AS u_num,
+                   pow(1.0 / {1.0 - EWMA_ALPHA}, row_number() OVER wo) AS u_den
+            FROM daily
+            WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+        ), sm AS (
+            SELECT event_type, day, ct, rn,
+                   SUM(u_num) OVER wf AS s_num,
+                   SUM(u_den) OVER wf AS s_den
+            FROM scaled
+            WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS dt, ct,
+               round(pow({1.0 - EWMA_ALPHA}, rn) * s_num /
+                     (pow({1.0 - EWMA_ALPHA}, rn) * s_den), 6) AS ewma,
+               round(ct - pow({1.0 - EWMA_ALPHA}, rn) * s_num /
+                     (pow({1.0 - EWMA_ALPHA}, rn) * s_den), 6) AS deviation
+        FROM sm
+    """,
     "ts_linreg_forecast": f"""
         WITH daily AS (
             SELECT event_type,
@@ -409,4 +489,5 @@ BUILDERS = {
     "cohort_weekly_retention": cohort_weekly_retention,
     "ts_ohlc_hourly": ts_ohlc_hourly,
     "ts_linreg_forecast": ts_linreg_forecast,
+    "ts_ewma_control": ts_ewma_control,
 }

@@ -542,3 +542,55 @@ def test_linreg_runs_on_daily_aggregate(tables):
     p = plan_of(tables, "ts_linreg_forecast")
     assert "Window" not in p
     assert p.count("HashAggregate") >= 4  # partial+final × two stages
+
+
+def test_range_join_tiers_is_broadcast_nlj(tables):
+    """The [lo, hi) tier lookup must resolve map-side: a
+    BroadcastNestedLoopJoin against the 4-row tier table — no
+    cartesian shuffle, no sort-merge, and the only exchange is the
+    final (type, tier) aggregate."""
+    p = plan_of(tables, "range_join_value_tiers")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_pq_encoding_is_pure_map(tables):
+    """PQ code assignment must be a pure map over embeddings: the
+    codebook is inlined as literals, so the encoding stage has no
+    join and no window; the only aggregates are the bounded
+    codebook-derivation pass keyed (label, pos)."""
+    p = plan_of(tables, "embedding_pq_codes")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_weighted_priority_is_take_ordered(tables):
+    """The global bottom-K must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort over documents."""
+    p = plan_of(tables, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_bpe_pairs_generated_from_vocab(tables):
+    """The char-pair explode must fan out of the DISTINCT word
+    vocabulary, not the raw token stream: plan order is
+    aggregate(word) before Generate(pair), and the final top-K window
+    runs over the ≤36² pair aggregate."""
+    p = plan_of(tables, "corpus_bpe_pair_counts")
+    gen = p.index("Generate explode")
+    # the vocabulary aggregate appears BELOW (after, in plan text) the
+    # pair Generate: child operators print later in the tree dump
+    vocab_agg = p.rindex("HashAggregate")
+    assert gen < vocab_agg, p
+
+
+def test_unpivot_is_generate_over_daily_aggregate(tables):
+    """stack() must plan as a Generate over the daily aggregate —
+    exactly the aggregate's shuffles (Expand path for countDistinct),
+    with no join and no extra exchange introduced by the melt."""
+    p = plan_of(tables, "events_unpivot_metrics")
+    assert "Generate" in p, p
+    assert "Join" not in p
