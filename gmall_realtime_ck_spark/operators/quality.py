@@ -120,7 +120,65 @@ def quality_checks(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: heaviest keys reported by the skew diagnostic
+SKEW_TOP_N = 10
+
+
+def diag_key_skew(t: dict[str, DataFrame]) -> DataFrame:
+    """Join-key skew report over ``lineitem.l_orderkey`` — the
+    pre-flight an ops team runs before picking a join strategy (salt?
+    AQE skew split? broadcast?): the top-N heaviest keys with their
+    absolute counts and parts-per-million share of the table, plus the
+    global key count riding along. Integer ppm keeps both engines
+    bit-exact (no float division).
+
+    Scale: one keyed count (map-side combined), a 1-row global
+    aggregate broadcast back, and a TakeOrderedAndProject top-N over
+    the key aggregate — no global sort, no window over data. This is
+    the measurement half of the salting the repo applies in
+    ``agg_salted_event_stats`` / ``layout.salted_join``.
+    """
+    from pyspark.sql import Window
+
+    li = t["lineitem"]
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    stats = counts.agg(
+        F.sum("ct").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("ct"), F.asc("key")).limit(SKEW_TOP_N)
+    w = Window.orderBy(F.desc("ct"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            "key",
+            "ct",
+            F.expr("cast(round(ct * 1000000.0 / total_rows) as bigint)").alias(
+                "share_ppm"
+            ),
+            "n_keys",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "diag_key_skew": f"""
+        WITH counts AS (
+            SELECT l_orderkey AS key, COUNT(*) AS ct FROM lineitem GROUP BY 1
+        ), stats AS (
+            SELECT SUM(ct)::BIGINT AS total_rows, COUNT(*)::BIGINT AS n_keys FROM counts
+        ), top AS (
+            SELECT key, ct FROM counts ORDER BY ct DESC, key ASC LIMIT {SKEW_TOP_N}
+        )
+        SELECT row_number() OVER (ORDER BY ct DESC, key ASC)::BIGINT AS rank,
+               key, ct,
+               CAST(round(ct * 1000000.0 / total_rows) AS BIGINT) AS share_ppm,
+               n_keys
+        FROM top CROSS JOIN stats
+    """,
     "quality_profile_orders": """
         WITH w AS (
             SELECT
@@ -179,4 +237,5 @@ ORACLES: dict[str, str] = {
 BUILDERS = {
     "quality_profile_orders": quality_profile_orders,
     "quality_checks": quality_checks,
+    "diag_key_skew": diag_key_skew,
 }

@@ -1412,7 +1412,26 @@ def table_cdc_snapshot_merge(t: dict[str, DataFrame]) -> DataFrame:
     map-side instead of single-reducer sorting. Version counts ride
     the same agg.
     """
-    o = t["orders"]
+    ops = _cdc_envelopes(t["orders"])
+    merged = ops.groupBy("key").agg(
+        F.expr(
+            "max_by(struct(op, status, total_cents, ts), struct(ts, seq))"
+        ).alias("last"),
+        F.count(F.lit(1)).alias("version_ct"),
+    )
+    return merged.filter(F.col("last.op") != "delete").select(
+        F.col("key").alias("o_orderkey"),
+        F.col("last.status").alias("final_status"),
+        F.col("last.total_cents").alias("total_cents"),
+        "version_ct",
+        ts_str(F.col("last.ts")).alias("last_ts"),
+    )
+
+
+def _cdc_envelopes(o: DataFrame) -> DataFrame:
+    """Deterministic insert/update/delete envelope stream synthesized
+    from ``orders`` — shared by the snapshot merge and the SCD2
+    history build (and mirrored verbatim by ``_CDC_OPS_SQL``)."""
     k = F.col("o_orderkey")
     base = o.select(
         k.alias("key"),
@@ -1443,19 +1462,36 @@ def table_cdc_snapshot_merge(t: dict[str, DataFrame]) -> DataFrame:
         F.lit(None).cast("string").alias("status"),
         F.lit(None).cast("bigint").alias("total_cents"),
     )
-    ops = ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
-    merged = ops.groupBy("key").agg(
-        F.expr(
-            "max_by(struct(op, status, total_cents, ts), struct(ts, seq))"
-        ).alias("last"),
-        F.count(F.lit(1)).alias("version_ct"),
-    )
-    return merged.filter(F.col("last.op") != "delete").select(
+    return ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
+
+
+def table_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the same CDC
+    envelope stream: every surviving version carries its
+    [valid_from, valid_to) effectiveness range (valid_to = next
+    version's ts, open for the live version) and an ``is_current``
+    flag; a trailing delete closes the last version without emitting a
+    row — the DimUtil/SCD2 merge of the reference's HBase dim layer
+    (gmall/dim.py::scd2 applies the same chaining incrementally) as
+    one oracled batch build.
+
+    Plan: the canonical SCD2 shape — ONE keyed window (lead over
+    (ts, seq) per key). Partitioning is by the dimension key, so state
+    per task is one key's version chain; skew is bounded by the most-
+    edited single key, not data volume.
+    """
+    from pyspark.sql import Window
+
+    ops = _cdc_envelopes(t["orders"])
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    hist = ops.withColumn("next_ts", F.lead("ts").over(w))
+    return hist.filter(F.col("op") != "delete").select(
         F.col("key").alias("o_orderkey"),
-        F.col("last.status").alias("final_status"),
-        F.col("last.total_cents").alias("total_cents"),
-        "version_ct",
-        ts_str(F.col("last.ts")).alias("last_ts"),
+        "status",
+        "total_cents",
+        ts_str("ts").alias("valid_from"),
+        ts_str("next_ts").alias("valid_to"),
+        F.col("next_ts").isNull().cast("bigint").alias("is_current"),
     )
 
 
@@ -1554,6 +1590,28 @@ def range_join_value_tiers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: DuckDB mirror of ``_cdc_envelopes`` — shared by the snapshot-merge
+#: and SCD2-history oracles.
+_CDC_OPS_SQL = """
+        WITH base AS (
+            SELECT o_orderkey AS key, o_orderdate::TIMESTAMP AS ts0,
+                   o_orderstatus AS status0,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents0
+            FROM orders
+        ), ops AS (
+            SELECT key, 'insert' AS op, 1 AS seq, ts0 AS ts,
+                   status0 AS status, cents0 AS total_cents FROM base
+            UNION ALL
+            SELECT key, 'update', 2, ts0 + INTERVAL 3 DAY, 'P2', cents0 + 500
+            FROM base WHERE key % 3 = 0
+            UNION ALL
+            SELECT key, 'update', 3, ts0 + INTERVAL 6 DAY, 'F2', cents0 + 700
+            FROM base WHERE key % 6 = 0
+            UNION ALL
+            SELECT key, 'delete', 9, ts0 + INTERVAL 10 DAY, NULL, NULL
+            FROM base WHERE key % 7 = 0
+        )"""
+
 ORACLES: dict[str, str] = {
     "win_ntile_deciles": f"""
         WITH spend AS (
@@ -1596,25 +1654,19 @@ ORACLES: dict[str, str] = {
     """.format(
         tiers=", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in VALUE_TIERS)
     ),
-    "table_cdc_snapshot_merge": """
-        WITH base AS (
-            SELECT o_orderkey AS key, o_orderdate::TIMESTAMP AS ts0,
-                   o_orderstatus AS status0,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents0
-            FROM orders
-        ), ops AS (
-            SELECT key, 'insert' AS op, 1 AS seq, ts0 AS ts,
-                   status0 AS status, cents0 AS total_cents FROM base
-            UNION ALL
-            SELECT key, 'update', 2, ts0 + INTERVAL 3 DAY, 'P2', cents0 + 500
-            FROM base WHERE key % 3 = 0
-            UNION ALL
-            SELECT key, 'update', 3, ts0 + INTERVAL 6 DAY, 'F2', cents0 + 700
-            FROM base WHERE key % 6 = 0
-            UNION ALL
-            SELECT key, 'delete', 9, ts0 + INTERVAL 10 DAY, NULL, NULL
-            FROM base WHERE key % 7 = 0
-        ), ranked AS (
+    "table_scd2_history": _CDC_OPS_SQL
+    + """, hist AS (
+            SELECT *, lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS next_ts
+            FROM ops
+        )
+        SELECT key AS o_orderkey, status, total_cents,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (next_ts IS NULL)::BIGINT AS is_current
+        FROM hist WHERE op <> 'delete'
+    """,
+    "table_cdc_snapshot_merge": _CDC_OPS_SQL
+    + """, ranked AS (
             SELECT *,
                    row_number() OVER (PARTITION BY key
                                       ORDER BY ts DESC, seq DESC) AS rn,
@@ -2199,6 +2251,7 @@ BUILDERS = {
     "win_ntile_deciles": win_ntile_deciles,
     "events_unpivot_metrics": events_unpivot_metrics,
     "range_join_value_tiers": range_join_value_tiers,
+    "table_scd2_history": table_scd2_history,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

@@ -360,6 +360,36 @@ def flow_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(ohlc_hourly(ev), "complete")
 
 
+def flow_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static NON-EQUI join: each arriving event resolves its
+    [lo, hi) value tier against the static 4-row band dimension — the
+    streaming face of ``range_join_value_tiers`` (a dictionary range
+    lookup in ClickHouse terms). The static side broadcasts into a
+    BroadcastNestedLoopJoin, so tier resolution is a stateless map on
+    the stream — no stream-stream state, no watermark needed for the
+    join itself; the (type, tier) aggregation runs in complete mode,
+    whose final table equals the batch result ⇒ the batch oracle
+    applies verbatim."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import VALUE_TIERS, cents
+
+    ev = events_file_stream(spark, sf_dir).select(
+        "event_type", cents("value").alias("v")
+    )
+    tiers = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_TIERS], "tier string, lo long, hi long"
+    )
+    joined = ev.join(
+        F.broadcast(tiers), (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    agg = joined.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("value_cents"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the driver's documents table — the
     streaming-ingest shape of a training-corpus pipeline (new shards
@@ -482,6 +512,7 @@ STREAM_BUILDERS = {
     "flow_left_outer": flow_left_outer,
     "flow_cumulate": flow_cumulate,
     "flow_ohlc": flow_ohlc,
+    "flow_value_tiers": flow_value_tiers,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -501,6 +532,7 @@ def stream_oracles() -> dict[str, str]:
     return {
         "flow_cumulate": TS["win_cumulate_counts"],
         "flow_ohlc": TS["ts_ohlc_hourly"],
+        "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],
