@@ -1495,6 +1495,47 @@ def table_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def join_temporal_dim_version(t: dict[str, DataFrame]) -> DataFrame:
+    """Temporal (point-in-time) dimension join: enrich each lineitem
+    with the order version that was valid at its ship date — the
+    FOR SYSTEM_TIME AS OF lookup (reference J3,
+    DwdTradeOrderDetail's dic lookups) generalized to a VERSIONED dim,
+    i.e. the consumption side of ``table_scd2_history``. A shipment
+    joins the version whose [valid_from, valid_to) range covers
+    shipdate; shipments before the first version take no row (inner).
+
+    Plan: equi hash join on the dimension KEY with the validity range
+    as a residual filter — never a non-equi join against the whole
+    history. The version chains are small per key, so the residual
+    evaluates on a handful of candidate rows after the hash probe;
+    both sides shuffle once on the key (or zero times if the fact is
+    bucket-written on it). Aggregated to per-(version status) revenue
+    so the output is a readout, not a fact dump.
+    """
+    from pyspark.sql import Window
+
+    ops = _cdc_envelopes(t["orders"])
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    hist = (
+        ops.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("op") != "delete")
+        .select("key", "status", F.col("ts").alias("valid_from"), "next_ts")
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+    joined = li.join(hist, "key").filter(
+        (F.col("ship_ts") >= F.col("valid_from"))
+        & (F.col("next_ts").isNull() | (F.col("ship_ts") < F.col("next_ts")))
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("price_cents").alias("revenue_cents"),
+    )
+
+
 #: NTILE bucket count for the customer-spend decile report
 DECILES_N = 10
 
@@ -1664,6 +1705,25 @@ ORACLES: dict[str, str] = {
                strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
                (next_ts IS NULL)::BIGINT AS is_current
         FROM hist WHERE op <> 'delete'
+    """,
+    "join_temporal_dim_version": _CDC_OPS_SQL
+    + """, hist AS (
+            SELECT key, status, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS next_ts,
+                   op
+            FROM ops
+        ), versions AS (
+            SELECT key, status, valid_from, next_ts FROM hist WHERE op <> 'delete'
+        )
+        SELECT v.status,
+               COUNT(*) AS n_lineitems,
+               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+        FROM lineitem l
+        JOIN versions v
+          ON l.l_orderkey = v.key
+         AND l.l_shipdate::TIMESTAMP >= v.valid_from
+         AND (v.next_ts IS NULL OR l.l_shipdate::TIMESTAMP < v.next_ts)
+        GROUP BY v.status
     """,
     "table_cdc_snapshot_merge": _CDC_OPS_SQL
     + """, ranked AS (
@@ -2252,6 +2312,7 @@ BUILDERS = {
     "events_unpivot_metrics": events_unpivot_metrics,
     "range_join_value_tiers": range_join_value_tiers,
     "table_scd2_history": table_scd2_history,
+    "join_temporal_dim_version": join_temporal_dim_version,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

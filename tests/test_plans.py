@@ -594,3 +594,13 @@ def test_unpivot_is_generate_over_daily_aggregate(tables):
     p = plan_of(tables, "events_unpivot_metrics")
     assert "Generate" in p, p
     assert "Join" not in p
+
+
+def test_temporal_join_is_keyed_hash_join(tables):
+    """The versioned-dim lookup must be an equi hash join on the order
+    key with the validity range as residual — never a nested-loop or
+    cartesian against the history."""
+    p = plan_of(tables, "join_temporal_dim_version")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
