@@ -219,7 +219,71 @@ def attr_last_touch(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: most common daily behavior paths reported
+PATH_TOP_K = 20
+#: cap on rendered path length — bounds the output string and makes the
+#: "busiest user-day" state explicit
+PATH_MAX_STEPS = 12
+
+
+def behavior_top_paths(t: dict[str, DataFrame]) -> DataFrame:
+    """Behavioral sequence mining: the top-K most common per-user-day
+    event-type paths (first 12 steps, rendered ``view>click>...``) —
+    the full-path complement of ``path_transition_matrix``'s pairwise
+    Sankey (this is the "what journeys actually happen" readout behind
+    it). Deterministic order inside a path: (ts, event_id).
+
+    Scale: ONE shuffle keyed (user_id, day) builds the path with a
+    partial-aggregatable ``collect_list(struct)`` + in-expression
+    ``array_sort``/``slice``/``transform`` render (no window over
+    events, no Python); per-group state is one user-DAY's events —
+    bounded by the busiest user's single day, tighter than any
+    per-user sessionization. The path-frequency count then shuffles
+    |distinct paths| rows, and the final top-K is a TakeOrdered-style
+    window over that aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"].select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    paths = ev.groupBy("user_id", "day").agg(
+        F.expr(
+            "concat_ws('>', slice(transform(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), "
+            f"s -> s.event_type), 1, {PATH_MAX_STEPS}))"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_user_days"))
+    w = Window.orderBy(F.desc("n_user_days"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("rank", "path", "n_user_days")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "behavior_top_paths": f"""
+        WITH paths AS (
+            SELECT user_id, ts::DATE AS day,
+                   array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:{PATH_MAX_STEPS}],
+                       '>') AS path
+            FROM events GROUP BY user_id, ts::DATE
+        ), counts AS (
+            SELECT path, COUNT(*) AS n_user_days FROM paths GROUP BY path
+        )
+        SELECT rank, path, n_user_days FROM (
+            SELECT path, n_user_days,
+                   row_number() OVER (ORDER BY n_user_days DESC, path ASC)::BIGINT AS rank
+            FROM counts
+        ) WHERE rank <= {PATH_TOP_K}
+    """,
     "attr_last_touch": """
         WITH base AS (
             SELECT user_id, event_type, ts, event_id,
@@ -315,4 +379,5 @@ BUILDERS = {
     "user_rfm_segments": user_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
     "attr_last_touch": attr_last_touch,
+    "behavior_top_paths": behavior_top_paths,
 }

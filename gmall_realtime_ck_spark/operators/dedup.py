@@ -233,6 +233,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Asymmetric shingle containment for the LSH candidate pairs:
+    |A∩B|·1000 ÷ |A| and ÷ |B| — the measure that catches a document
+    QUOTED INSIDE a larger one (a boilerplate wrapper, a re-post with
+    commentary), which symmetric Jaccard dilutes toward 0 as the host
+    grows. The asymmetric complement of ``ngram_jaccard_pairs``; same
+    verify posture (exact set intersection, but only over LSH
+    candidates — never all-pairs), same integer-permille rendering.
+
+    Scale: identical to the Jaccard verify — the intersection join is
+    keyed on (candidate pair ⋈ shingle), so cost is Σ shingles over
+    candidate docs, linear in the candidate set.
+    """
+    docs = t["documents"]
+    sh_sets, _, cand = _neardup_chain(docs)
+    sizes = sh_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = sh_sets.alias("ta")
+    tb = sh_sets.alias("tb")
+    inter = (
+        cand.join(ta, cand.doc_a == F.col("ta.doc_id"))
+        .join(tb, (cand.doc_b == F.col("tb.doc_id")) & (F.col("ta.s") == F.col("tb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, cand.doc_a == F.col("na.doc_id"))
+        .join(nb, cand.doc_b == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("inter_ct", F.lit(0)).alias("inter_ct"),
+            F.expr("(coalesce(inter_ct, 0) * 1000) DIV na.n").alias("contain_a_permille"),
+            F.expr("(coalesce(inter_ct, 0) * 1000) DIV nb.n").alias("contain_b_permille"),
+        )
+    )
+
+
 def neardup_drop_list(t: dict[str, DataFrame], threshold_permille: int = 300) -> DataFrame:
     """The dedup pipeline's decision step: docs to DROP = any doc that
     near-duplicates (verified Jaccard ≥ threshold) a lower-id doc —
@@ -425,6 +465,26 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "text_containment_pairs": _MINHASH_CTE
+    + """
+        , sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_ct
+            FROM pairs p
+            JOIN sh ta ON p.doc_a = ta.doc_id
+            JOIN sh tb ON p.doc_b = tb.doc_id AND ta.s = tb.s
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b,
+               coalesce(inter_ct, 0) AS inter_ct,
+               (coalesce(inter_ct, 0) * 1000) // na.n AS contain_a_permille,
+               (coalesce(inter_ct, 0) * 1000) // nb.n AS contain_b_permille
+        FROM pairs p
+        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+        JOIN sizes na ON p.doc_a = na.doc_id
+        JOIN sizes nb ON p.doc_b = nb.doc_id
+    """,
     "text_ngram_jaccard_pairs": _MINHASH_CTE
     + f"""
         , sizes AS (
@@ -519,4 +579,5 @@ BUILDERS = {
     "text_neardup_drop_list": neardup_drop_list,
     "text_neardup_clusters": neardup_clusters,  # rows-only: iterative
     "text_incremental_dedup": incremental_dedup,
+    "text_containment_pairs": containment_pairs,
 }

@@ -164,7 +164,44 @@ def diag_key_skew(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def quality_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Power-of-two value histogram per event type — the distribution
+    profile (Deequ `Histogram` analyzer) behind outlier screens and
+    shuffle-partition sizing. Buckets are integer-exact: bucket = bit
+    length of the cents value (``length(bin(v))``), avoiding the
+    cross-engine last-ulp drift a float ``log2`` would risk at exact
+    powers of two. One keyed map-side-combined aggregate; output
+    cardinality is |types| × ≤64 buckets.
+    """
+    ev = t["events"].select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v")
+    )
+    bucket = F.when(F.col("v") <= 0, F.lit(0)).otherwise(
+        F.length(F.expr("bin(v)"))
+    ).cast("bigint")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v").alias("min_cents"),
+            F.max("v").alias("max_cents"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "quality_value_histogram": """
+        WITH ev AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        )
+        SELECT event_type,
+               (CASE WHEN v <= 0 THEN 0 ELSE length(printf('%b', v)) END)::BIGINT AS bucket,
+               COUNT(*) AS n_events,
+               MIN(v) AS min_cents,
+               MAX(v) AS max_cents
+        FROM ev GROUP BY event_type, bucket
+    """,
     "diag_key_skew": f"""
         WITH counts AS (
             SELECT l_orderkey AS key, COUNT(*) AS ct FROM lineitem GROUP BY 1
@@ -238,4 +275,5 @@ BUILDERS = {
     "quality_profile_orders": quality_profile_orders,
     "quality_checks": quality_checks,
     "diag_key_skew": diag_key_skew,
+    "quality_value_histogram": quality_value_histogram,
 }

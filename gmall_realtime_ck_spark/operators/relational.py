@@ -1536,6 +1536,43 @@ def join_temporal_dim_version(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def win_supplier_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Relative-standing window functions: each supplier's revenue
+    percent_rank and cume_dist within its nation — the "where does
+    this supplier sit in its market" readout (completing the window-
+    function surface beyond row_number/rank/ntile/lag/frames already
+    covered). Both functions are exact rationals evaluated in double
+    ((rank−1)/(n−1), rank/n) — identical arithmetic on both engines.
+
+    Scale: aggregate-first — revenue per supplier is one keyed shuffle
+    over lineitem with map-side partials; the ranking windows run over
+    the |suppliers|-row aggregate partitioned by nation (≤25 groups
+    here; generally bounded by the nation dimension, never facts).
+    """
+    from pyspark.sql import Window
+
+    li = t["lineitem"]
+    s = t["supplier"]
+    n = t["nation"]
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice")).alias("revenue_cents")
+    )
+    enriched = (
+        rev.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                 rev["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy("revenue_cents", "s_suppkey")
+    return enriched.select(
+        "n_name",
+        F.col("s_suppkey").alias("suppkey"),
+        "revenue_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 #: NTILE bucket count for the customer-spend decile report
 DECILES_N = 10
 
@@ -1654,6 +1691,20 @@ _CDC_OPS_SQL = """
         )"""
 
 ORACLES: dict[str, str] = {
+    "win_supplier_percentiles": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT n.n_name, s.s_suppkey AS suppkey, rev.revenue_cents,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist
+        FROM rev
+        JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WINDOW w AS (PARTITION BY n.n_name ORDER BY rev.revenue_cents, s.s_suppkey)
+    """,
     "win_ntile_deciles": f"""
         WITH spend AS (
             SELECT o_custkey,
@@ -2313,6 +2364,7 @@ BUILDERS = {
     "range_join_value_tiers": range_join_value_tiers,
     "table_scd2_history": table_scd2_history,
     "join_temporal_dim_version": join_temporal_dim_version,
+    "win_supplier_percentiles": win_supplier_percentiles,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,
