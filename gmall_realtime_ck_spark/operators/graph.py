@@ -50,9 +50,14 @@ def graph_pagerank(t: dict[str, DataFrame]) -> DataFrame:
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
+    # materialize the edge build ONCE: without this, every unrolled
+    # iteration re-executes the orders⋈lineitem + distinct + union
+    # lineage (measured 6.2 s → 2.6 s at sf0.1). Production equivalent:
+    # persist the edge list bucketed by src.
+    und = und.localCheckpoint()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # O(1) driver scalar (the rel_q22 pattern)
-    und_deg = und.join(deg, "src")
+    und_deg = und.join(deg, "src").localCheckpoint()
 
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(PR_ITERS):

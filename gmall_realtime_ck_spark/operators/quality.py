@@ -35,15 +35,21 @@ def quality_profile_orders(t: dict[str, DataFrame]) -> DataFrame:
     count, min/max (rendered as strings so one long-format row per
     column). The Deequ `Analyzer` shape.
 
-    One aggregation pass: Spark plans the multiple countDistinct as a
-    single Expand (×|cols| rows map-side) feeding one keyed aggregate —
-    no per-column rescans of the table. At 100 TB the exact distinct
-    counts would switch to ``approx_count_distinct`` (HLL sketches,
-    merge-able map-side); exact is kept here because the oracle
-    compares bit-for-bit.
+    Two single-purpose passes, deliberately NOT one mixed aggregate:
+    Spark plans plain aggregates mixed with multi-column DISTINCTs as
+    one Expand that replicates EVERY row |distinct-cols|+1 times and
+    re-evaluates the rendered min/max strings per replica — measured
+    4.6 s vs 1.6+1.3 s split at sf0.1, and at 100 TB a 7× row
+    expansion loses to a second columnar scan by far. So: pass 1 =
+    nulls+min/max (plain, one scan, map-side partials), pass 2 = the
+    six countDistincts (Expand over just the six key columns), joined
+    as two 1-row results (a trivial 1×1 broadcast). At 100 TB the
+    exact distincts would switch to ``approx_count_distinct`` (HLL,
+    merge-able map-side); exact is kept because the oracle compares
+    bit-for-bit.
     """
     o = t["orders"]
-    aggs = []
+    plain = []
     for c in _PROFILE_COLS:
         col = F.col(c)
         rendered = (
@@ -51,13 +57,13 @@ def quality_profile_orders(t: dict[str, DataFrame]) -> DataFrame:
             if c == "o_orderdate"
             else col.cast("string")
         )
-        aggs += [
+        plain += [
             F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
             F.min(rendered).alias(f"{c}__min"),
             F.max(rendered).alias(f"{c}__max"),
         ]
-    wide = o.agg(*aggs)
+    distincts = [F.countDistinct(F.col(c)).alias(f"{c}__distinct") for c in _PROFILE_COLS]
+    wide = o.agg(*plain).crossJoin(o.agg(*distincts))
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in _PROFILE_COLS

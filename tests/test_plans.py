@@ -515,14 +515,18 @@ def test_salted_agg_two_stage(tables):
     assert "Window" not in p
 
 
-def test_quality_profile_single_pass(tables):
-    """The per-column profile must be ONE aggregation pass: multiple
-    countDistincts plan as a single Expand feeding one keyed aggregate
-    — exactly one scan of orders, no join, no per-column rescans."""
+def test_quality_profile_two_passes(tables):
+    """The per-column profile must be exactly TWO aggregation passes —
+    a plain nulls/min/max pass and a countDistinct pass — joined as
+    1-row results. Mixing them would Expand every row 7× and
+    re-evaluate the rendered strings per replica (measured 4.6 s vs
+    2.9 s split at sf0.1); per-column rescans (6+ scans) are equally
+    wrong."""
     p = plan_of(tables, "quality_profile_orders")
-    assert "Expand" in p
-    assert p.count("Scan parquet") == 1, p
-    assert "Join" not in p
+    assert "Expand" in p  # the distinct pass itself
+    assert p.count("Scan parquet") == 2, p
+    # only the trivial 1-row × 1-row combine join
+    assert p.count("Join") <= 1, p
 
 
 def test_quality_checks_fk_is_broadcast_anti(tables):
