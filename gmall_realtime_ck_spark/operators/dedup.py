@@ -273,6 +273,40 @@ def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def levenshtein_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Edit-distance verify for the LSH candidate pairs: exact
+    Levenshtein distance plus a permille normalization by the longer
+    text — the character-level complement of the shingle-set measures
+    (catches dense small edits that leave most shingles intact, and is
+    the dedup criterion used by code-dedup pipelines where token order
+    is load-bearing). JVM-side `levenshtein` on both engines, integer-
+    exact.
+
+    Scale: O(|a|·|b|) per pair is the expensive verify — which is
+    exactly why it runs ONLY on the LSH candidate set (a join of the
+    candidate pairs back to the two text columns, linear in
+    candidates), never all-pairs; the cheap signature/LSH stages have
+    already paid for its selectivity.
+    """
+    docs = t["documents"]
+    _, _, cand = _neardup_chain(docs)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+            F.expr(
+                "cast(levenshtein(text_a, text_b) * 1000 "
+                "DIV greatest(length(text_a), length(text_b)) as bigint)"
+            ).alias("dist_permille"),
+        )
+    )
+
+
 def neardup_drop_list(t: dict[str, DataFrame], threshold_permille: int = 300) -> DataFrame:
     """The dedup pipeline's decision step: docs to DROP = any doc that
     near-duplicates (verified Jaccard ≥ threshold) a lower-id doc —
@@ -465,6 +499,16 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "text_levenshtein_pairs": _MINHASH_CTE
+    + """
+        SELECT p.doc_a, p.doc_b,
+               levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+               (levenshtein(da.text, db.text) * 1000 //
+                greatest(length(da.text), length(db.text)))::BIGINT AS dist_permille
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    """,
     "text_containment_pairs": _MINHASH_CTE
     + """
         , sizes AS (
@@ -580,4 +624,5 @@ BUILDERS = {
     "text_neardup_clusters": neardup_clusters,  # rows-only: iterative
     "text_incremental_dedup": incremental_dedup,
     "text_containment_pairs": containment_pairs,
+    "text_levenshtein_pairs": levenshtein_pairs,
 }

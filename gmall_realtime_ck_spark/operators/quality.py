@@ -179,7 +179,15 @@ def quality_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     powers of two. One keyed map-side-combined aggregate; output
     cardinality is |types| × ≤64 buckets.
     """
-    ev = t["events"].select(
+    return value_histogram(t["events"])
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Shared batch/stream histogram transform (see
+    ``quality_value_histogram``; streaming twin
+    ``streaming.pipelines.flow_histogram`` — the bucketing is a
+    stateless map, so only the keyed aggregate becomes stateful)."""
+    ev = events.select(
         "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v")
     )
     bucket = F.when(F.col("v") <= 0, F.lit(0)).otherwise(

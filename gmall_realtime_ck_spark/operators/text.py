@@ -736,7 +736,35 @@ def corpus_bpe_pair_counts(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_length_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source document-length distribution: exact interpolated
+    p10/p50/p90/p99 of ``n_chars`` plus count — the length profile a
+    corpus mixer reads before setting truncation/packing budgets (the
+    documents-table sibling of ``event_value_percentiles``). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation formula. At 100 TB swap to ``percentile_approx``
+    (t-digest, merge-able map-side) — same call shape; exact is kept
+    for the bit-for-bit oracle. One keyed aggregate.
+    """
+    d = t["documents"]
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "corpus_length_percentiles": """
+        SELECT source, COUNT(*) AS n_docs,
+               quantile_cont(n_chars, 0.1) AS p10,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.9) AS p90,
+               quantile_cont(n_chars, 0.99) AS p99
+        FROM documents GROUP BY source
+    """,
     "corpus_bpe_pair_counts": f"""
         WITH words AS (
             SELECT unnest({TOKENS_DUCK.format(c="text")}) AS w FROM documents
@@ -1033,4 +1061,5 @@ BUILDERS = {
     "corpus_report": corpus_report,
     "text_span_dedup": text_span_dedup,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
+    "corpus_length_percentiles": corpus_length_percentiles,
 }

@@ -349,7 +349,49 @@ def ts_ewma_control(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ts_autocorr_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Lag-1 autocorrelation of each type's daily-count series —
+    the seasonality/persistence screen run before choosing a forecast
+    model (high r₁ ⇒ yesterday predicts today; the diagnostics sibling
+    of ``ts_linreg_forecast``). Pearson r via the ``corr`` aggregate
+    on (ct, lag(ct)) pairs; both engines use the same sample-corr
+    definition (rounded to 6, far above any summation-order ulp).
+
+    Scale: one keyed daily count, one per-type lag window over the
+    |types|×|days| AGGREGATE, one corr aggregate (partial-aggregatable
+    sums of products) — raw events shuffle exactly once.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("ct").cast("double").alias("y"),
+        F.lag("ct").over(w).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("y", "x"), 6).alias("autocorr_lag1"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_autocorr_daily": """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
+            FROM events GROUP BY event_type, day
+        ), pairs AS (
+            SELECT event_type, ct::DOUBLE AS y,
+                   lag(ct) OVER (PARTITION BY event_type ORDER BY day)::DOUBLE AS x
+            FROM daily
+        )
+        SELECT event_type, COUNT(*) AS n_pairs,
+               round(corr(y, x), 6) AS autocorr_lag1
+        FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+    """,
     "ts_ewma_control": f"""
         WITH daily AS (
             SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
@@ -490,4 +532,5 @@ BUILDERS = {
     "ts_ohlc_hourly": ts_ohlc_hourly,
     "ts_linreg_forecast": ts_linreg_forecast,
     "ts_ewma_control": ts_ewma_control,
+    "ts_autocorr_daily": ts_autocorr_daily,
 }

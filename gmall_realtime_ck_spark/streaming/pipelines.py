@@ -390,6 +390,20 @@ def flow_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The power-of-two value histogram as a live stream — the
+    continuously-maintained distribution profile behind streaming
+    outlier screens. Shared batch transform
+    (``operators.quality.value_histogram``: the bit-length bucketing
+    is a stateless map; count/min/max are all re-associable) in
+    complete mode, whose final table equals the batch result ⇒ the
+    batch oracle applies verbatim."""
+    from ..operators.quality import value_histogram
+
+    ev = events_file_stream(spark, sf_dir)
+    return _run_to_memory(value_histogram(ev), "complete")
+
+
 def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the driver's documents table — the
     streaming-ingest shape of a training-corpus pipeline (new shards
@@ -513,6 +527,7 @@ STREAM_BUILDERS = {
     "flow_cumulate": flow_cumulate,
     "flow_ohlc": flow_ohlc,
     "flow_value_tiers": flow_value_tiers,
+    "flow_histogram": flow_histogram,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -523,6 +538,7 @@ STREAM_BUILDERS = {
 def stream_oracles() -> dict[str, str]:
     from ..operators.behavior import ORACLES as BEH
     from ..operators.privacy import ORACLES as PRIV
+    from ..operators.quality import ORACLES as QUAL
     from ..operators.relational import ORACLES as REL
     from ..operators.stateful import ORACLES as ST
     from ..operators.text import ORACLES as TXT
@@ -533,6 +549,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_cumulate": TS["win_cumulate_counts"],
         "flow_ohlc": TS["ts_ohlc_hourly"],
         "flow_value_tiers": REL["range_join_value_tiers"],
+        "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_quality_filter": TXT["text_quality_score"],
