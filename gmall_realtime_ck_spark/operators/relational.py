@@ -1536,6 +1536,46 @@ def join_temporal_dim_version(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def grouping_sets_traffic(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS — the hand-picked subtotal combinations
+    ((type, day), (type), (day), ()) in ONE pass, completing the
+    grouping-sets surface beyond ``trade_gmv_rollup`` (ROLLUP) and
+    ``rel_sales_cube`` (CUBE). This is the shape a serving layer uses
+    to materialize exactly the dashboard's drill-downs and nothing
+    more — CUBE would compute the same four sets here, but the
+    explicit form prunes unwanted combinations when dimensions grow.
+
+    Plan: Spark expands each row once per grouping set (4×) map-side
+    into ONE keyed aggregate — versus 4 separate scans+aggregates for
+    the UNION ALL phrasing. grouping() flags disambiguate real NULLs
+    from subtotal markers on both engines.
+    """
+    ev = t["events"]
+    day = F.to_date("ts").alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"], []],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("day").cast("bigint").alias("g_day"),
+        )
+        .select(
+            "event_type",
+            date_str("day").alias("dt"),
+            "g_type",
+            "g_day",
+            "pv_ct",
+            "value_cents",
+        )
+    )
+
+
 def win_supplier_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     """Relative-standing window functions: each supplier's revenue
     percent_rank and cume_dist within its nation — the "where does
@@ -1691,6 +1731,16 @@ _CDC_OPS_SQL = """
         )"""
 
 ORACLES: dict[str, str] = {
+    "grouping_sets_traffic": """
+        SELECT event_type,
+               strftime(day, '%Y-%m-%d') AS dt,
+               grouping(event_type)::BIGINT AS g_type,
+               grouping(day)::BIGINT AS g_day,
+               COUNT(*) AS pv_ct,
+               SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM (SELECT event_type, ts::DATE AS day, value FROM events)
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+    """,
     "win_supplier_percentiles": """
         WITH rev AS (
             SELECT l_suppkey,
@@ -2365,6 +2415,7 @@ BUILDERS = {
     "table_scd2_history": table_scd2_history,
     "join_temporal_dim_version": join_temporal_dim_version,
     "win_supplier_percentiles": win_supplier_percentiles,
+    "grouping_sets_traffic": grouping_sets_traffic,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

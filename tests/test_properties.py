@@ -232,3 +232,114 @@ def test_space_saving_candidates_superset(spark, tokens, capacity):
     n = len(tokens)
     heavy = {t for t, c in Counter(tokens).items() if c * capacity > n}
     assert heavy <= cands, f"missed heavy hitters: {heavy - cands}"
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id (dups possible? no - see below)
+        st.sampled_from(["alpha beta gamma", "alpha beta", "delta epsilon zeta",
+                         "the quick brown fox", "the quick brown fox jumps"]),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(docs=docs_strategy)
+def test_incremental_dedup_invariants(spark, docs):
+    """Accepted docs have unique hashes, none of which appear in the
+    existing-corpus slice; every incoming doc gets exactly one verdict."""
+    from gmall_realtime_ck_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, txt, "en", "src0", len(txt)) for i, txt in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.incremental_dedup({"documents": df}).collect()
+    incoming_ids = {i for i, _ in docs if i % dedup.INCR_MOD == 0}
+    assert {r["doc_id"] for r in out} == incoming_ids
+    accepted = [r for r in out if r["accept"] == 1]
+    # unique hashes among accepted
+    hs = [r["h"] for r in accepted]
+    assert len(hs) == len(set(hs))
+    # no accepted hash exists in the corpus slice
+    import hashlib
+    corpus_hashes = {
+        hashlib.md5(txt.strip().lower().encode()).hexdigest()
+        for i, txt in docs if i % dedup.INCR_MOD != 0
+    }
+    assert not (set(hs) & corpus_hashes)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.floats(min_value=0.01, max_value=500, allow_nan=False),
+                  min_size=1, max_size=40)
+)
+def test_value_tiers_partition_events(spark, vals):
+    """The [lo, hi) bands tile [0, ∞): every event lands in exactly one
+    tier, so tier counts sum to the event count."""
+    from gmall_realtime_ck_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, "click", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = relational.range_join_value_tiers({"events": df}).collect()
+    assert sum(r["n_events"] for r in out) == len(vals)
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=25)
+)
+def test_ewma_lies_within_data_range(spark, counts):
+    """The EWMA is a convex combination of trailing observations, so it
+    must lie within [min, max] of the series."""
+    from gmall_realtime_ck_spark.operators import timeseries
+    import pyspark.sql.functions as F
+
+    rows = []
+    eid = 0
+    for day, ct in enumerate(counts):
+        for _ in range(ct % 4):  # keep volumes small; ewma over daily counts
+            rows.append((eid, day))
+            eid += 1
+    if not rows:
+        rows = [(0, 0)]
+    df = spark.createDataFrame(rows, "event_id long, d int").select(
+        "event_id",
+        F.lit("click").alias("event_type"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,d)").alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.col("event_id").cast("long").alias("user_id"),
+        F.lit("").alias("props"),
+    )
+    out = timeseries.ts_ewma_control({"events": df}).collect()
+    by_type = [r["ct"] for r in out]
+    lo, hi = min(by_type), max(by_type)
+    for r in out:
+        assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    spends=st.lists(st.integers(min_value=1, max_value=100_000), min_size=10, max_size=60)
+)
+def test_ntile_deciles_are_balanced(spark, spends):
+    """NTILE bucket sizes differ by at most one customer and cover
+    everyone exactly once."""
+    from gmall_realtime_ck_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, i, "O", float(s) / 100.0, "1996-01-01", "1-URGENT")
+         for i, s in enumerate(spends)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    out = relational.win_ntile_deciles({"orders": df}).collect()
+    sizes = [r["n_customers"] for r in out]
+    assert sum(sizes) == len(spends)
+    assert max(sizes) - min(sizes) <= 1
