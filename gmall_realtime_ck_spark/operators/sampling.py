@@ -306,6 +306,68 @@ def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: contamination threshold for the e2e verdict (permille of shingles
+#: shared with the benchmark slice)
+E2E_CONTAM_PERMILLE = 500
+
+
+def corpus_e2e_verdict(t: dict[str, DataFrame]) -> DataFrame:
+    """The flagship end-to-end corpus-cleaning verdict: one row per
+    document with a REASON-CODED keep/drop decision composing the four
+    production filters a pretraining pipeline chains — Gopher quality
+    rules, exact dedup, MinHash-LSH near-dup drop, and benchmark
+    decontamination. Reason columns (1 = triggered) let the corpus
+    team audit *why* mass was lost per source, not just how much —
+    the report every dataset card wants.
+
+    Scale: pure composition — each leg keeps its own documented plan
+    (map-only rules; one md5 shuffle; the shared LSH chain; broadcast
+    benchmark join), and the verdict is three doc_id-keyed joins of
+    |docs|-row outputs (co-partitioned on the same key). Benchmark
+    docs themselves (the contamination reference slice) carry
+    reason_contaminated = 0 by definition.
+    """
+    from .dedup import dedup_exact, neardup_drop_list
+    from .text import rules_gopher_quality
+
+    g = rules_gopher_quality(t).select(
+        "doc_id", (1 - F.col("keep")).cast("bigint").alias("reason_quality")
+    )
+    e = dedup_exact(t).select(
+        "doc_id", F.col("is_dup").alias("reason_exact_dup")
+    )
+    n = neardup_drop_list(t).select(
+        "doc_id", F.col("is_drop").alias("reason_neardup")
+    )
+    c = benchmark_contamination(t).select(
+        "doc_id",
+        (F.col("contamination_permille") >= E2E_CONTAM_PERMILLE)
+        .cast("bigint")
+        .alias("reason_contaminated"),
+    )
+    out = (
+        g.join(e, "doc_id")
+        .join(n, "doc_id")
+        .join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            "reason_quality",
+            "reason_exact_dup",
+            "reason_neardup",
+            F.coalesce("reason_contaminated", F.lit(0)).alias("reason_contaminated"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("reason_quality") == 0)
+            & (F.col("reason_exact_dup") == 0)
+            & (F.col("reason_neardup") == 0)
+            & (F.col("reason_contaminated") == 0)
+        ).cast("bigint"),
+    )
+
+
 #: weighted-priority sample size (global)
 PPS_SAMPLE_K = 100
 
@@ -487,7 +549,29 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# The e2e verdict's oracle is the literal composition of its four legs'
+# already-verified oracles as subqueries — one source of truth per leg.
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
+
+ORACLES["corpus_e2e_verdict"] = f"""
+    SELECT g.doc_id,
+           (1 - g.keep)::BIGINT AS reason_quality,
+           e.is_dup AS reason_exact_dup,
+           n.is_drop AS reason_neardup,
+           COALESCE((c.contamination_permille >= {E2E_CONTAM_PERMILLE})::BIGINT, 0)
+               AS reason_contaminated,
+           (g.keep = 1 AND e.is_dup = 0 AND n.is_drop = 0 AND
+            COALESCE(c.contamination_permille < {E2E_CONTAM_PERMILLE}, TRUE))::BIGINT
+               AS keep
+    FROM ({_TEXT_ORACLES["doc_gopher_rules"]}) g
+    JOIN ({_DEDUP_ORACLES["text_dedup_exact"]}) e ON g.doc_id = e.doc_id
+    JOIN ({_DEDUP_ORACLES["text_neardup_drop_list"]}) n ON g.doc_id = n.doc_id
+    LEFT JOIN ({ORACLES["sample_contamination"]}) c ON g.doc_id = c.doc_id
+"""
+
 BUILDERS = {
+    "corpus_e2e_verdict": corpus_e2e_verdict,
     "sample_weighted_priority": sample_weighted_priority,
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
