@@ -175,6 +175,19 @@ _PRIORITY_HEAD = [
     # queries above — all green in r1 under earlier names (rename map
     # in COVERAGE.md) and continuously covered by the local DuckDB
     # gate.)
+    # NEXT-ROUND rotation queue (new this round, local-gate green +
+    # spot-verified at sf0.01 with a vanilla session; never
+    # driver-checked — rotate into the head next round):
+    # corpus_bpe_pair_counts, text_incremental_dedup,
+    # sample_weighted_priority, embedding_pq_codes, ts_ewma_control,
+    # win_ntile_deciles, events_unpivot_metrics,
+    # range_join_value_tiers, table_scd2_history,
+    # join_temporal_dim_version, diag_key_skew, flow_value_tiers,
+    # behavior_top_paths, quality_value_histogram,
+    # win_supplier_percentiles, text_containment_pairs,
+    # text_levenshtein_pairs, corpus_length_percentiles,
+    # ts_autocorr_daily, flow_histogram, grouping_sets_traffic,
+    # corpus_e2e_verdict.
     # (round-4 rotation: traffic_daily_uv, traffic_event_pivot,
     # traffic_keyword_count, traffic_log_split,
     # traffic_new_visitor_repair, table_config_routed_split,
