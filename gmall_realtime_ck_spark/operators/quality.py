@@ -63,7 +63,7 @@ def quality_profile_orders(t: dict[str, DataFrame]) -> DataFrame:
             F.max(rendered).alias(f"{c}__max"),
         ]
     distincts = [F.countDistinct(F.col(c)).alias(f"{c}__distinct") for c in _PROFILE_COLS]
-    wide = o.agg(*plain).crossJoin(o.agg(*distincts))
+    wide = o.agg(*plain).crossJoin(F.broadcast(o.agg(*distincts)))
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in _PROFILE_COLS
