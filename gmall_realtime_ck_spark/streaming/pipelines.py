@@ -404,6 +404,24 @@ def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(value_histogram(ev), "complete")
 
 
+def flow_backfill_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-backfill → streaming-catchup handoff as a verifiable
+    query: OHLC history before a mid-range midnight cutoff is computed
+    as a batch lake scan, the remainder as a stream with empty initial
+    state, and the union is row-identical to one batch pass (the
+    cutoff sits on an hour boundary, so no OHLC bucket straddles it) —
+    hence the BATCH oracle applies verbatim. See streaming/backfill.py
+    for the deployment rationale."""
+    from ..catalog import load_table
+    from ..operators.timeseries import ohlc_hourly
+    from .backfill import backfill_then_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    d0, d1 = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).first()
+    cutoff = f"{d0 + (d1 - d0) / 2} 00:00:00"
+    return backfill_then_stream(spark, sf_dir, ohlc_hourly, cutoff)
+
+
 def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the driver's documents table — the
     streaming-ingest shape of a training-corpus pipeline (new shards
@@ -528,6 +546,7 @@ STREAM_BUILDERS = {
     "flow_ohlc": flow_ohlc,
     "flow_value_tiers": flow_value_tiers,
     "flow_histogram": flow_histogram,
+    "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -548,6 +567,7 @@ def stream_oracles() -> dict[str, str]:
     return {
         "flow_cumulate": TS["win_cumulate_counts"],
         "flow_ohlc": TS["ts_ohlc_hourly"],
+        "flow_backfill_ohlc": TS["ts_ohlc_hourly"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],
