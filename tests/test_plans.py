@@ -622,3 +622,33 @@ def test_temporal_join_is_keyed_hash_join(tables):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_grouping_sets_is_one_pass(tables):
+    """Explicit GROUPING SETS must plan as ONE Expand feeding one
+    keyed aggregate — a single scan, not one scan+aggregate per
+    subtotal combination unioned together."""
+    p = plan_of(tables, "grouping_sets_traffic")
+    assert "Expand" in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert "Union" not in p, p
+
+
+def test_ewma_windows_over_daily_aggregate(tables):
+    """The EWMA chart must window over the (type, day) AGGREGATE:
+    aggregate first (one keyed shuffle of events), then the row_number
+    and trailing-frame sums — never a window over raw events."""
+    p = plan_of(tables, "ts_ewma_control")
+    agg = p.index("HashAggregate")
+    win = p.index("Window")
+    # child operators print later in the tree dump: the Window node
+    # must appear ABOVE (before) the aggregate
+    assert win < agg, p
+
+
+def test_scd2_single_keyed_window(tables):
+    """The SCD2 build is one keyed lead() window over the envelope
+    union — exactly one Window node, no join."""
+    p = plan_of(tables, "table_scd2_history")
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
