@@ -368,6 +368,49 @@ def corpus_e2e_verdict(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_card_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """The dataset-card rollup: per source, how many documents each
+    cleaning stage dropped and what survives — the table every corpus
+    release publishes (mass lost to quality / exact dup / near dup /
+    contamination, per provenance). A groupBy over the e2e verdict
+    joined back to the documents' source column; reasons are not
+    mutually exclusive, so the columns sum past the drop count by
+    design.
+
+    Scale: the verdict's own plan plus one broadcast-joinable
+    |docs|-row join on doc_id and one keyed rollup to |sources| rows.
+    """
+    v = corpus_e2e_verdict(t)
+    src = t["documents"].select("doc_id", "source")
+    return (
+        v.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("reason_quality").alias("drop_quality"),
+            F.sum("reason_exact_dup").alias("drop_exact_dup"),
+            F.sum("reason_neardup").alias("drop_neardup"),
+            F.sum("reason_contaminated").alias("drop_contaminated"),
+            F.sum("keep").alias("kept"),
+        )
+    )
+
+
+def lang_confusion_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Language-ID quality diagnostic: the (declared label × predicted
+    language) confusion counts — the screen that catches a broken
+    lang-ID model or a mislabeled source before it skews the mixture.
+    Composes ``text_lang_id``'s per-doc predictions into one keyed
+    count; the oracle composes that query's verified SQL verbatim.
+    """
+    from .text import text_lang_id
+
+    pred = text_lang_id(t)
+    return pred.groupBy(
+        F.col("lang_label"), F.col("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 #: weighted-priority sample size (global)
 PPS_SAMPLE_K = 100
 
@@ -570,8 +613,29 @@ ORACLES["corpus_e2e_verdict"] = f"""
     LEFT JOIN ({ORACLES["sample_contamination"]}) c ON g.doc_id = c.doc_id
 """
 
+ORACLES["corpus_card_by_source"] = f"""
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(v.reason_quality)::BIGINT AS drop_quality,
+           SUM(v.reason_exact_dup)::BIGINT AS drop_exact_dup,
+           SUM(v.reason_neardup)::BIGINT AS drop_neardup,
+           SUM(v.reason_contaminated)::BIGINT AS drop_contaminated,
+           SUM(v.keep)::BIGINT AS kept
+    FROM ({ORACLES["corpus_e2e_verdict"]}) v
+    JOIN documents d ON v.doc_id = d.doc_id
+    GROUP BY d.source
+"""
+
+ORACLES["lang_confusion_matrix"] = f"""
+    SELECT lang_label, lang_pred, COUNT(*) AS n_docs
+    FROM ({_TEXT_ORACLES["text_lang_id"]})
+    GROUP BY lang_label, lang_pred
+"""
+
 BUILDERS = {
     "corpus_e2e_verdict": corpus_e2e_verdict,
+    "corpus_card_by_source": corpus_card_by_source,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "sample_weighted_priority": sample_weighted_priority,
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
