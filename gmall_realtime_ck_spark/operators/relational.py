@@ -560,6 +560,31 @@ def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def approx_uv_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """The RE-AGGREGATABLE sketch pattern — the actual 100 TB answer
+    for distinct counts: per-day HLL sketches (Datasketches
+    ``hll_sketch_agg``) merged up to per-week UV with ``hll_union_agg``
+    — the day sketches are computed ONCE and serve every coarser
+    rollup (week/month/all-time) by cheap byte-level union, where
+    exact distinct or plain approx_count_distinct would rescan raw
+    events per granularity. This is how a serving layer maintains UV
+    at every zoom level from one materialization (the reference
+    re-scans per /gmv query instead).
+
+    Declared rows-only (sketch estimates are engine-specific);
+    tests/test_sketch_rollup.py bounds the estimate against the exact
+    count and asserts the merged weekly sketch equals sketching the
+    week directly.
+    """
+    ev = t["events"].select(F.to_date("ts").alias("day"), "user_id")
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("wk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_est"))
+    )
+    return weekly.select(date_str("wk").alias("week"), "uv_est")
+
+
 def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
     """§2.8 scalar-function parity in one query: epoch seconds/millis
     extraction (TO_TIMESTAMP_LTZ(ts, 0|3) inverses, BaseSQLApp.java:62),
@@ -2416,6 +2441,7 @@ BUILDERS = {
     "join_temporal_dim_version": join_temporal_dim_version,
     "win_supplier_percentiles": win_supplier_percentiles,
     "grouping_sets_traffic": grouping_sets_traffic,
+    "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,
