@@ -273,6 +273,78 @@ def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: incoming docs need ≥ this many matching signature positions (of 16)
+#: against a corpus doc to be flagged as an incremental near-dup
+INCR_SIG_THRESHOLD = 6
+
+
+def incremental_neardup(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-batch NEAR-dup admission against the existing corpus — the
+    approximate complement of ``incremental_dedup``'s exact-hash check
+    and the full incremental-ingest story: an incoming doc (doc_id ≡ 0
+    mod 10) is flagged if it shares an LSH band bucket with any
+    already-accepted doc AND ≥ 6/16 minhash positions agree (estimated
+    Jaccard ≳ 0.4). Emits one verdict row per incoming doc with its
+    best corpus match.
+
+    Scale: this is the INDEXED shape — in production the corpus side's
+    (band_key → doc) postings and signatures are a PERSISTED index
+    (bucket-written on band_key), so each batch joins only its own
+    band keys against the index: per-batch cost is O(batch) probes,
+    never a corpus self-join, and the index grows append-only as
+    batches are admitted. Here both sides derive from one table; the
+    join topology is identical.
+    """
+    docs = t["documents"]
+    sh_sets = _shingle_sets(docs).localCheckpoint()
+    sigs = _minhash_signatures(docs, sh_sets).localCheckpoint()
+    buckets = _band_buckets(sigs)
+    is_incoming = F.col("doc_id") % INCR_MOD == 0
+    inc_b = buckets.filter(is_incoming).alias("a")
+    corp_b = buckets.filter(~is_incoming).alias("b")
+    cand = (
+        inc_b.join(
+            corp_b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("bigint") for i in range(N_HASHES)
+    )
+    scored = (
+        cand.alias("c")
+        .join(sa, F.col("c.doc_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("c.corpus_id") == F.col("sb.doc_id"))
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.corpus_id").alias("corpus_id"),
+            matches.alias("sig_matches"),
+        )
+        .filter(F.col("sig_matches") >= INCR_SIG_THRESHOLD)
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.expr("max_by(struct(corpus_id), struct(sig_matches, -corpus_id)).corpus_id").alias(
+            "best_match"
+        ),
+        F.max("sig_matches").alias("best_sig_matches"),
+    )
+    incoming = docs.filter(is_incoming).select("doc_id")
+    return (
+        incoming.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("best_match", F.lit(-1)).alias("best_match"),
+            F.coalesce("best_sig_matches", F.lit(0)).alias("best_sig_matches"),
+            F.col("best_match").isNotNull().cast("bigint").alias("is_neardup"),
+        )
+    )
+
+
 def levenshtein_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Edit-distance verify for the LSH candidate pairs: exact
     Levenshtein distance plus a permille normalization by the longer
@@ -499,6 +571,37 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "text_incremental_neardup": _MINHASH_CTE
+    + f"""
+        , inc AS (
+            SELECT * FROM buckets WHERE doc_id % {INCR_MOD} = 0
+        ), corp AS (
+            SELECT * FROM buckets WHERE doc_id % {INCR_MOD} <> 0
+        ), cand AS (
+            SELECT DISTINCT inc.doc_id AS doc_id, corp.doc_id AS corpus_id
+            FROM inc JOIN corp
+              ON inc.band_id = corp.band_id AND inc.band_key = corp.band_key
+        ), scored AS (
+            SELECT cand.doc_id, cand.corpus_id,
+                   ({_SIG_MATCHES_D})::BIGINT AS sig_matches
+            FROM cand
+            JOIN sigs sa ON cand.doc_id = sa.doc_id
+            JOIN sigs sb ON cand.corpus_id = sb.doc_id
+        ), filt AS (
+            SELECT * FROM scored WHERE sig_matches >= {INCR_SIG_THRESHOLD}
+        ), best AS (
+            SELECT doc_id, corpus_id AS best_match, sig_matches AS best_sig_matches,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY sig_matches DESC, corpus_id ASC) AS rn
+            FROM filt
+        )
+        SELECT d.doc_id,
+               COALESCE(b.best_match, -1) AS best_match,
+               COALESCE(b.best_sig_matches, 0) AS best_sig_matches,
+               (b.best_match IS NOT NULL)::BIGINT AS is_neardup
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """,
     "text_levenshtein_pairs": _MINHASH_CTE
     + """
         SELECT p.doc_a, p.doc_b,
@@ -625,4 +728,5 @@ BUILDERS = {
     "text_incremental_dedup": incremental_dedup,
     "text_containment_pairs": containment_pairs,
     "text_levenshtein_pairs": levenshtein_pairs,
+    "text_incremental_neardup": incremental_neardup,
 }
