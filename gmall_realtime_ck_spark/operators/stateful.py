@@ -117,7 +117,47 @@ def trade_cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: per-(user, day) admission cap for the quota operator
+USER_DAY_QUOTA = 2
+
+
+def user_event_quota(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-key rate limiting: admit at most USER_DAY_QUOTA events per
+    (user, day) in deterministic (ts, event_id) order and flag the
+    rest — the quota/backpressure screen an ingest layer applies
+    per producer (and the batch oracle of the custom stateful
+    streaming twin ``streaming.state.user_quota_stream``). One keyed
+    window; the partition key is (user, day), so state per task is one
+    user-day's events.
+    """
+    ev = t["events"]
+    day = date_str("ts")
+    return (
+        ev.select("user_id", "event_id", day.alias("cur_date"), "ts")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "cur_date").orderBy("ts", "event_id")
+        ))
+        .select(
+            "user_id",
+            "event_id",
+            "cur_date",
+            (F.col("rn") <= USER_DAY_QUOTA).cast("bigint").alias("admitted"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "table_user_quota": f"""
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d') AS cur_date,
+               (rn <= {USER_DAY_QUOTA})::BIGINT AS admitted
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+    """,
     "table_dedup_first_per_key": """
         SELECT user_id, event_type,
                event_id AS first_event_id,
@@ -172,4 +212,5 @@ BUILDERS = {
     "returning_users": returning_users,
     "traffic_new_visitor_repair": traffic_new_visitor_repair,
     "trade_cart_add_uu": trade_cart_add_uu,
+    "table_user_quota": user_event_quota,
 }

@@ -404,6 +404,22 @@ def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(value_histogram(ev), "complete")
 
 
+def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key streaming rate limiting as a live stream — at most
+    USER_DAY_QUOTA events admitted per (user, day), per-day counts in
+    keyed state (streaming.state.user_quota_stream). The bounded
+    single-batch run sorts each group by (ts, event_id) before
+    counting, so the admissions equal the deterministic batch twin
+    ``table_user_quota`` and the batch oracle applies verbatim."""
+    from ..operators.stateful import USER_DAY_QUOTA
+    from .state import user_quota_stream
+
+    ev = events_file_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.date_format("ts", "yyyy-MM-dd").alias("cur_date")
+    )
+    return _run_to_memory(user_quota_stream(ev, USER_DAY_QUOTA), "append")
+
+
 def flow_backfill_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch-backfill → streaming-catchup handoff as a verifiable
     query: OHLC history before a mid-range midnight cutoff is computed
@@ -547,6 +563,7 @@ STREAM_BUILDERS = {
     "flow_value_tiers": flow_value_tiers,
     "flow_histogram": flow_histogram,
     "flow_backfill_ohlc": flow_backfill_ohlc,
+    "flow_user_quota": flow_user_quota,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -568,6 +585,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_cumulate": TS["win_cumulate_counts"],
         "flow_ohlc": TS["ts_ohlc_hourly"],
         "flow_backfill_ohlc": TS["ts_ohlc_hourly"],
+        "flow_user_quota": ST["table_user_quota"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

@@ -304,3 +304,62 @@ def funnel_stage_state(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, _FUNNEL_OUT, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_QUOTA_STATE = StructType([StructField("day_counts", StringType())])
+_QUOTA_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cur_date", StringType()),
+        StructField("admitted", LongType()),
+    ]
+)
+
+
+def user_quota_stream(events: DataFrame, quota: int) -> DataFrame:
+    """Per-key streaming rate limiter: admit at most ``quota`` events
+    per (user, day), carrying per-day admission counts in keyed state —
+    the quota/backpressure screen applied per producer at ingest (the
+    custom-stateful counterpart of the built-in window ops; batch
+    oracle: ``operators.stateful.user_event_quota``).
+
+    Rows inside each micro-batch are ordered by (ts, event_id) before
+    counting, so a bounded single-batch run admits exactly the
+    deterministic batch result; across micro-batches admission is
+    arrival-ordered (ties to the reference's processing-order keyed
+    state). Input needs user_id, event_id, ts and a precomputed
+    ``cur_date`` string column.
+
+    Scale: state per key is a {day: count} map string — O(active
+    days), not O(events); keys partition across the state store like
+    every other keyed operator.
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        counts: dict[str, int] = (
+            {k: int(v) for k, v in (x.split(":") for x in state.get[0].split(",") if x)}
+            if state.exists and state.get[0]
+            else {}
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            prior = pdf["cur_date"].map(lambda d: counts.get(d, 0))
+            within_batch = pdf.groupby("cur_date").cumcount()
+            admitted = ((prior + within_batch) < quota).astype("int64")
+            for d, n in pdf["cur_date"].value_counts().items():
+                counts[d] = counts.get(d, 0) + int(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"],
+                    "cur_date": pdf["cur_date"],
+                    "admitted": admitted,
+                }
+            )
+        state.update((",".join(f"{k}:{v}" for k, v in sorted(counts.items())),))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _QUOTA_OUT, _QUOTA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
