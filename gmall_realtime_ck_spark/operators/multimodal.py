@@ -213,11 +213,43 @@ def xmodal_media_features(t: dict[str, DataFrame]) -> DataFrame:
     return extract_features(pruned)
 
 
+def xmodal_exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact media dedup by PAYLOAD hash — the first pass every
+    multimodal corpus runs (identical bytes re-crawled under different
+    ids), done entirely JVM-side: ``md5`` works directly on the binary
+    column, so no payload ever crosses into Python and the only
+    shuffle is the keyed row_number on the digest. Keep-lowest-id;
+    emits the digest so a persisted manifest (bucket-written on it)
+    makes the next batch's check exchange-free — the binary-column
+    sibling of ``text_incremental_dedup``'s posture.
+    """
+    media = media_from_docs(t)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("media_id")
+    return (
+        media.select("media_id", "mime", F.md5("payload").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("media_id", "mime", "h", (F.col("rn") > 1).cast("bigint").alias("is_dup"))
+    )
+
+
 BUILDERS = {
     "xmodal_media_features": xmodal_media_features,
+    "xmodal_exact_dedup": xmodal_exact_dedup,
 }
 
 ORACLES: dict[str, str] = {
+    "xmodal_exact_dedup": """
+        SELECT media_id, mime, h, (rn > 1)::BIGINT AS is_dup FROM (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                        WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+                   md5(text) AS h,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+    """,
     "xmodal_media_features": """
         WITH m AS (
             SELECT doc_id AS media_id,
