@@ -187,7 +187,10 @@ _PRIORITY_HEAD = [
     # win_supplier_percentiles, text_containment_pairs,
     # text_levenshtein_pairs, corpus_length_percentiles,
     # ts_autocorr_daily, flow_histogram, grouping_sets_traffic,
-    # corpus_e2e_verdict.
+    # corpus_e2e_verdict, corpus_card_by_source, lang_confusion_matrix,
+    # approx_uv_sketch_rollup (rows-only), text_incremental_neardup,
+    # table_user_quota, flow_user_quota, flow_backfill_ohlc,
+    # xmodal_exact_dedup.
     # (round-4 rotation: traffic_daily_uv, traffic_event_pivot,
     # traffic_keyword_count, traffic_log_split,
     # traffic_new_visitor_repair, table_config_routed_split,
