@@ -246,3 +246,14 @@ def test_csv_jsonl_round_trip_with_corrupt_flagging(spark, tmp_path):
     bad = dj.filter(F.col("_corrupt").isNotNull())
     assert {r.id for r in good.collect()} == {1, 3}
     assert bad.count() == 1
+
+
+def test_cli_list_and_unknown(capsys):
+    """The CLI lists every declared query and rejects unknown names."""
+    from gmall_realtime_ck_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\tbatch\toracled" in out
+    assert "flow_user_quota\tstream\toracled" in out
+    assert main(["run", "no_such_query"]) == 2
