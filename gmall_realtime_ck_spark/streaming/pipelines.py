@@ -404,6 +404,19 @@ def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(value_histogram(ev), "complete")
 
 
+def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained value-distribution monitor: the exact
+    per-type percentiles as a live stream (complete mode) — the
+    always-current latency/value dashboard a serving layer polls. At
+    100 TB the same call shape swaps ``percentile`` for
+    ``percentile_approx`` (t-digest state, merge-able). Final table ≡
+    batch result ⇒ the batch oracle applies verbatim."""
+    from ..operators.relational import event_value_percentiles
+
+    ev = events_file_stream(spark, sf_dir)
+    return _run_to_memory(event_value_percentiles({"events": ev}), "complete")
+
+
 def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key streaming rate limiting as a live stream — at most
     USER_DAY_QUOTA events admitted per (user, day), per-day counts in
@@ -564,6 +577,7 @@ STREAM_BUILDERS = {
     "flow_histogram": flow_histogram,
     "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_user_quota": flow_user_quota,
+    "flow_percentiles": flow_percentiles,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -586,6 +600,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_ohlc": TS["ts_ohlc_hourly"],
         "flow_backfill_ohlc": TS["ts_ohlc_hourly"],
         "flow_user_quota": ST["table_user_quota"],
+        "flow_percentiles": REL["event_value_percentiles"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],
