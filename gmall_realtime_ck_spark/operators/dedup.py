@@ -233,6 +233,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_novelty(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document n-gram NOVELTY: the permille of a doc's distinct
+    shingles that no lower-id document contains — the marginal-
+    contribution score behind data-curriculum ordering and diversity-
+    aware subset selection (a doc of entirely re-seen shingles scores
+    0 even if no single pair crosses a near-dup threshold). Processing
+    order is doc_id (the stable ingest order the drop-list policies
+    already use).
+
+    Scale: ONE aggregate finds each shingle's first-seen doc (min
+    doc_id keyed on the shingle — map-side combinable), joined back to
+    the doc's shingle rows on the same shingle key, then a doc-keyed
+    count. No pairwise anything: cost is linear in total shingle rows,
+    unlike the pair-verify family.
+    """
+    docs = t["documents"]
+    sh = _shingle_sets(docs)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint")).alias(
+                "novel_shingles"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "novel_shingles",
+        F.expr("(novel_shingles * 1000) DIV n_shingles").alias("novelty_permille"),
+    )
+
+
 def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Asymmetric shingle containment for the LSH candidate pairs:
     |A∩B|·1000 ÷ |A| and ÷ |B| — the measure that catches a document
@@ -571,6 +607,24 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "text_ngram_novelty": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest({_SH_D}) AS s FROM tk0
+        ), first AS (
+            SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+        ), scored AS (
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM((sh.doc_id = first.first_doc)::BIGINT)::BIGINT AS novel_shingles
+            FROM sh JOIN first ON sh.s = first.s
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_shingles, novel_shingles,
+               (novel_shingles * 1000) // n_shingles AS novelty_permille
+        FROM scored
+    """,
     "text_incremental_neardup": _MINHASH_CTE
     + f"""
         , inc AS (
@@ -729,4 +783,5 @@ BUILDERS = {
     "text_containment_pairs": containment_pairs,
     "text_levenshtein_pairs": levenshtein_pairs,
     "text_incremental_neardup": incremental_neardup,
+    "text_ngram_novelty": ngram_novelty,
 }
