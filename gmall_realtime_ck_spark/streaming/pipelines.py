@@ -465,6 +465,43 @@ def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup — the per-shard admission gate a corpus
+    pipeline runs as batches land: each incoming document's content
+    hash is checked against the ACCEPTED-corpus manifest (a
+    stream-static left join; the manifest is the batch side) and
+    against earlier arrivals in the stream itself (keyed
+    applyInPandasWithState, first-wins). Within-batch rows sort by
+    doc_id, so the bounded run admits exactly the batch twin
+    ``text_incremental_dedup`` and its oracle applies verbatim.
+
+    Scale: manifest membership is a hash-keyed join (bucket-write the
+    manifest on ``h`` and it is exchange-free on the corpus side);
+    stream state is ONE long per hash seen — O(distinct incoming
+    hashes), expirable by TTL in production.
+    """
+    from ..catalog import load_table
+    from ..operators.dedup import INCR_MOD
+    from .state import admit_first_per_hash
+
+    docs = documents_file_stream(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INCR_MOD != 0
+    )
+    known = (
+        corpus.select(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    joined = incoming.join(known, "h", "left").select(
+        "doc_id", "h", F.coalesce("known", F.lit(0)).alias("known")
+    )
+    return _run_to_memory(admit_first_per_hash(joined), "append")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -578,6 +615,7 @@ STREAM_BUILDERS = {
     "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_user_quota": flow_user_quota,
     "flow_percentiles": flow_percentiles,
+    "flow_incremental_dedup": flow_incremental_dedup,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_quality_filter": flow_quality_filter,
@@ -587,6 +625,7 @@ STREAM_BUILDERS = {
 
 def stream_oracles() -> dict[str, str]:
     from ..operators.behavior import ORACLES as BEH
+    from ..operators.dedup import ORACLES as DD
     from ..operators.privacy import ORACLES as PRIV
     from ..operators.quality import ORACLES as QUAL
     from ..operators.relational import ORACLES as REL
@@ -601,6 +640,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_backfill_ohlc": TS["ts_ohlc_hourly"],
         "flow_user_quota": ST["table_user_quota"],
         "flow_percentiles": REL["event_value_percentiles"],
+        "flow_incremental_dedup": DD["text_incremental_dedup"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

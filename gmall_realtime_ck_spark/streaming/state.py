@@ -363,3 +363,48 @@ def user_quota_stream(events: DataFrame, quota: int) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, _QUOTA_OUT, _QUOTA_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_ADMIT_STATE = StructType([StructField("taken", LongType())])
+_ADMIT_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h", StringType()),
+        StructField("accept", LongType()),
+    ]
+)
+
+
+def admit_first_per_hash(docs: DataFrame) -> DataFrame:
+    """Streaming first-wins admission keyed on a content hash: the
+    first document carrying each hash is accepted, later carriers are
+    rejected — with rows inside each micro-batch ordered by doc_id, so
+    a bounded single-batch run admits exactly the deterministic
+    keep-lowest-id batch result. Input needs ``doc_id``, ``h`` and a
+    ``known`` long column (1 ⇒ the hash already exists in the accepted
+    corpus manifest; those rows are rejected outright and do NOT claim
+    the hash — matching the batch semantics where corpus membership is
+    checked independently of within-batch ranking). State per key is
+    one long.
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        taken = bool(state.get[0]) if state.exists else False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            import numpy as np
+
+            pos_first = np.arange(len(pdf)) == 0
+            not_known = ~pdf["known"].to_numpy().astype(bool)
+            accept = (pos_first & not_known & (not taken)).astype("int64")
+            if accept.any():
+                taken = True
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "h": h, "accept": accept}
+            )
+        state.update((1 if taken else 0,))
+
+    return docs.groupBy("h").applyInPandasWithState(
+        fn, _ADMIT_OUT, _ADMIT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
