@@ -195,6 +195,67 @@ def simhash_docs(t: dict[str, DataFrame]) -> DataFrame:
     return votes.select("doc_id", F.expr(combine).alias("simhash"))
 
 
+#: SimHash banding: 4 bands × 15 bits; pairs within this Hamming radius
+#: are reported. Pigeonhole: any pair with ≤ 3 differing bits shares at
+#: least one intact band, so the banded candidate join is LOSSLESS for
+#: radius ≤ 3 (and high-recall well past it — differing bits must land
+#: in ≥ SIMHASH_PAIR_HAMMING_MAX/4 distinct bands to escape).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_PAIR_HAMMING_MAX = 12
+
+
+def simhash_hamming_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """SimHash near-dup pair search (Manku/Google WWW'07): candidate
+    pairs share one of 4 exact 15-bit bands of their 60-bit simhash
+    (the pigeonhole trick — NO pairwise scan), verified by popcount of
+    the XOR. Integer-exact end to end (``bit_count`` on both engines);
+    complements the MinHash family: simhash catches multiset-level
+    similarity at fingerprint size O(1) per doc, so the banded index
+    is 8 bytes/doc regardless of document length.
+
+    Scale: the self-join keys on (band, 15-bit value) — at 100 TB the
+    fingerprint+band table is a few GB per billion docs and the join is
+    an ordinary keyed hash join; bucket-write it on the band key and
+    incremental batches probe it exchange-free (the incremental_neardup
+    posture at 1/16th the per-doc index size).
+    """
+    sim = simhash_docs(t)
+    bands = []
+    for b in range(SIMHASH_BANDS):
+        key = F.expr(
+            f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        )
+        bands.append(
+            sim.select(F.lit(b).alias("band"), key.alias("bkey"), "doc_id", "simhash")
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionAll(b)
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_PAIR_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     t: dict[str, DataFrame],
     chain: tuple[DataFrame, DataFrame, DataFrame] | None = None,
@@ -594,6 +655,31 @@ ORACLES: dict[str, str] = {
         JOIN sigs sa ON pairs.doc_a = sa.doc_id
         JOIN sigs sb ON pairs.doc_b = sb.doc_id
     """,
+    "simhash_pair_search": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, {_H60_D} AS h FROM tok
+        ), bits AS (
+            SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hashed, range({SIMHASH_BITS}) r(j)
+            GROUP BY doc_id, j
+        ), sim AS (
+            SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        ), buckets AS (
+            SELECT b AS band, (simhash >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS bkey,
+                   doc_id, simhash
+            FROM sim, range({SIMHASH_BANDS}) r(b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_PAIR_HAMMING_MAX}
+    """,
     "simhash_docs": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents
@@ -784,4 +870,5 @@ BUILDERS = {
     "text_levenshtein_pairs": levenshtein_pairs,
     "text_incremental_neardup": incremental_neardup,
     "text_ngram_novelty": ngram_novelty,
+    "simhash_pair_search": simhash_hamming_pairs,
 }
