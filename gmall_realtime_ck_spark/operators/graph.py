@@ -106,10 +106,95 @@ def _pr_oracle() -> str:
     return sql
 
 
+#: Markov power-iteration count (unrolled in the oracle)
+MK_ITERS = 4
+#: session gap bounding a transition (same 30 min as path analysis)
+MK_GAP_MINUTES = 30
+
+
+def graph_markov_stationary(t: dict[str, DataFrame]) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: build
+    the row-stochastic transition matrix from within-session
+    consecutive event pairs (the same steps ``path_transition_matrix``
+    counts), then 4 unrolled power-iteration steps from the uniform
+    vector — "where does a user journey settle", the equilibrium
+    reading of the Sankey. Probabilities as exact rationals until the
+    final iteration arithmetic (round 9).
+
+    Scale: the transition matrix is |event types|² rows — broadcast-
+    sized by construction at ANY event volume, so after the one
+    sessionization window + keyed count over events, every iteration
+    is arithmetic over a tiny frame. The heavy lifting (the per-user
+    lag) is the canonical keyed-window sessionization shape.
+    """
+    ev = t["events"].select("user_id", "event_type", "ts", "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {MK_GAP_MINUTES} MINUTES")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts") <= F.col("prev_ts") + gap))
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("ct"))
+    totals = counts.groupBy("src").agg(F.sum("ct").alias("tot"))
+    P = counts.join(totals, "src").select(
+        "src", "dst", (F.col("ct") / F.col("tot")).alias("p")
+    )
+    states = P.select(F.col("src").alias("state")).distinct()
+    n = states.count()  # |event types| — O(1) driver scalar
+    pi = states.select("state", F.lit(1.0 / n).alias("pi"))
+    for _ in range(MK_ITERS):
+        pi = (
+            P.join(pi, P.src == pi.state)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pi")).alias("pi"))
+            .select(F.col("dst").alias("state"), "pi")
+        )
+    return pi.select("state", F.round("pi", 9).alias("pi"))
+
+
+def _mk_oracle() -> str:
+    sql = f"""
+        WITH steps AS (
+            SELECT lag(event_type) OVER w AS src,
+                   event_type AS dst,
+                   lag(ts) OVER w AS prev_ts,
+                   ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), counts AS (
+            SELECT src, dst, COUNT(*) AS ct FROM steps
+            WHERE prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL {MK_GAP_MINUTES} MINUTES
+            GROUP BY src, dst
+        ), pm AS (
+            SELECT src, dst, ct::DOUBLE / SUM(ct) OVER (PARTITION BY src) AS p
+            FROM counts
+        ), nn AS (
+            SELECT COUNT(DISTINCT src)::DOUBLE AS n FROM pm
+        ), pi0 AS (
+            SELECT DISTINCT src AS state, 1.0 / (SELECT n FROM nn) AS pi FROM pm
+        )"""
+    prev = "pi0"
+    for i in range(1, MK_ITERS + 1):
+        sql += f""", pi{i} AS (
+            SELECT pm.dst AS state, SUM(pm.p * p.pi) AS pi
+            FROM pm JOIN {prev} p ON pm.src = p.state
+            GROUP BY pm.dst
+        )"""
+        prev = f"pi{i}"
+    sql += f"\n        SELECT state, round(pi, 9) AS pi FROM {prev}"
+    return sql
+
+
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pr_oracle(),
+    "graph_markov_stationary": _mk_oracle(),
 }
 
 BUILDERS = {
     "graph_pagerank": graph_pagerank,
+    "graph_markov_stationary": graph_markov_stationary,
 }
