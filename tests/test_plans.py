@@ -652,3 +652,21 @@ def test_scd2_single_keyed_window(tables):
     p = plan_of(tables, "table_scd2_history")
     assert p.count("Window") == 1, p
     assert "Join" not in p, p
+
+
+def test_simhash_pairs_banded_join(tables):
+    """SimHash candidates must come from the (band, key) equi self-join
+    — a hash join, never a cartesian/nested-loop over fingerprints."""
+    p = plan_of(tables, "simhash_pair_search")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_novelty_is_linear_no_window(tables):
+    """Novelty scoring must be two keyed aggregates + one shingle-keyed
+    join — linear in shingle rows, with no window and no pairwise
+    join anywhere."""
+    p = plan_of(tables, "text_ngram_novelty")
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p
