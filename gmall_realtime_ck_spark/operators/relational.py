@@ -560,6 +560,52 @@ def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def join_star_denormalize(t: dict[str, DataFrame]) -> DataFrame:
+    """The full-snowflake "one big table" build — every dimension of
+    the schema joined onto the fact in ONE query (lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region on the demand side, ⋈ part and
+    ⋈ supplier ⋈ nation on the supply side) — the denormalized export
+    a lakehouse ships to BI/feature stores. Validated as a checksum
+    aggregate per (customer region, supplier nation, brand) so the
+    oracle compares a bounded readout, not a fact dump.
+
+    Plan: the fact shuffles ONCE (lineitem ⋈ orders on orderkey);
+    every dimension chain broadcasts (plan-asserted ≥5 broadcast hash
+    joins, no sort-merge beyond the fact join) — the widest
+    enrichment in the repo, and exactly the shape a 100 TB export
+    wants: dims are MBs, the fact streams through map-side.
+    """
+    li = t["lineitem"]
+    o = t["orders"]
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    cust = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    supp = (
+        t["supplier"].select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(t["nation"].select(F.col("n_nationkey").alias("sn_key"),
+                                             F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    wide = (
+        fact.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return wide.groupBy("cust_region", "supp_nation", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice * (1 - l_discount)")).alias("revenue_cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+
+
 def approx_uv_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """The RE-AGGREGATABLE sketch pattern — the actual 100 TB answer
     for distinct counts: per-day HLL sketches (Datasketches
@@ -1756,6 +1802,23 @@ _CDC_OPS_SQL = """
         )"""
 
 ORACLES: dict[str, str] = {
+    "join_star_denormalize": """
+        SELECT r.r_name AS cust_region,
+               sn.n_name AS supp_nation,
+               p.p_brand,
+               COUNT(*) AS n_rows,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
+               SUM(l.l_quantity::BIGINT)::BIGINT AS total_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2, 3
+    """,
     "grouping_sets_traffic": """
         SELECT event_type,
                strftime(day, '%Y-%m-%d') AS dt,
@@ -2442,6 +2505,7 @@ BUILDERS = {
     "win_supplier_percentiles": win_supplier_percentiles,
     "grouping_sets_traffic": grouping_sets_traffic,
     "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
+    "join_star_denormalize": join_star_denormalize,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,

@@ -670,3 +670,12 @@ def test_novelty_is_linear_no_window(tables):
     p = plan_of(tables, "text_ngram_novelty")
     assert "Window" not in p, p
     assert "CartesianProduct" not in p
+
+
+def test_star_denormalize_broadcasts_all_dims(tables):
+    """The one-big-table export must broadcast every dimension chain —
+    ≥5 broadcast hash joins; the only sort-merge candidate is the
+    lineitem ⋈ orders fact join."""
+    p = plan_of(tables, "join_star_denormalize")
+    assert p.count("BroadcastHashJoin") >= 5, p
+    assert "CartesianProduct" not in p
