@@ -56,7 +56,55 @@ def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: k-anonymity threshold: quasi-identifier groups smaller than this are
+#: re-identification risks
+K_ANON = 5
+
+
+def k_anonymity_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """k-anonymity audit over the events table: treat (event_type, day,
+    value tier) as the quasi-identifier tuple a release would expose,
+    and report each equivalence class with its size and a risk flag
+    (size < k ⇒ the class's members are re-identifiable) — the
+    structural-privacy complement of the regex PII scrub (Sweeney
+    2002; Deequ has no analogue, every data-release checklist does).
+
+    Scale: one keyed count over the quasi-identifier — map-side
+    combinable; the audit output is |classes| rows, and the downstream
+    suppress/generalize step is a broadcast-joinable filter on the
+    same key.
+    """
+    ev = t["events"]
+    qi = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END"
+        ).alias("value_tier"),
+    )
+    return (
+        qi.groupBy("event_type", "day", "value_tier")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "event_type",
+            "day",
+            "value_tier",
+            "class_size",
+            (F.col("class_size") < K_ANON).cast("bigint").alias("at_risk"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "privacy_k_anonymity": f"""
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS value_tier,
+               COUNT(*) AS class_size,
+               (COUNT(*) < {K_ANON})::BIGINT AS at_risk
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
     "text_pii_redaction": f"""
         WITH annotated AS (
             SELECT doc_id, {_ANNOT_DUCK} AS raw FROM documents
@@ -72,4 +120,5 @@ ORACLES: dict[str, str] = {
 
 BUILDERS = {
     "text_pii_redaction": pii_redaction,
+    "privacy_k_anonymity": k_anonymity_audit,
 }

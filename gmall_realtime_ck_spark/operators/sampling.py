@@ -411,6 +411,26 @@ def lang_confusion_matrix(t: dict[str, DataFrame]) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def sample_dup_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Soft dedup via importance downweighting: instead of dropping
+    duplicate documents, keep them all and weight each by 1/(content
+    duplicate count) in integer permille — the training-time
+    alternative to hard dedup (each distinct CONTENT contributes equal
+    expected mass regardless of how often it was crawled). One md5
+    count + a same-key join back; a production run materializes the
+    count table bucket-written on the hash.
+    """
+    docs = t["documents"].select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    counts = docs.groupBy("h").agg(F.count(F.lit(1)).alias("dup_ct"))
+    return docs.join(counts, "h").select(
+        "doc_id",
+        "dup_ct",
+        F.expr("1000 DIV dup_ct").alias("weight_permille"),
+    )
+
+
 #: weighted-priority sample size (global)
 PPS_SAMPLE_K = 100
 
@@ -449,6 +469,15 @@ _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
+    "sample_dup_weights": """
+        WITH hashed AS (
+            SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+        ), counts AS (
+            SELECT h, COUNT(*) AS dup_ct FROM hashed GROUP BY h
+        )
+        SELECT doc_id, dup_ct, (1000 // dup_ct)::BIGINT AS weight_permille
+        FROM hashed JOIN counts USING (h)
+    """,
     "sample_weighted_priority": f"""
         SELECT doc_id, source, n_chars,
                priority,
@@ -637,6 +666,7 @@ BUILDERS = {
     "corpus_card_by_source": corpus_card_by_source,
     "lang_confusion_matrix": lang_confusion_matrix,
     "sample_weighted_priority": sample_weighted_priority,
+    "sample_dup_weights": sample_dup_weights,
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,

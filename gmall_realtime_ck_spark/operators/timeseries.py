@@ -378,7 +378,59 @@ def ts_autocorr_daily(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: seasonal-naive backtest lag (weekly seasonality)
+SEASONAL_LAG_DAYS = 7
+
+
+def ts_seasonal_backtest(t: dict[str, DataFrame]) -> DataFrame:
+    """Forecast-model backtest: score the seasonal-naive predictor
+    (ŷ_t = y_{t−7}) on the daily count series — per type, the mean
+    absolute percentage error in integer permille plus the share of
+    days it over-forecast. The evaluation harness every forecasting
+    effort needs BEFORE any model (the naive baseline to beat;
+    complements ``ts_linreg_forecast``'s fit with an honest scoring
+    loop). Integer permille arithmetic keeps both engines bit-exact.
+
+    Scale: aggregate-first — one keyed daily count, one per-type lag
+    window over the |types|×|days| aggregate, one keyed reduce.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("yhat", F.lag("y", SEASONAL_LAG_DAYS).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr("sum(abs(y - yhat) * 1000 DIV y)").alias("sum_ape_permille"),
+        F.expr("cast(sum(abs(y - yhat) * 1000 DIV y) div count(1) as bigint)").alias(
+            "mape_permille"
+        ),
+        F.sum((F.col("yhat") > F.col("y")).cast("bigint")).alias("n_over"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_seasonal_backtest": f"""
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, COUNT(*) AS y
+            FROM events GROUP BY event_type, day
+        ), scored AS (
+            SELECT event_type, y,
+                   lag(y, {SEASONAL_LAG_DAYS}) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+            FROM daily
+        )
+        SELECT event_type,
+               COUNT(*) AS n_scored,
+               SUM(abs(y - yhat) * 1000 // y)::BIGINT AS sum_ape_permille,
+               (SUM(abs(y - yhat) * 1000 // y) // COUNT(*))::BIGINT AS mape_permille,
+               SUM((yhat > y)::BIGINT)::BIGINT AS n_over
+        FROM scored WHERE yhat IS NOT NULL
+        GROUP BY event_type
+    """,
     "ts_autocorr_daily": """
         WITH daily AS (
             SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
@@ -533,4 +585,5 @@ BUILDERS = {
     "ts_linreg_forecast": ts_linreg_forecast,
     "ts_ewma_control": ts_ewma_control,
     "ts_autocorr_daily": ts_autocorr_daily,
+    "ts_seasonal_backtest": ts_seasonal_backtest,
 }
