@@ -417,6 +417,18 @@ def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(event_value_percentiles({"events": ev}), "complete")
 
 
+def flow_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity audit as a live stream — equivalence-class sizes
+    maintained continuously so a release gate can check re-identification
+    risk on CURRENT data, not last night's batch. Shared transform
+    (operators.privacy.k_anonymity_audit) in complete mode; final table
+    equals the batch result so the batch oracle applies verbatim."""
+    from ..operators.privacy import k_anonymity_audit
+
+    ev = events_file_stream(spark, sf_dir)
+    return _run_to_memory(k_anonymity_audit({"events": ev}), "complete")
+
+
 def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key streaming rate limiting as a live stream — at most
     USER_DAY_QUOTA events admitted per (user, day), per-day counts in
@@ -615,6 +627,7 @@ STREAM_BUILDERS = {
     "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_user_quota": flow_user_quota,
     "flow_percentiles": flow_percentiles,
+    "flow_k_anonymity": flow_k_anonymity,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
@@ -641,6 +654,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_user_quota": ST["table_user_quota"],
         "flow_percentiles": REL["event_value_percentiles"],
         "flow_incremental_dedup": DD["text_incremental_dedup"],
+        "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],
