@@ -118,3 +118,12 @@ def test_every_builder_documents_itself():
         if not (fn.__doc__ and len(fn.__doc__.strip()) >= 40)
     ]
     assert not missing, f"undocumented builders: {missing}"
+
+
+def test_no_orphan_oracles():
+    """Every oracle key must name a declared query — an orphan oracle
+    is dead SQL that silently rots (and confuses the driver's
+    contract surface)."""
+    declared = set(registry.BUILDERS) | set(registry.STREAM_BUILDERS) | registry.BENCH_ONLY
+    orphans = sorted(set(registry.ORACLES) - declared)
+    assert not orphans, f"oracles without queries: {orphans}"
