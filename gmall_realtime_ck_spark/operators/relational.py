@@ -560,6 +560,33 @@ def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def sql_weekly_trade_report(t: dict[str, DataFrame]) -> DataFrame:
+    """The weekly trade report expressed entirely as SQL TEXT via
+    ``spark.sql`` over the catalog-registered views — proving the
+    engine's second front door: everything else in this repo uses the
+    DataFrame API, but a reference user coming from FlinkSQL
+    (BaseSQLApp-style jobs are all SQL text) can address the same
+    tables with plain SQL and get the same Catalyst plans. The
+    ``catalog.load_tables`` call that every query goes through
+    registers the views.
+
+    Scale: same plan as the DataFrame phrasing would produce — one
+    keyed aggregate with map-side partials; SQL text changes nothing
+    physically (that's the point).
+    """
+    spark = t["orders"].sparkSession
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('week', o_orderdate), 'yyyy-MM-dd') AS week,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               sum(cast(round(o_totalprice * 100) AS bigint)) AS gmv_cents
+        FROM orders
+        GROUP BY 1
+        """
+    )
+
+
 def join_star_denormalize(t: dict[str, DataFrame]) -> DataFrame:
     """The full-snowflake "one big table" build — every dimension of
     the schema joined onto the fact in ONE query (lineitem ⋈ orders ⋈
@@ -1802,6 +1829,14 @@ _CDC_OPS_SQL = """
         )"""
 
 ORACLES: dict[str, str] = {
+    "sql_weekly_trade_report": """
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey)::BIGINT AS n_customers,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS gmv_cents
+        FROM orders
+        GROUP BY 1
+    """,
     "join_star_denormalize": """
         SELECT r.r_name AS cust_region,
                sn.n_name AS supp_nation,
@@ -2506,6 +2541,7 @@ BUILDERS = {
     "grouping_sets_traffic": grouping_sets_traffic,
     "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
     "join_star_denormalize": join_star_denormalize,
+    "sql_weekly_trade_report": sql_weekly_trade_report,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,
