@@ -411,6 +411,42 @@ def lang_confusion_matrix(t: dict[str, DataFrame]) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+#: temperature for the smoothed source-mixture weights (τ < 1 upsamples
+#: small sources — the multilingual-sampling convention)
+MIX_TEMPERATURE = 0.7
+
+
+def sample_temperature_mixture(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-scaled source mixture (the mBERT/XLM-R smoothing,
+    Devlin et al. 2019 §A; Conneau et al. 2020 §3): sampling weight per
+    source ∝ (corpus share)^τ with τ = 0.7, renormalized — small
+    sources are upsampled toward the mean without letting any source
+    dominate. The data-derived complement of
+    ``sample_mixture_resample``'s fixed target rates. Shares and
+    weights reported in round-6 doubles (pow is the one non-rational
+    step; both engines agree far past 6 decimals).
+
+    Scale: one keyed count, one 1-row total, one |sources|-row weight
+    normalization — nothing data-sized moves after the first
+    map-side-combined aggregate.
+    """
+    counts = t["documents"].groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "w_raw", F.pow(F.col("n_docs") / F.col("total"), F.lit(MIX_TEMPERATURE))
+    )
+    norm = shared.agg(F.sum("w_raw").alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("temp_weight"),
+        )
+    )
+
+
 def sample_dup_weights(t: dict[str, DataFrame]) -> DataFrame:
     """Soft dedup via importance downweighting: instead of dropping
     duplicate documents, keep them all and weight each by 1/(content
@@ -469,6 +505,23 @@ _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
 
 ORACLES: dict[str, str] = {
+    "sample_temperature_mixture": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_docs)::DOUBLE AS total FROM counts
+        ), shared AS (
+            SELECT source, n_docs,
+                   pow(n_docs / (SELECT total FROM tot), {MIX_TEMPERATURE}) AS w_raw
+            FROM counts
+        ), z AS (
+            SELECT SUM(w_raw) AS z FROM shared
+        )
+        SELECT source, n_docs,
+               round(n_docs / (SELECT total FROM tot), 6) AS share,
+               round(w_raw / (SELECT z FROM z), 6) AS temp_weight
+        FROM shared
+    """,
     "sample_dup_weights": """
         WITH hashed AS (
             SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
@@ -667,6 +720,7 @@ BUILDERS = {
     "lang_confusion_matrix": lang_confusion_matrix,
     "sample_weighted_priority": sample_weighted_priority,
     "sample_dup_weights": sample_dup_weights,
+    "sample_temperature_mixture": sample_temperature_mixture,
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,

@@ -514,6 +514,19 @@ def flow_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(admit_first_per_hash(joined), "append")
 
 
+def flow_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle on the document stream — per-rule
+    flags computed as shards arrive (map-only batch transform applied
+    unchanged, per-row and order-independent ⇒ the batch oracle applies
+    verbatim). Together with flow_pii_redaction, flow_quality_filter and
+    flow_incremental_dedup this completes the streaming half of the
+    corpus admission gate."""
+    from ..operators.text import rules_gopher_quality
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(rules_gopher_quality({"documents": docs}), "append")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -631,6 +644,7 @@ STREAM_BUILDERS = {
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
+    "flow_gopher_rules": flow_gopher_rules,
     "flow_quality_filter": flow_quality_filter,
     "flow_user_register": flow_user_register,
 }
@@ -659,6 +673,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
+        "flow_gopher_rules": TXT["doc_gopher_rules"],
         "flow_quality_filter": TXT["text_quality_score"],
         "flow_window_counts": REL["agg_tumbling_typed"],
         "flow_daily_uv": ST["traffic_daily_uv"],

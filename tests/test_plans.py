@@ -172,6 +172,7 @@ BOUNDED_NLJ_OK = {
     "range_join_value_tiers",  # 4-row [lo, hi) tier literal
     "diag_key_skew",  # 1-row total/count stats
     "quality_profile_orders",  # 1-row plain-aggs × 1-row distinct-aggs
+    "sample_temperature_mixture",  # two 1-row scalar broadcasts (total, Z)
 }
 
 
