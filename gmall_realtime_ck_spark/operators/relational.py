@@ -560,6 +560,28 @@ def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def traffic_hour_heatmap(t: dict[str, DataFrame]) -> DataFrame:
+    """The weekday × hour traffic heatmap — the first dashboard every
+    traffic team builds over its page-view window
+    (DwsTrafficVcChArIsNewPageViewWindow's readout rotated into
+    calendar coordinates): counts, distinct users and value per
+    (ISO weekday, hour-of-day) cell. One keyed aggregate; output is a
+    fixed ≤ 7×24 cells at any event volume.
+    """
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
 def sql_weekly_trade_report(t: dict[str, DataFrame]) -> DataFrame:
     """The weekly trade report expressed entirely as SQL TEXT via
     ``spark.sql`` over the catalog-registered views — proving the
@@ -1829,6 +1851,15 @@ _CDC_OPS_SQL = """
         )"""
 
 ORACLES: dict[str, str] = {
+    "traffic_hour_heatmap": """
+        SELECT (strftime(ts, '%w')::BIGINT + 1) AS dow,
+               hour(ts)::BIGINT AS hod,
+               COUNT(*) AS pv_ct,
+               COUNT(DISTINCT user_id)::BIGINT AS uv_ct,
+               SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
     "sql_weekly_trade_report": """
         SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
                count(*) AS n_orders,
@@ -2542,6 +2573,7 @@ BUILDERS = {
     "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
     "join_star_denormalize": join_star_denormalize,
     "sql_weekly_trade_report": sql_weekly_trade_report,
+    "traffic_hour_heatmap": traffic_hour_heatmap,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "approx_uv_window": approx_uv_window,
