@@ -26,7 +26,8 @@ def _build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--filter", default="", help="substring filter")
 
     for cmd, hlp in (("run", "run a query and print rows"),
-                     ("explain", "print the formatted physical plan")):
+                     ("explain", "print the formatted physical plan"),
+                     ("plancheck", "summarize shuffles/broadcasts/scans in the plan")):
         rp = sub.add_parser(cmd, help=hlp)
         rp.add_argument("name", help="query name (see `list`)")
         rp.add_argument(
@@ -61,6 +62,20 @@ def main(argv: list[str] | None = None) -> int:
     df = registry.make_query(args.name)(spark, args.sf_dir)
     if args.cmd == "explain":
         df.explain("formatted")
+    elif args.cmd == "plancheck":
+        p = df._jdf.queryExecution().executedPlan().toString()
+        for label, needle in (
+            ("shuffles (Exchange hashpartitioning)", "Exchange hashpartitioning"),
+            ("range exchanges", "Exchange rangepartitioning"),
+            ("broadcast hash joins", "BroadcastHashJoin"),
+            ("sort-merge joins", "SortMergeJoin"),
+            ("nested-loop joins", "BroadcastNestedLoopJoin"),
+            ("cartesian products", "CartesianProduct"),
+            ("parquet scans", "Scan parquet"),
+            ("windows", "Window"),
+            ("Python (Arrow) stages", "InPandas"),
+        ):
+            print(f"{p.count(needle):3d}  {label}")
     else:
         df.show(args.limit, truncate=False)
     return 0

@@ -67,3 +67,16 @@ def test_quota_never_admits_more_than_cap(tables):
         if r["admitted"] == 1:
             admitted[(r["user_id"], r["cur_date"])] += 1
     assert admitted and max(admitted.values()) <= USER_DAY_QUOTA
+
+
+def test_temperature_weights_sum_to_one(tables):
+    rows = _run(tables, "sample_temperature_mixture")
+    assert rows
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    # τ < 1 compresses: small sources gain weight relative to share
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["temp_weight"] >= smallest["share"]
+        assert largest["temp_weight"] <= largest["share"]
