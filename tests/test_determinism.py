@@ -21,6 +21,10 @@ RISKY = [
     "corpus_bpe_pair_counts",   # vocab explode + global top-K
     "table_cdc_snapshot_merge", # max_by argmax over struct
     "diag_key_skew",            # top-N + broadcast stats
+    "graph_markov_stationary",  # driver-scalar n + iterative joins
+    "sample_temperature_mixture",  # two 1-row scalar broadcasts
+    "simhash_pair_search",      # checkpointed fingerprint self-join
+    "join_temporal_dim_version",  # window + residual-range join
 ]
 
 
