@@ -527,6 +527,27 @@ def flow_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(rules_gopher_quality({"documents": docs}), "append")
 
 
+def flow_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID on the document stream — the routing decision a
+    multilingual ingest makes per shard before any lang-specific
+    cleaning. Map-only batch transform applied unchanged (per-row,
+    order-independent) ⇒ the batch oracle applies verbatim."""
+    from ..operators.text import text_lang_id
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(text_lang_id({"documents": docs}), "append")
+
+
+def flow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting on the document stream — the running budget meter
+    (whitespace + BPE-ish counts) a corpus build tracks as shards land.
+    Map-only batch transform applied unchanged ⇒ batch oracle verbatim."""
+    from ..operators.text import doc_token_count
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(doc_token_count({"documents": docs}), "append")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -645,6 +666,8 @@ STREAM_BUILDERS = {
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_gopher_rules": flow_gopher_rules,
+    "flow_lang_id": flow_lang_id,
+    "flow_token_count": flow_token_count,
     "flow_quality_filter": flow_quality_filter,
     "flow_user_register": flow_user_register,
 }
@@ -674,6 +697,8 @@ def stream_oracles() -> dict[str, str]:
         "flow_funnel": BEH["funnel_conversion"],
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_gopher_rules": TXT["doc_gopher_rules"],
+        "flow_lang_id": TXT["text_lang_id"],
+        "flow_token_count": TXT["doc_token_count"],
         "flow_quality_filter": TXT["text_quality_score"],
         "flow_window_counts": REL["agg_tumbling_typed"],
         "flow_daily_uv": ST["traffic_daily_uv"],
