@@ -333,6 +333,29 @@ def ngram_novelty(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Novelty decay over ingest order: bucket documents into ingest
+    deciles (NTILE over doc_id) and report mean n-gram novelty per
+    decile — the curve that quantifies how fast a crawl's marginal
+    contribution falls (flat ⇒ keep crawling; cliff ⇒ the source is
+    mined out). Pure composition of ``ngram_novelty`` with a decile
+    rollup; the decile NTILE runs over the |docs|-row novelty output.
+    """
+    from pyspark.sql import Window
+
+    nov = ngram_novelty(t)
+    w = Window.orderBy("doc_id")
+    tiled = nov.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("novel_shingles").alias("novel_shingles"),
+        F.sum("n_shingles").alias("n_shingles"),
+        F.expr(
+            "cast((sum(novel_shingles) * 1000) DIV sum(n_shingles) as bigint)"
+        ).alias("novelty_permille"),
+    )
+
+
 def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Asymmetric shingle containment for the LSH candidate pairs:
     |A∩B|·1000 ÷ |A| and ÷ |B| — the measure that catches a document
@@ -696,6 +719,28 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "text_novelty_decay": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest({_SH_D}) AS s FROM tk0
+        ), first AS (
+            SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+        ), scored AS (
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_sh,
+                   SUM((sh.doc_id = first.first_doc)::BIGINT)::BIGINT AS novel_sh
+            FROM sh JOIN first ON sh.s = first.s
+            GROUP BY sh.doc_id
+        ), tiled AS (
+            SELECT *, ntile(10) OVER (ORDER BY doc_id)::BIGINT AS decile FROM scored
+        )
+        SELECT decile, COUNT(*) AS n_docs,
+               SUM(novel_sh)::BIGINT AS novel_shingles,
+               SUM(n_sh)::BIGINT AS n_shingles,
+               ((SUM(novel_sh) * 1000) // SUM(n_sh))::BIGINT AS novelty_permille
+        FROM tiled GROUP BY decile
+    """,
     "text_ngram_novelty": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -874,4 +919,5 @@ BUILDERS = {
     "text_incremental_neardup": incremental_neardup,
     "text_ngram_novelty": ngram_novelty,
     "simhash_pair_search": simhash_hamming_pairs,
+    "text_novelty_decay": novelty_decay_curve,
 }
