@@ -728,6 +728,76 @@ def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Label-noise screening: each vector's squared distance to its own
+    label's centroid, with a per-label p99 outlier flag — the mislabel
+    detector (confident-learning style) a labeled-embedding pipeline
+    runs before training. INTEGER-exact by construction: components
+    quantize to micro-units, the centroid uses integer division, and
+    the distance is a sum of squared integer differences (bounded well
+    inside int64 at 64 dims) — so both engines agree bit-for-bit and
+    the p99 interpolation runs on identical integers.
+
+    Scale: the labels × dims centroid matrix is one bounded aggregate,
+    collected and inlined (the IVF-centroid posture) so scoring is a
+    PURE MAP over the corpus; the p99 is one |labels|-row aggregate
+    broadcast back. No window over data, no pairwise anything.
+    """
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    comp = emb.select("label", F.posexplode("xm").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("cm"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)"
+            ).alias("c")
+        )
+    )
+    rows = {int(r["label"]): r["c"] for r in cent.collect()}
+    if not rows:  # empty corpus
+        return emb.select("vec_id", "label").limit(0).select(
+            "vec_id", "label", F.lit(0).alias("dist_micro2"), F.lit(0).alias("is_outlier")
+        )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).cast("bigint").alias("l"),
+                F.expr(
+                    "aggregate(zip_with(xm, array("
+                    + ",".join(f"{int(v)}L" for v in vec)
+                    + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+                ).alias("d"),
+            )
+            for lbl, vec in sorted(rows.items())
+        ]
+    )
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.filter(arms, lambda s: s["l"] == F.col("label"))[0]["d"].alias("dist_micro2"),
+    )
+    p99 = scored.groupBy("label").agg(
+        F.expr("percentile(dist_micro2, 0.99)").alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(p99), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist_micro2",
+            (F.col("dist_micro2") > F.col("thr")).cast("bigint").alias("is_outlier"),
+        )
+    )
+
+
 #: squared euclidean distance between a float-array column and a
 #: double-array column, as a deterministic sequential fold
 SQDIST = (
@@ -882,6 +952,27 @@ def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
+    "embedding_label_outliers": """
+        WITH ex AS (
+            SELECT vec_id, label::BIGINT AS label, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm
+            FROM embeddings, range(1, 65) r(i)
+        ), cm AS (
+            SELECT label, i, SUM(xm) // COUNT(*) AS cm
+            FROM ex GROUP BY label, i
+        ), scored AS (
+            SELECT ex.vec_id, ex.label,
+                   SUM((ex.xm - cm.cm) * (ex.xm - cm.cm))::BIGINT AS dist_micro2
+            FROM ex JOIN cm ON ex.label = cm.label AND ex.i = cm.i
+            GROUP BY ex.vec_id, ex.label
+        ), thr AS (
+            SELECT label, quantile_cont(dist_micro2, 0.99) AS thr
+            FROM scored GROUP BY label
+        )
+        SELECT s.vec_id, s.label, s.dist_micro2,
+               (s.dist_micro2 > t.thr)::BIGINT AS is_outlier
+        FROM scored s JOIN thr t ON s.label = t.label
+    """,
     "embedding_pq_codes": f"""
         WITH ex AS (
             SELECT vec_id, label::BIGINT AS cl, i,
@@ -1013,4 +1104,5 @@ BUILDERS = {
     "topk_two_sided_ann": topk_two_sided_ann,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
+    "embedding_label_outliers": embedding_label_outliers,
 }
