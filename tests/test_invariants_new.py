@@ -80,3 +80,19 @@ def test_temperature_weights_sum_to_one(tables):
     if smallest["n_docs"] < largest["n_docs"]:
         assert smallest["temp_weight"] >= smallest["share"]
         assert largest["temp_weight"] <= largest["share"]
+
+
+def test_label_outliers_rate_and_nonnegativity(tables):
+    from collections import Counter
+
+    rows = _run(tables, "embedding_label_outliers")
+    assert rows
+    per_label = Counter()
+    flagged = Counter()
+    for r in rows:
+        assert r["dist_micro2"] >= 0
+        per_label[r["label"]] += 1
+        flagged[r["label"]] += r["is_outlier"]
+    for lbl, n in per_label.items():
+        # p99 threshold admits at most ~1% + interpolation slack
+        assert flagged[lbl] <= max(1, int(0.02 * n)), (lbl, flagged[lbl], n)
