@@ -680,3 +680,29 @@ def test_star_denormalize_broadcasts_all_dims(tables):
     p = plan_of(tables, "join_star_denormalize")
     assert p.count("BroadcastHashJoin") >= 5, p
     assert "CartesianProduct" not in p
+
+
+def test_label_outliers_scoring_is_map_plus_broadcast(tables):
+    """Outlier scoring must be a pure map (inline centroid literals)
+    with only the bounded p99 frame broadcast back — no sort-merge
+    join, no window, no cartesian."""
+    p = plan_of(tables, "embedding_label_outliers")
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_heatmap_is_single_aggregate(tables):
+    """The weekday×hour heatmap is one keyed aggregate (plus the
+    countDistinct Expand) — no join, no window."""
+    p = plan_of(tables, "traffic_hour_heatmap")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_sql_text_path_plans_like_dataframe(tables):
+    """The spark.sql phrasing must produce the ordinary aggregate plan
+    — SQL text changes nothing physically."""
+    p = plan_of(tables, "sql_weekly_trade_report")
+    assert "Join" not in p and "Window" not in p, p
+    assert "HashAggregate" in p, p
