@@ -75,15 +75,34 @@ def main() -> int:
         timed(name, lambda: registry.STREAM_BUILDERS[name](spark, sf_dir), " (streaming)")
 
     total = round(sum(timings.values()), 3)
+    # Full record first (queries lead, headline keys LAST so a tail
+    # capture still sees them), then a short summary line — the driver
+    # keeps only ~2 KB of stdout tail, and all three prior rounds lost
+    # the headline because `value` was the first key of a ~4 KB line
+    # (VERDICT r3 What's-wrong #2). The last stdout line is always a
+    # complete, parseable JSON object well under any tail window.
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                **({"errors": errors} if errors else {}),
+                "n_queries": len(timings),
+                "metric": "total_query_wall_sec",
+                "unit": "sec",
+                "sf": sf,
+                "value": total,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                **({"errors": errors} if errors else {}),
+                "n_queries": len(timings),
+                "n_errors": len(errors),
             }
         )
     )

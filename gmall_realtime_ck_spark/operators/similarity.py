@@ -486,6 +486,72 @@ def topk_two_sided_ann(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: corpus chunks for the exact two-sided path — at scale, pick so a
+#: chunk's vectors fit one executor's memory (chunk ≈ |corpus|/N).
+TWO_SIDED_CHUNKS = 8
+
+
+def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact two-sided distributed cosine top-k — the hash-verifiable
+    twin of ``topk_two_sided_ann`` (VERDICT r3 next-round #4): when the
+    query set grows with the corpus, neither side may be collected or
+    broadcast, yet exactness demands every (query, corpus) pair be
+    scored. The classic distributed shape:
+
+    1. corpus rows get a static chunk id ``pmod(hash(vec_id), N)``;
+    2. each query is replicated to all N chunks via one explode of a
+       literal sequence — Q×N rows, linear, never driver-side;
+    3. a keyed equi-join on chunk_id co-locates each query copy with
+       exactly one corpus chunk (shuffle join, NOT a cartesian — the
+       plan sweep in test_plans keeps it honest);
+    4. per-(q_id, chunk) local top-k bounds the final shuffle to
+       Q×N×k rows, then one keyed window on q_id takes the global
+       top-k.
+
+    Scoring uses the same deterministic sequential-fold DOT as
+    ``cosine_topk``, so the output is bit-identical to the all-pairs
+    SQL oracle. Compute is the unavoidable exact Q×C dot products;
+    wall-clock scales down with executors because every chunk scores
+    independently.
+    """
+    emb = _with_norm(t["embeddings"])
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.pmod(F.xxhash64("vec_id"), F.lit(TWO_SIDED_CHUNKS)).alias("chunk"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.sequence(F.lit(0), F.lit(TWO_SIDED_CHUNKS - 1))).alias("q_chunk"),
+        )
+    )
+    scored = corpus.join(
+        queries, (F.col("chunk") == F.col("q_chunk")) & (F.col("vec_id") != F.col("q_id"))
+    ).withColumn(
+        "cos",
+        F.expr(DOT.format(a="q_emb", b="embedding")) / (F.col("q_norm") * F.col("norm")),
+    )
+    local_w = Window.partitionBy("q_id", "chunk").orderBy(F.desc("cos"), F.asc("vec_id"))
+    local_top = scored.withColumn("lr", F.row_number().over(local_w)).filter(
+        F.col("lr") <= TOP_K
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 LSH_ROWS = 6  # hyperplane bits per band
 LSH_BANDS = 25
 LSH_SEED = 7
@@ -884,28 +950,33 @@ def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
     becomes 4 small codes, a 64× shrink at code-book granularity).
     Codebooks are derived deterministically as per-label subvector
     means in fixed-point micro-units (the ``label_centroids`` /
-    ``embedding_kmeans_assign`` trick), so both engines compute
-    bit-identical codewords; ties break to the lowest codeword id.
+    ``embedding_label_outliers`` trick), and — unlike a double-valued
+    SQDIST fold — the codeword DISTANCES are also computed entirely in
+    integer micro-units (Σ of squared int64 differences, ≤ ~6e13 at 16
+    dims, far inside int64), so the argmin compares exact integers on
+    both engines and near-tied codewords can never round differently
+    between Spark's sequential fold and DuckDB's unordered SUM
+    (ADVICE r3 #3). Ties break to the lowest codeword id.
 
     Scale: codebook derivation is ONE shuffle keyed (label, pos) with
     cardinality labels × dims — independent of corpus size; the
     labels × dims codeword matrix is collected (bounded by design, the
     IVF-centroid posture) and inlined, so encoding is a PURE MAP over
     the corpus: per row, 4 in-expression argmins over
-    `slice(embedding, …)` — no join, no shuffle, no window
+    `slice(xm, …)` — no join, no shuffle, no window
     (plan-asserted). Emits long form (vec_id, subspace, code).
     """
     emb = t["embeddings"].select(
-        "vec_id", "embedding", F.col("label").cast("bigint").alias("cl")
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+        F.col("label").cast("bigint").alias("cl"),
     )
-    comp = emb.select("cl", F.posexplode("embedding").alias("pos", "x")).withColumn(
-        "xm", F.expr("cast(round(cast(x as double) * 1000000) as bigint)")
-    )
-    per = comp.groupBy("cl", "pos").agg(
-        (F.sum("xm") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias("v")
-    )
+    comp = emb.select("cl", F.posexplode("xm").alias("pos", "v"))
+    per = comp.groupBy("cl", "pos").agg(F.expr("sum(v) div count(1)").alias("cm"))
     cent = per.groupBy("cl").agg(
-        F.expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").alias("c")
+        F.expr("transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)").alias("c")
     )
     rows = sorted(cent.collect(), key=lambda r: r["cl"])
     if not rows:  # empty corpus: nothing to encode
@@ -920,15 +991,14 @@ def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
             *[
                 F.struct(
                     F.expr(
-                        SQDIST.format(
-                            a=f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
-                            b="array("
-                            + ",".join(
-                                f"cast({v!r} as double)"
-                                for v in row["c"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-                            )
-                            + ")",
+                        "aggregate(zip_with("
+                        f"slice(xm, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
+                        "array("
+                        + ",".join(
+                            f"{int(v)}L"
+                            for v in row["c"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
                         )
+                        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
                     ).alias("d"),
                     F.lit(int(row["cl"])).cast("bigint").alias("cl"),
                 )
@@ -977,14 +1047,14 @@ ORACLES: dict[str, str] = {
         WITH ex AS (
             SELECT vec_id, label::BIGINT AS cl, i,
                    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm,
-                   embedding[i]::DOUBLE AS x,
                    ((i - 1) // {PQ_SUBDIM})::BIGINT AS sub
             FROM embeddings, range(1, 65) r(i)
         ), c0 AS (
-            SELECT cl, i, SUM(xm) / (1000000.0 * COUNT(*)) AS v
+            SELECT cl, i, SUM(xm) // COUNT(*) AS cm
             FROM ex GROUP BY cl, i
         ), d AS (
-            SELECT ex.vec_id, ex.sub, c0.cl, SUM((ex.x - c0.v) * (ex.x - c0.v)) AS d
+            SELECT ex.vec_id, ex.sub, c0.cl,
+                   SUM((ex.xm - c0.cm) * (ex.xm - c0.cm))::BIGINT AS d
             FROM ex JOIN c0 USING (i) GROUP BY ex.vec_id, ex.sub, c0.cl
         )
         SELECT vec_id, sub AS subspace, cl AS code FROM (
@@ -1087,8 +1157,25 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY label, dim_idx
     """,
-    # cosine_topk_ivf: intentionally no oracle — approximate operator,
-    # rows-only check (the exact baseline above is the value-checked one).
+    # cosine_topk_ivf / topk_two_sided_ann: intentionally no oracle —
+    # approximate operators, rows-only check (the exact baselines
+    # cosine_topk and topk_two_sided_exact are the value-checked ones).
+    "topk_two_sided_exact": f"""
+        WITH emb AS (
+            SELECT vec_id, embedding, sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   {_DOT_D.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm) AS cos
+            FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        )
+        SELECT q_id, neighbor_id, rank FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
 }
 
 BUILDERS = {
@@ -1102,6 +1189,7 @@ BUILDERS = {
     "sim_label_centroids": label_centroids,
     "embedding_semdedup": semdedup_prune,
     "topk_two_sided_ann": topk_two_sided_ann,
+    "topk_two_sided_exact": topk_two_sided_exact,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
     "embedding_label_outliers": embedding_label_outliers,

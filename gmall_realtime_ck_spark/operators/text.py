@@ -554,7 +554,9 @@ def corpus_inverted_index(t: dict[str, DataFrame], min_df: int = 5, max_postings
     shards hot postings, a stats/serving index truncates, which is the
     contract here (df keeps the true count). min_df prunes the long
     hapax tail before it ever shuffles twice (count and postings come
-    from the same agg).
+    from the same agg). Postings are emitted as a comma-joined string —
+    hashable/serializable everywhere (list columns are not), same
+    information.
     """
     docs = t["documents"]
     toks = docs.select(
@@ -564,7 +566,13 @@ def corpus_inverted_index(t: dict[str, DataFrame], min_df: int = 5, max_postings
         toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)
     )
@@ -811,7 +819,7 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
         SELECT token, COUNT(*)::BIGINT AS df,
-               (list(doc_id ORDER BY doc_id))[1:20] AS postings
+               array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
         FROM tok GROUP BY token
         HAVING COUNT(*) >= 5
     """,

@@ -101,8 +101,68 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-3 window (the driver verifies the first 50 positions of
-    # queries(); CORRECTNESS_r02 confirms the cap is positional). ---
+    # --- Round-4 window (the driver verifies the first 50 positions of
+    # queries(); CORRECTNESS_r02/r03 confirm the cap is positional).
+    # Contents = the 48 declared queries that have never had a driver
+    # row across r1-r3 (computed from CORRECTNESS_r0{1,2,3}.json keys
+    # through the rename map in COVERAGE.md — the full cross-round
+    # ledger is in COVERAGE.md) + the r3 red row corpus_inverted_index
+    # (postings stringified this round, VERDICT r3 #1) + the new
+    # oracled exact two-sided ANN topk_two_sided_exact (VERDICT r3 #4).
+    # After this window every declared query has ≥1 green driver row
+    # across rounds 1-4. ---
+    "corpus_inverted_index",
+    "topk_two_sided_exact",
+    "approx_uv_sketch_rollup",
+    "behavior_top_paths",
+    "corpus_bpe_pair_counts",
+    "corpus_card_by_source",
+    "corpus_e2e_verdict",
+    "corpus_length_percentiles",
+    "diag_key_skew",
+    "embedding_label_outliers",
+    "embedding_pq_codes",
+    "events_unpivot_metrics",
+    "flow_backfill_ohlc",
+    "flow_gopher_rules",
+    "flow_histogram",
+    "flow_incremental_dedup",
+    "flow_k_anonymity",
+    "flow_lang_id",
+    "flow_percentiles",
+    "flow_token_count",
+    "flow_user_quota",
+    "flow_value_tiers",
+    "graph_markov_stationary",
+    "grouping_sets_traffic",
+    "join_star_denormalize",
+    "join_temporal_dim_version",
+    "lang_confusion_matrix",
+    "privacy_k_anonymity",
+    "quality_value_histogram",
+    "range_join_value_tiers",
+    "sample_dup_weights",
+    "sample_temperature_mixture",
+    "sample_weighted_priority",
+    "simhash_pair_search",
+    "sql_weekly_trade_report",
+    "table_scd2_history",
+    "table_user_quota",
+    "text_containment_pairs",
+    "text_incremental_dedup",
+    "text_incremental_neardup",
+    "text_levenshtein_pairs",
+    "text_ngram_novelty",
+    "text_novelty_decay",
+    "traffic_hour_heatmap",
+    "ts_autocorr_daily",
+    "ts_ewma_control",
+    "ts_seasonal_backtest",
+    "win_ntile_deciles",
+    "win_supplier_percentiles",
+    "xmodal_exact_dedup",
+    # --- Round-3 window (kept for the historical record; positions
+    # past 50 are outside the driver cap). ---
     # The five streaming rows red in r2 (events_file_stream ts bug,
     # fixed this round) — must re-land green:
     "flow_window_counts",
@@ -219,7 +279,7 @@ def make_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 def all_query_names() -> list[str]:
     """Declared names in driver-row priority order (see _PRIORITY_HEAD)."""
     declared = {n for n in (*BUILDERS, *STREAM_BUILDERS) if n not in BENCH_ONLY}
-    head = [n for n in _PRIORITY_HEAD if n in declared]
+    head = list(dict.fromkeys(n for n in _PRIORITY_HEAD if n in declared))
     return head + sorted(declared - set(head))
 
 

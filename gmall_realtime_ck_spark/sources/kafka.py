@@ -75,3 +75,38 @@ def filter_tombstones(df: DataFrame, value_col: str = "value") -> DataFrame:
     """P9 — drop upsert-kafka retraction tombstones before parsing
     (DwsTradeSkuOrderWindow.java:138-147)."""
     return df.filter(F.col(value_col).isNotNull())
+
+
+def read_file_topic_stream(spark: SparkSession, topic_dir: str) -> DataFrame:
+    """Null-tolerant streaming consumer for a file-backed topic written
+    by :func:`sinks.kafka.write_file_topic_segment` — the broker-less
+    twin of :func:`read_kafka_stream` (FlinkSourceUtil.java:38-58):
+    ``value`` stays nullable so tombstones flow to
+    :func:`filter_tombstones` instead of crashing the deserializer.
+    """
+    return spark.readStream.schema("key string, value string, segment bigint").parquet(
+        topic_dir
+    )
+
+
+def read_file_topic(spark: SparkSession, topic_dir: str) -> DataFrame:
+    """Batch replay of a file-backed topic (for backfills/tests)."""
+    return spark.read.schema("key string, value string, segment bigint").parquet(topic_dir)
+
+
+def upsert_snapshot(df: DataFrame, key_col: str = "key", value_col: str = "value",
+                    order_col: str = "segment") -> DataFrame:
+    """Materialize the upsert-kafka TABLE view of a keyed log: the
+    latest record per key wins, and a key whose latest record is a
+    tombstone is deleted — exactly what Flink's upsert-kafka source
+    reconstructs via retractions and what a compacted topic converges
+    to (SQLUtil.java:38-46; SURVEY §7 H1 maps retractions to
+    latest-wins). One keyed aggregation: max_by(value, offset) — no
+    window, no sort.
+    """
+    latest = df.groupBy(key_col).agg(
+        F.max_by(F.struct(F.col(value_col).alias("v")), F.col(order_col)).alias("s")
+    )
+    return latest.select(F.col(key_col), F.col("s.v").alias(value_col)).filter(
+        F.col(value_col).isNotNull()
+    )

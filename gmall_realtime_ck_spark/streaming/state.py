@@ -343,21 +343,25 @@ def user_quota_stream(events: DataFrame, quota: int) -> DataFrame:
             if state.exists and state.get[0]
             else {}
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            prior = pdf["cur_date"].map(lambda d: counts.get(d, 0))
-            within_batch = pdf.groupby("cur_date").cumcount()
-            admitted = ((prior + within_batch) < quota).astype("int64")
-            for d, n in pdf["cur_date"].value_counts().items():
-                counts[d] = counts.get(d, 0) + int(n)
-            yield pd.DataFrame(
-                {
-                    "user_id": user_id,
-                    "event_id": pdf["event_id"],
-                    "cur_date": pdf["cur_date"],
-                    "admitted": admitted,
-                }
-            )
+        # Drain the iterator BEFORE sorting: a key whose micro-batch
+        # exceeds arrow.maxRecordsPerBatch arrives as multiple chunks,
+        # and per-chunk sorting would assign admission slots in chunk
+        # order, diverging from the table_user_quota batch oracle's
+        # global (ts, event_id) order. Memory is one key's micro-batch.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values(["ts", "event_id"])
+        prior = pdf["cur_date"].map(lambda d: counts.get(d, 0))
+        within_batch = pdf.groupby("cur_date").cumcount()
+        admitted = ((prior + within_batch) < quota).astype("int64")
+        for d, n in pdf["cur_date"].value_counts().items():
+            counts[d] = counts.get(d, 0) + int(n)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"],
+                "cur_date": pdf["cur_date"],
+                "admitted": admitted,
+            }
+        )
         state.update((",".join(f"{k}:{v}" for k, v in sorted(counts.items())),))
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -389,20 +393,23 @@ def admit_first_per_hash(docs: DataFrame) -> DataFrame:
     """
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (h,) = key
         taken = bool(state.get[0]) if state.exists else False
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("doc_id")
-            import numpy as np
-
-            pos_first = np.arange(len(pdf)) == 0
-            not_known = ~pdf["known"].to_numpy().astype(bool)
-            accept = (pos_first & not_known & (not taken)).astype("int64")
-            if accept.any():
-                taken = True
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].to_numpy(), "h": h, "accept": accept}
-            )
+        # Drain first: with >arrow.maxRecordsPerBatch duplicate docs for
+        # one hash the iterator yields several chunks, and a per-chunk
+        # positional gate could accept a later chunk's head where the
+        # batch twin (global rn==1 on the lowest doc_id) would reject
+        # it. Decide acceptance ONCE per key on the globally sorted
+        # micro-batch.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("doc_id")
+        pos_first = np.arange(len(pdf)) == 0
+        not_known = ~pdf["known"].to_numpy().astype(bool)
+        accept = (pos_first & not_known & (not taken)).astype("int64")
+        if accept.any():
+            taken = True
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "h": h, "accept": accept})
         state.update((1 if taken else 0,))
 
     return docs.groupBy("h").applyInPandasWithState(

@@ -18,13 +18,28 @@ STREAM_ORACLED = sorted(n for n in registry.STREAM_BUILDERS if n in registry.ORA
 
 def _normalize(rows, columns):
     """Sort columns by name, then rows, mirroring the driver's
-    order-insensitive compare."""
+    order-insensitive compare.
+
+    Round-3 lesson: the driver canonicalizer (pandas factorize) throws
+    on list/dict cells — `corpus_inverted_index` shipped an
+    array<bigint> column and went red while this gate, sorting on
+    str(x), passed it. Reject non-scalar cells outright so the local
+    gate is at least as strict as the driver for every value it can
+    see (the schema-level lint in test_oracle_schema.py catches the
+    empty-result case too).
+    """
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
+            if isinstance(v, (list, tuple, dict, set, bytearray)) or type(v).__name__ == "Row":
+                raise AssertionError(
+                    f"non-scalar value in column {columns[i]!r}: {type(v).__name__} — "
+                    "the driver canonicalizer cannot hash list/struct/map cells; "
+                    "stringify (array_join / to_json) in BOTH engines"
+                )
             if isinstance(v, float):
                 v = round(v, 9)
             vals.append(v)

@@ -54,7 +54,30 @@ def _schema_types(table: pa.Table) -> dict[str, str]:
     return {f.name: _canon(f.type) for f in table.schema}
 
 
+def _assert_scalar_schema(name: str, schema) -> None:
+    """Driver-hashability lint: the driver canonicalizer (pandas
+    sort_values → factorize) throws on list/struct/map cells, so no
+    declared query may emit one (r3: `corpus_inverted_index` went red
+    exactly this way). Stringify with array_join / to_json instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name}: non-scalar output column(s) {bad} — the driver cannot hash "
+        "array/struct/map; emit array_join(...)/to_json(...) in both engines"
+    )
+
+
+DECLARED_BATCH = sorted(n for n in registry.BUILDERS if n not in registry.BENCH_ONLY)
+
+
+@pytest.mark.parametrize("name", DECLARED_BATCH)
+def test_declared_output_schema_is_scalar(name, tables):
+    _assert_scalar_schema(name, registry.BUILDERS[name](tables).schema)
+
+
 def _assert_parity(name: str, spark_df, duck_rel) -> None:
+    _assert_scalar_schema(name, spark_df.schema)
     spark_tbl = spark_df.limit(1).toArrow()
     duck_tbl = duck_rel.limit(1).arrow()
     s, d = _schema_types(spark_tbl), _schema_types(duck_tbl)
