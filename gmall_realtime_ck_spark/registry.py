@@ -161,104 +161,10 @@ _PRIORITY_HEAD = [
     "win_ntile_deciles",
     "win_supplier_percentiles",
     "xmodal_exact_dedup",
-    # --- Round-3 window (kept for the historical record; positions
-    # past 50 are outside the driver cap). ---
-    # The five streaming rows red in r2 (events_file_stream ts bug,
-    # fixed this round) — must re-land green:
-    "flow_window_counts",
-    "flow_daily_uv",
-    "flow_interval_join",
-    "flow_session_windows",
-    "flow_user_register",
-    # The 15 round-2 queries that have never had a driver row
-    # (VERDICT r2 "What's missing" #1 / "Next round" #3):
-    "ship_priority_semi",
-    "supplier_nation_profit",
-    "ship_returnflag_priority",
-    "supplier_top_revenue",
-    "rel_q20_surplus_suppliers",
-    "rel_q21_waiting_suppliers",
-    "rel_q22_inactive_balance",
-    "win_order_gaps",
-    "win_rolling_revenue",
-    "win_running_gmv",
-    "win_sales_cube",
-    "topk_two_sided_ann",
-    "text_span_dedup",
-    "sample_mixture_resample",
-    "xmodal_media_features",
-    # Changed this round (scale-contract cap) — re-verify:
-    "embedding_neardup_pairs",
-    # New: the cluster-scoped exact path that cap points at
-    "embedding_neardup_scoped",
-    # New round-3 operators:
-    "funnel_conversion",
-    "flow_funnel",
-    "user_rfm_segments",
-    "events_anomaly_mad",
-    "corpus_inverted_index",
-    "embedding_kmeans_assign",
-    # New round-4 operators (CUMULATE windows, gap-fill, path/cohort
-    # analytics, perplexity filter, z-order layout, streaming left
-    # outer with sentinel-driven watermark finalization):
-    "win_cumulate_counts",
-    "ts_gap_fill_daily",
-    "path_transition_matrix",
-    "cohort_weekly_retention",
-    "doc_perplexity_bigram",
-    "layout_zorder_orders",
-    "flow_left_outer",
-    "corpus_drift_psi",
-    "graph_pagerank",
-    "flow_cumulate",
-    # New round-5 operators (heavy hitters, classifier inference,
-    # domain cap, OHLC rollup, attribution, CDC merge, salted agg):
-    "corpus_heavy_tokens",
-    "doc_quality_classifier",
-    "sample_domain_cap",
-    "ts_ohlc_hourly",
-    "attr_last_touch",
-    "table_cdc_snapshot_merge",
-    "agg_salted_event_stats",
-    "flow_ohlc",
-    "quality_profile_orders",
-    "quality_checks",
-    "ts_linreg_forecast",
-    # Touched by the round-3 near-dup chain sharing — re-verify the
-    # head of the chain (the downstream queries consume its output and
-    # are continuously covered by the local gate):
-    "text_minhash_lsh_pairs",
-    # (round-5 rotation: text_doc_fingerprint, text_dedup_exact,
-    # trade_status_filter, trade_cdc_projection,
-    # trade_conditional_delta, trade_interval_join,
-    # trade_left_outer_orders moved past the window for the seven new
-    # queries above — all green in r1 under earlier names (rename map
-    # in COVERAGE.md) and continuously covered by the local DuckDB
-    # gate.)
-    # NEXT-ROUND rotation queue (new this round, local-gate green +
-    # spot-verified at sf0.01 with a vanilla session; never
-    # driver-checked — rotate into the head next round):
-    # corpus_bpe_pair_counts, text_incremental_dedup,
-    # sample_weighted_priority, embedding_pq_codes, ts_ewma_control,
-    # win_ntile_deciles, events_unpivot_metrics,
-    # range_join_value_tiers, table_scd2_history,
-    # join_temporal_dim_version, diag_key_skew, flow_value_tiers,
-    # behavior_top_paths, quality_value_histogram,
-    # win_supplier_percentiles, text_containment_pairs,
-    # text_levenshtein_pairs, corpus_length_percentiles,
-    # ts_autocorr_daily, flow_histogram, grouping_sets_traffic,
-    # corpus_e2e_verdict, corpus_card_by_source, lang_confusion_matrix,
-    # approx_uv_sketch_rollup (rows-only), text_incremental_neardup,
-    # table_user_quota, flow_user_quota, flow_backfill_ohlc,
-    # xmodal_exact_dedup.
-    # (round-4 rotation: traffic_daily_uv, traffic_event_pivot,
-    # traffic_keyword_count, traffic_log_split,
-    # traffic_new_visitor_repair, table_config_routed_split,
-    # table_dedup_first_per_key, trade_lookup_join_dim,
-    # trade_cart_add_uu, trade_gmv_rollup moved past the window — all
-    # r1-green under these exact names and continuously covered by the
-    # local DuckDB gate — to make room for the ten round-4 queries
-    # above.)
+    # (Rounds 1-3 window history now lives in COVERAGE.md's
+    # cross-round driver-row ledger; _PRIORITY_HEAD holds EXACTLY the
+    # current round's 50-slot window — test_priority_head_integrity
+    # pins length, uniqueness, and resolvability.)
 ]
 
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Nonlinearity probe above sf0.1 (VERDICT r3 next-round #6).
+
+Synthesizes ×2 / ×5 / ×10 scale-ups of the sf0.1 `documents` and
+`embeddings` tables and times the five candidate-generation-heavy
+queries at each scale, fitting the log-log growth exponent per query —
+LSH/blocked candidate generation is the classic silent quadratic, and
+this probe is the guard that the banded/bucketed designs actually grow
+~linearly.
+
+Scale-up construction (statistics-preserving, not dup-injecting):
+naively concatenating the corpus K× would make every document an exact
+near-duplicate of its K-1 copies — candidate pairs would grow O(K²) BY
+CONSTRUCTION and measure the data, not the algorithm. Instead each copy
+k gets (a) offset doc_ids/vec_ids, (b) every token prefixed with `c{k}`
+so cross-copy shingle/minhash/simhash similarity is zero while
+WITHIN-copy near-dup structure is isomorphic to the original, and
+(c) offset embedding labels so cluster sizes stay constant and cluster
+count grows with the corpus (exactly how IVF cell counts scale in
+production). Result: a K× corpus with the same per-unit duplicate rate,
+so measured growth is the operator's, not the generator's.
+
+Outputs one JSON line per (query, scale) and a final summary with
+fitted exponents. Scratch parquet lives under ./scale_data (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+import duckdb
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_data")
+SCALES = [1, 2, 5, 10]
+QUERIES = [
+    "text_minhash_lsh_pairs",
+    "text_neardup_clusters",
+    "simhash_pair_search",
+    "embedding_neardup_scoped",
+    "corpus_heavy_tokens",
+]
+ID_OFF = 10_000_000
+LABEL_OFF = 100_000
+
+
+def synth(k: int) -> str:
+    out = os.path.join(SCRATCH, f"x{k}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    docs_sel = " UNION ALL ".join(
+        f"""SELECT doc_id + {c * ID_OFF} AS doc_id,
+               {'text' if c == 0 else f"array_to_string(list_transform(string_split(text, ' '), t -> 'c{c}' || t), ' ')"} AS text,
+               lang, source, n_chars
+            FROM read_parquet('{BASE}/documents.parquet')"""
+        for c in range(k)
+    )
+    con.execute(f"COPY ({docs_sel}) TO '{out}/documents.parquet' (FORMAT parquet)")
+    emb_sel = " UNION ALL ".join(
+        f"""SELECT vec_id + {c * ID_OFF} AS vec_id, embedding,
+               label + {c * LABEL_OFF} AS label
+            FROM read_parquet('{BASE}/embeddings.parquet')"""
+        for c in range(k)
+    )
+    con.execute(f"COPY ({emb_sel}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
+    con.close()
+    return out
+
+
+def main() -> int:
+    from gmall_realtime_ck_spark import registry
+    from gmall_realtime_ck_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Arrow/python-worker + codegen paths once, untimed
+    warm_dir = synth(1)
+    warm = {
+        "documents": spark.read.parquet(f"{warm_dir}/documents.parquet"),
+        "embeddings": spark.read.parquet(f"{warm_dir}/embeddings.parquet"),
+    }
+    for q in QUERIES:
+        registry.BUILDERS[q](warm).count()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for k in SCALES:
+        d = synth(k)
+        tables = {
+            "documents": spark.read.parquet(f"{d}/documents.parquet"),
+            "embeddings": spark.read.parquet(f"{d}/embeddings.parquet"),
+        }
+        for q in QUERIES:
+            t0 = time.perf_counter()
+            n = registry.BUILDERS[q](tables).count()
+            dt = round(time.perf_counter() - t0, 3)
+            results[q][k] = dt
+            print(json.dumps({"query": q, "scale": k, "sec": dt, "rows": n}))
+
+    summary = {}
+    for q in QUERIES:
+        xs = [math.log(k) for k in SCALES]
+        ys = [math.log(max(results[q][k], 1e-3)) for k in SCALES]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        summary[q] = {
+            "exponent": round(slope, 3),
+            "sec": {str(k): results[q][k] for k in SCALES},
+        }
+    print(json.dumps({"summary": summary}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -706,3 +706,15 @@ def test_sql_text_path_plans_like_dataframe(tables):
     p = plan_of(tables, "sql_weekly_trade_report")
     assert "Join" not in p and "Window" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_two_sided_exact_is_keyed_join(tables):
+    """topk_two_sided_exact must join corpus chunks to replicated
+    queries as a KEYED join on chunk (hash/sort-merge), never a
+    cartesian or broadcast-nested-loop — the whole point of the
+    chunk-id is to turn exact Q×C scoring into a co-located equi-join
+    whose wall-clock divides across executors."""
+    p = plan_of(tables, "topk_two_sided_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
