@@ -552,6 +552,98 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def embedding_sq8_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Scalar int8 quantization (SQ8, the FAISS ScalarQuantizer
+    baseline): per-dimension global [min, max] over the corpus, each
+    component mapped to a 0-255 code — the 4× memory-compression layer
+    a vector store applies before/instead of PQ. INTEGER-exact by
+    construction: components quantize to micro-units, the per-dim
+    range is an integer min/max, and the code is
+    ``((v - mn) * 255) div max(1, mx - mn)`` — pure int64 arithmetic,
+    bit-identical on both engines (the ``embedding_pq_codes`` lesson
+    applied from birth).
+
+    Scale: the per-dim stats are ONE aggregation keyed on dim index —
+    cardinality = dims, independent of corpus size — collected
+    (bounded by design, the IVF-centroid posture) and inlined as
+    literal arrays, so encoding is a Generate + pure map over the
+    corpus: no join, no shuffle in the encode plan. Emits long form
+    (vec_id, dim_idx, code).
+    """
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+    )
+    stats = (
+        emb.select(F.posexplode("xm").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    rows = {int(r["i"]): (int(r["mn"]), int(r["mx"])) for r in stats.collect()}
+    if not rows:  # empty corpus
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("bigint").alias("dim_idx"),
+            F.lit(0).cast("bigint").alias("code"),
+        ).limit(0)
+    dims = max(rows) + 1
+    mn_lit = "array(" + ",".join(f"{rows[i][0]}L" for i in range(dims)) + ")"
+    rng_lit = "array(" + ",".join(f"{max(1, rows[i][1] - rows[i][0])}L" for i in range(dims)) + ")"
+    ex = emb.select("vec_id", F.posexplode("xm").alias("dim_idx", "v"))
+    return ex.select(
+        "vec_id",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        F.expr(
+            f"((v - element_at({mn_lit}, cast(dim_idx + 1 as int))) * 255)"
+            f" div element_at({rng_lit}, cast(dim_idx + 1 as int))"
+        ).alias("code"),
+    )
+
+
+def ann_label_precision(t: dict[str, DataFrame]) -> DataFrame:
+    """Retrieval-quality evaluation over the exact top-k: for each
+    query, how many of its TOP_K nearest neighbors share the query's
+    label (precision@k with label-match relevance) — the recurring
+    eval a pipeline runs after re-embedding/re-indexing to catch
+    embedding regressions. Deterministic and integer-exact: hits is a
+    count, ``precision_e4 = hits * 10000 div TOP_K``.
+
+    Scale: chains :func:`topk_two_sided_exact` (both sides
+    distributed), then two KEYED joins of the Q×k result rows against
+    the (vec_id, label) projection — shuffles sized by the result set
+    and the label projection, never pairwise anything.
+    """
+    topk = topk_two_sided_exact(t)
+    labels = t["embeddings"].select("vec_id", F.col("label").cast("bigint").alias("label"))
+    joined = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            ),
+            "q_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.sum((F.col("q_label") == F.col("n_label")).cast("bigint")).alias("hits"),
+        )
+        .select(
+            "q_id",
+            "hits",
+            F.expr(f"hits * 10000 div {TOP_K}").alias("precision_e4"),
+        )
+    )
+
+
 LSH_ROWS = 6  # hyperplane bits per band
 LSH_BANDS = 25
 LSH_SEED = 7
@@ -1160,6 +1252,38 @@ ORACLES: dict[str, str] = {
     # cosine_topk_ivf / topk_two_sided_ann: intentionally no oracle —
     # approximate operators, rows-only check (the exact baselines
     # cosine_topk and topk_two_sided_exact are the value-checked ones).
+    "embedding_sq8_codes": """
+        WITH ex AS (
+            SELECT vec_id, (i - 1)::BIGINT AS dim_idx,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ), st AS (
+            SELECT dim_idx, MIN(v) AS mn, GREATEST(1, MAX(v) - MIN(v)) AS rng
+            FROM ex GROUP BY dim_idx
+        )
+        SELECT ex.vec_id, ex.dim_idx, ((ex.v - st.mn) * 255) // st.rng AS code
+        FROM ex JOIN st USING (dim_idx)
+    """,
+    "ann_label_precision": f"""
+        WITH emb AS (
+            SELECT vec_id, label::BIGINT AS label, embedding,
+                   sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+                   {_DOT_D.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm) AS cos,
+                   c.vec_id AS neighbor_id
+            FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ), ranked AS (
+            SELECT q_id, q_label, n_label,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, SUM((q_label = n_label)::BIGINT)::BIGINT AS hits,
+               ((SUM((q_label = n_label)::BIGINT) * 10000) // {TOP_K})::BIGINT AS precision_e4
+        FROM ranked WHERE rank <= {TOP_K} GROUP BY q_id
+    """,
     "topk_two_sided_exact": f"""
         WITH emb AS (
             SELECT vec_id, embedding, sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
@@ -1190,6 +1314,8 @@ BUILDERS = {
     "embedding_semdedup": semdedup_prune,
     "topk_two_sided_ann": topk_two_sided_ann,
     "topk_two_sided_exact": topk_two_sided_exact,
+    "embedding_sq8_codes": embedding_sq8_codes,
+    "ann_label_precision": ann_label_precision,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
     "embedding_label_outliers": embedding_label_outliers,

@@ -14,7 +14,7 @@ are chosen so both engines produce bit-identical results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # The tokenizer: lowercase, split on non-alphanumeric runs, drop empties.
@@ -764,7 +764,103 @@ def corpus_length_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: RAKE stopword delimiter set — phrase boundaries (Rose et al. 2010).
+RAKE_STOPWORDS = ("the", "a", "and", "or", "of", "in", "on", "to", "is", "for")
+RAKE_TOP_K = 20
+
+
+def text_rake_keyphrases(t: dict[str, DataFrame]) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): split each doc
+    into candidate phrases at stopword boundaries, score each content
+    token by degree/frequency over the whole corpus (degree = summed
+    length of the phrases it appears in), score a phrase as the sum of
+    its member-token scores, and emit the global top-K phrases — the
+    corpus-level keyphrase profile a curation pipeline reads next to
+    TF-IDF. INTEGER-exact: ``score_e4 = degree * 10000 div freq`` per
+    token, phrase score a sum of those integers, so both engines rank
+    identical integers (ties broken by phrase text — total order, so
+    the LIMIT picks the same set).
+
+    Scale: phrase segmentation is a per-doc running sum (window keyed
+    by doc_id — one doc per sort group, never a global sort); token
+    stats are one aggregation keyed by token; the stats join back to
+    phrase members is keyed on token. Shuffles are |tokens|-sized,
+    nothing pairwise. Final top-K is a TakeOrdered over the
+    |distinct phrases| aggregate.
+    """
+    docs = t["documents"]
+    stop_lit = ",".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(F.expr(TOKENS_SPARK.format(c="text"))).alias("pos", "token")
+        )
+        .withColumn("is_stop", F.expr(f"cast(token in ({stop_lit}) as int)"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    members = (
+        tok.withColumn("phrase_id", F.sum("is_stop").over(wdoc))
+        .filter(F.col("is_stop") == 0)
+        .withColumn(
+            "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id"))
+        )
+    )
+    stats = members.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    ).withColumn("tok_score_e4", F.expr("degree * 10000 div freq"))
+    phrases = (
+        members.join(stats.select("token", "tok_score_e4"), "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("tok_score_e4").alias("inst_score"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("inst_score").alias("score_e4"),
+        )
+        .orderBy(F.desc("score_e4"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_rake_keyphrases": f"""
+        WITH tok AS (
+            SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token
+            FROM (SELECT doc_id, {TOKENS_DUCK.format(c="text")} AS tk FROM documents)
+        ), flagged AS (
+            SELECT doc_id, pos, token,
+                   (token IN ({",".join("'" + s + "'" for s in RAKE_STOPWORDS)}))::INT AS is_stop
+            FROM tok
+        ), segmented AS (
+            SELECT doc_id, pos, token, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM flagged
+        ), members AS (
+            SELECT doc_id, pos, token, phrase_id,
+                   COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+            FROM segmented WHERE is_stop = 0
+        ), stats AS (
+            SELECT token, ((SUM(plen) * 10000) // COUNT(*))::BIGINT AS tok_score_e4
+            FROM members GROUP BY token
+        ), phrases AS (
+            SELECT m.doc_id, m.phrase_id,
+                   string_agg(m.token, ' ' ORDER BY m.pos) AS phrase,
+                   SUM(s.tok_score_e4)::BIGINT AS inst_score
+            FROM members m JOIN stats s ON m.token = s.token
+            GROUP BY m.doc_id, m.phrase_id
+        )
+        SELECT phrase, COUNT(*)::BIGINT AS n_occurrences,
+               MAX(inst_score)::BIGINT AS score_e4
+        FROM phrases GROUP BY phrase
+        ORDER BY score_e4 DESC, phrase ASC LIMIT {RAKE_TOP_K}
+    """,
     "corpus_length_percentiles": """
         SELECT source, COUNT(*) AS n_docs,
                quantile_cont(n_chars, 0.1) AS p10,
@@ -1063,6 +1159,7 @@ BUILDERS = {
     "corpus_drift_psi": corpus_drift_psi,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
+    "text_rake_keyphrases": text_rake_keyphrases,
     "corpus_heavy_tokens": corpus_heavy_tokens,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,

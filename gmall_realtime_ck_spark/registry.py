@@ -165,6 +165,9 @@ _PRIORITY_HEAD = [
     # cross-round driver-row ledger; _PRIORITY_HEAD holds EXACTLY the
     # current round's 50-slot window — test_priority_head_integrity
     # pins length, uniqueness, and resolvability.)
+    # ROUND-5 rotation queue — new this round, local-gate green +
+    # verified at sf0.01 on a vanilla session, never driver-checked:
+    # embedding_sq8_codes, ann_label_precision, text_rake_keyphrases.
 ]
 
 
