@@ -3,6 +3,7 @@
     python -m gmall_realtime_ck_spark list [--filter TEXT]
     python -m gmall_realtime_ck_spark run NAME [--sf-dir DIR] [--limit N]
     python -m gmall_realtime_ck_spark explain NAME [--sf-dir DIR]
+    python -m gmall_realtime_ck_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
 
 The reference's users launch per-app Flink mains (one class per job,
 COMMON/base/BaseApp.java); here every query in the registry is
@@ -36,6 +37,20 @@ def _build_parser() -> argparse.ArgumentParser:
         )
         if cmd == "run":
             rp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over the registered tables (region nation customer "
+        "supplier part orders lineitem events documents embeddings) — the "
+        "reference's ClickHouse-console workflow",
+    )
+    sp.add_argument("query", help="ANSI SQL string")
+    sp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--explain", action="store_true", help="print the plan instead of rows")
     return p
 
 
@@ -51,11 +66,24 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{name}\t{kind}\t{oracle}")
         return 0
 
+    from .session import get_spark
+
+    if args.cmd == "sql":
+        from .catalog import load_tables
+
+        spark = get_spark(app_name="cli-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        load_tables(spark, args.sf_dir)  # registers every table as a view
+        df = spark.sql(args.query)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
     if args.name not in registry.BUILDERS and args.name not in registry.STREAM_BUILDERS:
         print(f"unknown query: {args.name} (try `list`)", file=sys.stderr)
         return 2
-
-    from .session import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")

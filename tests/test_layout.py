@@ -257,3 +257,13 @@ def test_cli_list_and_unknown(capsys):
     assert "q1_pricing_summary\tbatch\toracled" in out
     assert "flow_user_quota\tstream\toracled" in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cli_sql_adhoc(capsys, spark):
+    """`sql` subcommand: ad-hoc ANSI SQL over the registered catalog —
+    the reference user's ClickHouse-console workflow without a server."""
+    from gmall_realtime_ck_spark.__main__ import main
+
+    assert main(["sql", "SELECT count(*) AS n FROM documents"]) == 0
+    out = capsys.readouterr().out
+    assert "n" in out and "500" in out
