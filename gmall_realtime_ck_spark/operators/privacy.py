@@ -95,7 +95,61 @@ def k_anonymity_audit(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: l-diversity threshold: a QI class needs ≥ L distinct sensitive
+#: values or membership still leaks the sensitive attribute
+L_DIVERSE = 3
+
+
+def l_diversity_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity follow-up: a quasi-identifier class can be large (k-ok)
+    yet still leak if every member shares the same SENSITIVE value, so
+    each class must also carry ≥ L distinct sensitive values. Same QI
+    tuple as :func:`k_anonymity_audit` with ``user_id`` (mod a cohort
+    size) as the sensitive attribute; reports class size, distinct
+    sensitive count, and the at-risk flag (distinct < L).
+
+    Scale: one keyed aggregation with countDistinct — Spark expands it
+    to a two-phase partial-distinct aggregate (map-side dedup first),
+    so the shuffle carries (QI, sensitive)-distinct rows, not events.
+    """
+    ev = t["events"]
+    qi = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END"
+        ).alias("value_tier"),
+        (F.col("user_id") % 50).alias("sensitive"),
+    )
+    return (
+        qi.groupBy("event_type", "day", "value_tier")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("sensitive").alias("n_sensitive"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "value_tier",
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") < L_DIVERSE).cast("bigint").alias("at_risk"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "privacy_l_diversity": f"""
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS value_tier,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT user_id % 50) AS n_sensitive,
+               (COUNT(DISTINCT user_id % 50) < {L_DIVERSE})::BIGINT AS at_risk
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
     "privacy_k_anonymity": f"""
         SELECT event_type,
                strftime(ts, '%Y-%m-%d') AS day,
@@ -121,4 +175,5 @@ ORACLES: dict[str, str] = {
 BUILDERS = {
     "text_pii_redaction": pii_redaction,
     "privacy_k_anonymity": k_anonymity_audit,
+    "privacy_l_diversity": l_diversity_audit,
 }

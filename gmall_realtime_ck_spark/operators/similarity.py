@@ -570,27 +570,42 @@ def embedding_sq8_codes(t: dict[str, DataFrame]) -> DataFrame:
     corpus: no join, no shuffle in the encode plan. Emits long form
     (vec_id, dim_idx, code).
     """
-    emb = t["embeddings"].select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
-        ).alias("xm"),
-    )
+    return sq8_encode(t["embeddings"], sq8_fit(t["embeddings"]))
+
+
+_XM = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+
+
+def sq8_fit(embeddings: DataFrame) -> dict[int, tuple[int, int]]:
+    """Fit the SQ8 'model artifact': per-dimension integer micro-unit
+    (min, max) over the corpus — one dim-keyed aggregation, collected
+    because it is bounded by dims (the IVF-centroid posture)."""
     stats = (
-        emb.select(F.posexplode("xm").alias("i", "v"))
+        embeddings.select(F.expr(_XM).alias("xm"))
+        .select(F.posexplode("xm").alias("i", "v"))
         .groupBy("i")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     )
-    rows = {int(r["i"]): (int(r["mn"]), int(r["mx"])) for r in stats.collect()}
-    if not rows:  # empty corpus
+    return {int(r["i"]): (int(r["mn"]), int(r["mx"])) for r in stats.collect()}
+
+
+def sq8_encode(embeddings: DataFrame, stats: dict[int, tuple[int, int]]) -> DataFrame:
+    """Apply fitted SQ8 stats as a PURE MAP (Generate + integer
+    arithmetic, stats inlined as literal arrays) — works identically on
+    a batch DataFrame or a streaming one (the fit-batch/apply-stream
+    hybrid in ``flow_sq8_encode``)."""
+    emb = embeddings.select("vec_id", F.expr(_XM).alias("xm"))
+    if not stats:  # empty corpus
         return emb.select(
             "vec_id",
             F.lit(0).cast("bigint").alias("dim_idx"),
             F.lit(0).cast("bigint").alias("code"),
         ).limit(0)
-    dims = max(rows) + 1
-    mn_lit = "array(" + ",".join(f"{rows[i][0]}L" for i in range(dims)) + ")"
-    rng_lit = "array(" + ",".join(f"{max(1, rows[i][1] - rows[i][0])}L" for i in range(dims)) + ")"
+    dims = max(stats) + 1
+    mn_lit = "array(" + ",".join(f"{stats[i][0]}L" for i in range(dims)) + ")"
+    rng_lit = "array(" + ",".join(
+        f"{max(1, stats[i][1] - stats[i][0])}L" for i in range(dims)
+    ) + ")"
     ex = emb.select("vec_id", F.posexplode("xm").alias("dim_idx", "v"))
     return ex.select(
         "vec_id",

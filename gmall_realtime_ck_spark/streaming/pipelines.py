@@ -477,6 +477,34 @@ def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the driver's embeddings table — the
+    shape of a live embedding feed (shards land as they are encoded)."""
+    configure_runtime(spark)
+    return (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "embeddings.parquet")))
+    )
+
+
+def flow_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-batch / apply-stream: the SQ8 quantizer stats are fitted on
+    the static corpus snapshot (one bounded dim-keyed aggregate — the
+    'model artifact'), then FROZEN and applied to the embedding stream
+    as a pure map — the standard hybrid for serving any fitted artifact
+    (quantizer, linear classifier, centroid table) over a live feed
+    without stream-side training. Encoding is per-row deterministic, so
+    the ``embedding_sq8_codes`` batch oracle applies verbatim when the
+    stream drains the same snapshot.
+    """
+    from ..operators.similarity import sq8_encode, sq8_fit
+
+    stats = sq8_fit(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+    stream = embeddings_file_stream(spark, sf_dir)
+    return _run_to_memory(sq8_encode(stream, stats), "append")
+
+
 def flow_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup — the per-shard admission gate a corpus
     pipeline runs as batches land: each incoming document's content
@@ -663,6 +691,7 @@ STREAM_BUILDERS = {
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_incremental_dedup": flow_incremental_dedup,
+    "flow_sq8_encode": flow_sq8_encode,
     "flow_session_windows": flow_session_windows,
     "flow_pii_redaction": flow_pii_redaction,
     "flow_gopher_rules": flow_gopher_rules,
@@ -679,6 +708,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.privacy import ORACLES as PRIV
     from ..operators.quality import ORACLES as QUAL
     from ..operators.relational import ORACLES as REL
+    from ..operators.similarity import ORACLES as SIM
     from ..operators.stateful import ORACLES as ST
     from ..operators.text import ORACLES as TXT
 
@@ -691,6 +721,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_user_quota": ST["table_user_quota"],
         "flow_percentiles": REL["event_value_percentiles"],
         "flow_incremental_dedup": DD["text_incremental_dedup"],
+        "flow_sq8_encode": SIM["embedding_sq8_codes"],
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
