@@ -413,7 +413,87 @@ def ts_seasonal_backtest(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: mergeable-histogram quantile geometry: fixed $8 bins over value cents
+QH_BIN_CENTS = 800
+
+
+def ts_quantile_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Re-aggregatable QUANTILE sketch rollup: daily fixed-bin
+    histograms of event value (the mergeable artifact — counts per $8
+    bin) merged up to weekly quantile estimates (p50/p90/p99 as the
+    lower edge of the first bin whose cumulative count clears the
+    rank) — the exact-oracle sibling of `approx_uv_sketch_rollup`:
+    where HLL union is approximate by nature (rows-only check), a
+    fixed-bin histogram merge is DETERMINISTIC, so this one is fully
+    hash-verified on both engines while still demonstrating the
+    sketch-merge contract (daily partials summable to any coarser
+    window without touching raw events again). Estimate error is
+    bounded by the bin width (pytest-asserted against the exact
+    percentile).
+
+    Scale: the daily sketch is one keyed aggregate of cardinality
+    |days| × |bins| (bins bounded by max_value/width — independent of
+    event count); the weekly merge and the rank scan run over that
+    aggregate only. Raw events are touched exactly once.
+    """
+    ev = t["events"]
+    daily = (
+        ev.select(
+            date_str("ts").alias("day"),
+            F.expr(f"cast(round(value * 100) as bigint) div {QH_BIN_CENTS}").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    weekly = (
+        daily.select(
+            F.date_format(F.date_trunc("week", F.to_date("day")), "yyyy-MM-dd").alias("week"),
+            "bin",
+            "ct",
+        )
+        .groupBy("week", "bin")
+        .agg(F.sum("ct").alias("ct"))
+    )
+    wcum = Window.partitionBy("week").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("week")
+    scored = weekly.withColumn("cum", F.sum("ct").over(wcum)).withColumn(
+        "total", F.sum("ct").over(wtot)
+    )
+    b = QH_BIN_CENTS
+    return scored.groupBy("week").agg(
+        F.max("total").alias("n_events"),
+        F.min(F.when(F.expr("cum * 2 >= total"), F.col("bin") * b)).alias("p50_cents_lb"),
+        F.min(F.when(F.expr("cum * 10 >= 9 * total"), F.col("bin") * b)).alias("p90_cents_lb"),
+        F.min(F.when(F.expr("cum * 100 >= 99 * total"), F.col("bin") * b)).alias("p99_cents_lb"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_quantile_rollup": f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(round(value * 100) AS BIGINT) // {QH_BIN_CENTS} AS bin,
+                   COUNT(*) AS ct
+            FROM events GROUP BY 1, 2
+        ), weekly AS (
+            SELECT strftime(date_trunc('week', day::DATE), '%Y-%m-%d') AS week,
+                   bin, SUM(ct)::BIGINT AS ct
+            FROM daily GROUP BY 1, 2
+        ), scored AS (
+            SELECT week, bin, ct,
+                   SUM(ct) OVER (PARTITION BY week ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                   SUM(ct) OVER (PARTITION BY week)::BIGINT AS total
+            FROM weekly
+        )
+        SELECT week, MAX(total)::BIGINT AS n_events,
+               MIN(CASE WHEN cum * 2 >= total THEN bin * {QH_BIN_CENTS} END)::BIGINT AS p50_cents_lb,
+               MIN(CASE WHEN cum * 10 >= 9 * total THEN bin * {QH_BIN_CENTS} END)::BIGINT AS p90_cents_lb,
+               MIN(CASE WHEN cum * 100 >= 99 * total THEN bin * {QH_BIN_CENTS} END)::BIGINT AS p99_cents_lb
+        FROM scored GROUP BY week
+    """,
     "ts_seasonal_backtest": f"""
         WITH daily AS (
             SELECT event_type, ts::DATE AS day, COUNT(*) AS y
@@ -586,4 +666,5 @@ BUILDERS = {
     "ts_ewma_control": ts_ewma_control,
     "ts_autocorr_daily": ts_autocorr_daily,
     "ts_seasonal_backtest": ts_seasonal_backtest,
+    "ts_quantile_rollup": ts_quantile_rollup,
 }

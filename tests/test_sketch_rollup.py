@@ -43,3 +43,45 @@ def test_sketch_rollup_tracks_exact_and_merges_losslessly(spark):
         .collect()
     }
     assert est == direct
+
+
+def test_quantile_rollup_bounds_exact_percentiles(spark):
+    """ts_quantile_rollup's lower-edge estimates must bracket the exact
+    weekly percentile within one bin width — the histogram-sketch error
+    contract (and, unlike HLL, the merge itself is deterministic, which
+    is why the query is fully hash-oracled)."""
+    from gmall_realtime_ck_spark.operators.timeseries import (
+        QH_BIN_CENTS,
+        ts_quantile_rollup,
+    )
+
+    tables = load_tables(spark, SF)
+    est = {r["week"]: r for r in ts_quantile_rollup(tables).collect()}
+    assert est
+
+    # the rollup's rank rule is nearest-rank (the smallest value whose
+    # cumulative count clears ceil(q·n)) — compare against exactly that
+    ev = tables["events"].select(
+        F.date_format(F.date_trunc("week", F.to_date("ts")), "yyyy-MM-dd").alias("week"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    exact = {
+        r["week"]: r
+        for r in ev.groupBy("week")
+        .agg(F.expr("sort_array(collect_list(cents))").alias("vals"))
+        .select(
+            "week",
+            F.expr("element_at(vals, cast(ceil(size(vals) * 0.5) as int))").alias("p50"),
+            F.expr("element_at(vals, cast(ceil(size(vals) * 0.9) as int))").alias("p90"),
+            F.expr("element_at(vals, cast(ceil(size(vals) * 0.99) as int))").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for week, e in est.items():
+        x = exact[week]
+        for q in ("p50", "p90", "p99"):
+            lb = e[f"{q}_cents_lb"]
+            # the exact nearest-rank value lies INSIDE the estimate's
+            # bin: [lower_edge, lower_edge + width)
+            assert lb <= x[q] < lb + QH_BIN_CENTS, (week, q, lb, x[q])
