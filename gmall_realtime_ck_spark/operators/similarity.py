@@ -971,6 +971,64 @@ def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: centroid-drift alarm threshold, integer micro-units² (≈ 0.05 mean
+#: per-dim shift at 64 dims)
+DRIFT_THRESHOLD_MICRO2 = 160_000_000_000
+
+
+def embedding_centroid_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-space drift monitor — the vector-side sibling of
+    `corpus_drift_psi`: split the corpus into two deterministic
+    snapshots (vec_id parity — stand-in for old/new index builds),
+    compute each label's centroid per snapshot in integer micro-units
+    (the `embedding_label_outliers` trick), and report the squared L2
+    centroid shift per label with an alarm flag — the screen that
+    catches a re-embedding/model-version skew before it poisons ANN
+    recall. INTEGER-exact end to end: integer division centroids,
+    integer squared differences (≤ (4e6)²·64 ≈ 1e15, inside int64).
+
+    Scale: two dim-keyed aggregations of cardinality
+    |labels| × dims × 2 — independent of corpus size; the drift join is
+    |labels| × dims rows. Raw vectors are scanned once.
+    """
+    emb = t["embeddings"].select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    comp = emb.select("half", "label", F.posexplode("xm").alias("pos", "v"))
+    cent = comp.groupBy("half", "label", "pos").agg(
+        F.expr("sum(v) div count(1)").alias("cm")
+    )
+    counts = emb.groupBy("half", "label").agg(F.count(F.lit(1)).alias("n"))
+    old_c = cent.filter(F.col("half") == 0).select("label", "pos", F.col("cm").alias("cm_old"))
+    new_c = cent.filter(F.col("half") == 1).select("label", "pos", F.col("cm").alias("cm_new"))
+    drift = (
+        old_c.join(new_c, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("cm_new") - F.col("cm_old")) * (F.col("cm_new") - F.col("cm_old"))
+            ).alias("drift_micro2")
+        )
+    )
+    n_old = counts.filter(F.col("half") == 0).select("label", F.col("n").alias("n_old"))
+    n_new = counts.filter(F.col("half") == 1).select("label", F.col("n").alias("n_new"))
+    return (
+        drift.join(n_old, "label")
+        .join(n_new, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            "drift_micro2",
+            (F.col("drift_micro2") > DRIFT_THRESHOLD_MICRO2).cast("bigint").alias("alarm"),
+        )
+    )
+
+
 #: squared euclidean distance between a float-array column and a
 #: double-array column, as a deterministic sequential fold
 SQDIST = (
@@ -1267,6 +1325,30 @@ ORACLES: dict[str, str] = {
     # cosine_topk_ivf / topk_two_sided_ann: intentionally no oracle —
     # approximate operators, rows-only check (the exact baselines
     # cosine_topk and topk_two_sided_exact are the value-checked ones).
+    "embedding_centroid_drift": f"""
+        WITH ex AS (
+            SELECT vec_id % 2 AS half, label::BIGINT AS label, i AS pos,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ), cent AS (
+            SELECT half, label, pos, SUM(v) // COUNT(*) AS cm
+            FROM ex GROUP BY half, label, pos
+        ), counts AS (
+            SELECT vec_id % 2 AS half, label::BIGINT AS label, COUNT(*) AS n
+            FROM embeddings GROUP BY 1, 2
+        ), drift AS (
+            SELECT o.label,
+                   SUM((n.cm - o.cm) * (n.cm - o.cm))::BIGINT AS drift_micro2
+            FROM cent o JOIN cent n
+              ON o.label = n.label AND o.pos = n.pos AND o.half = 0 AND n.half = 1
+            GROUP BY o.label
+        )
+        SELECT d.label, co.n AS n_old, cn.n AS n_new, d.drift_micro2,
+               (d.drift_micro2 > {DRIFT_THRESHOLD_MICRO2})::BIGINT AS alarm
+        FROM drift d
+        JOIN counts co ON co.label = d.label AND co.half = 0
+        JOIN counts cn ON cn.label = d.label AND cn.half = 1
+    """,
     "embedding_sq8_codes": """
         WITH ex AS (
             SELECT vec_id, (i - 1)::BIGINT AS dim_idx,
@@ -1331,6 +1413,7 @@ BUILDERS = {
     "topk_two_sided_exact": topk_two_sided_exact,
     "embedding_sq8_codes": embedding_sq8_codes,
     "ann_label_precision": ann_label_precision,
+    "embedding_centroid_drift": embedding_centroid_drift,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
     "embedding_label_outliers": embedding_label_outliers,

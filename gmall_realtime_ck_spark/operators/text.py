@@ -764,6 +764,72 @@ def corpus_length_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: n-gram lang-ID profile size: top trigrams kept per language
+LANGID_TOP = 40
+#: character trigrams of the lowercased text (empty below 3 chars)
+_TRIGRAMS_SPARK = (
+    "CASE WHEN length(lower({c})) >= 3 THEN "
+    "transform(sequence(1, length(lower({c})) - 2), i -> substring(lower({c}), i, 3)) "
+    "ELSE array() END"
+)
+
+
+def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
+    """Character-trigram profile language ID (Cavnar & Trenkle 1994,
+    the textcat family) — the model-based upgrade of the stopword
+    heuristic in ``text_lang_id``: fit per-language trigram profiles
+    (top ``LANGID_TOP`` trigrams by frequency) on a held-in training
+    split (doc_id % 5 != 0), then classify EVERY document by profile-hit
+    count, ties to the alphabetically first language. Deterministic and
+    integer-exact end to end (counts, rank ties broken by trigram
+    text / language name).
+
+    Scale: profile fitting is one keyed (lang, trigram) count + a
+    per-lang top-K window over the |langs| × |distinct trigrams|
+    aggregate; scoring joins each doc's DISTINCT trigrams against the
+    |langs| × K profile — broadcast-sized by construction — and argmax
+    is one keyed window over |docs| × |langs| score rows. The corpus is
+    scanned twice (fit + apply), never shuffled pairwise.
+    """
+    docs = t["documents"]
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_TRIGRAMS_SPARK.format(c="text"))).alias("g"),
+    )
+    train = tri.filter(F.col("doc_id") % 5 != 0)
+    wlang = Window.partitionBy("lang").orderBy(F.desc("ct"), F.asc("g"))
+    profile = (
+        train.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumn("rk", F.row_number().over(wlang))
+        .filter(F.col("rk") <= LANGID_TOP)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    doc_tri = tri.select("doc_id", "g").distinct()
+    scored = (
+        doc_tri.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("lang_pred"), "hits")
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_label"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_label",
+            F.coalesce("lang_pred", F.lit("unk")).alias("lang_pred"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        )
+    )
+
+
 #: RAKE stopword delimiter set — phrase boundaries (Rose et al. 2010).
 RAKE_STOPWORDS = ("the", "a", "and", "or", "of", "in", "on", "to", "is", "for")
 RAKE_TOP_K = 20
@@ -830,6 +896,38 @@ def text_rake_keyphrases(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_langid_ngram": f"""
+        WITH tri AS (
+            SELECT doc_id, lang, substr(lower(text), CAST(i AS INT), 3) AS g
+            FROM documents,
+                 UNNEST(range(1, GREATEST(length(lower(text)) - 2, 0) + 1)) AS r(i)
+        ), profile AS (
+            SELECT lang AS plang, g FROM (
+                SELECT lang, g, COUNT(*) AS ct,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY COUNT(*) DESC, g ASC) AS rk
+                FROM tri WHERE doc_id % 5 <> 0
+                GROUP BY lang, g
+            ) WHERE rk <= {LANGID_TOP}
+        ), doc_tri AS (
+            SELECT DISTINCT doc_id, g FROM tri
+        ), scored AS (
+            SELECT d.doc_id, p.plang, COUNT(*) AS hits
+            FROM doc_tri d JOIN profile p ON d.g = p.g
+            GROUP BY d.doc_id, p.plang
+        ), best AS (
+            SELECT doc_id, plang AS lang_pred, hits FROM (
+                SELECT doc_id, plang, hits,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hits DESC, plang ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT dd.doc_id, dd.lang AS lang_label,
+               COALESCE(b.lang_pred, 'unk') AS lang_pred,
+               COALESCE(b.hits, 0)::BIGINT AS hits
+        FROM documents dd LEFT JOIN best b ON dd.doc_id = b.doc_id
+    """,
     "text_rake_keyphrases": f"""
         WITH tok AS (
             SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token
@@ -1160,6 +1258,7 @@ BUILDERS = {
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
     "text_rake_keyphrases": text_rake_keyphrases,
+    "text_langid_ngram": text_langid_ngram,
     "corpus_heavy_tokens": corpus_heavy_tokens,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,

@@ -168,7 +168,8 @@ _PRIORITY_HEAD = [
     # ROUND-5 rotation queue — new this round, local-gate green +
     # verified at sf0.01 on a vanilla session, never driver-checked:
     # embedding_sq8_codes, ann_label_precision, text_rake_keyphrases,
-    # privacy_l_diversity, flow_sq8_encode, ts_quantile_rollup.
+    # privacy_l_diversity, flow_sq8_encode, ts_quantile_rollup,
+    # embedding_centroid_drift, text_langid_ngram.
 ]
 
 
