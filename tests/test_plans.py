@@ -718,3 +718,45 @@ def test_two_sided_exact_is_keyed_join(tables):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_sq8_encode_is_pure_map(tables):
+    """After the bounded stats collect, the SQ8 encode plan must be
+    Generate + projection only — no join, no shuffle: encoding scales
+    with input splits alone at 100 TB."""
+    from gmall_realtime_ck_spark.operators.similarity import sq8_encode, sq8_fit
+
+    df = sq8_encode(tables["embeddings"], sq8_fit(tables["embeddings"]))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_langid_profile_join_is_broadcast(tables):
+    """The trigram-profile join must broadcast the |langs|×K profile —
+    the corpus-side trigram stream must never shuffle for the join."""
+    p = plan_of(tables, "text_langid_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantile_rollup_aggregates_before_window(tables):
+    """ts_quantile_rollup must run its windows over the |days|×|bins|
+    aggregate, never over raw events: the plan has hash aggregates
+    below the window, and no more than the sketch/merge/rank keyed
+    exchanges."""
+    p = plan_of(tables, "ts_quantile_rollup")
+    assert "Window" in p and "HashAggregate" in p
+    # daily sketch + weekly merge + rank window partitioning: the raw
+    # event scan feeds exactly one exchange before aggregation
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_centroid_drift_is_dim_keyed(tables):
+    """embedding_centroid_drift shuffles only (half, label, pos)-keyed
+    aggregates — cardinality labels×dims, independent of corpus size —
+    and joins only |labels|-sized sides."""
+    p = plan_of(tables, "embedding_centroid_drift")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
