@@ -470,7 +470,52 @@ def ts_quantile_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ts_series_similarity(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-series similarity search over the per-type daily activity
+    series (the EDBT'19 distributed series-similarity shape): aggregate
+    events to |types| × |days| daily-count series FIRST, align series
+    pairs on shared days, and rank pairs by squared Euclidean distance
+    — the screen that finds co-moving metrics (or a type whose pattern
+    suddenly decouples). INTEGER-exact: counts are ints, the distance
+    is a sum of squared int differences.
+
+    Scale: the pairwise join runs over SERIES (|types|² pairs of
+    |days|-length vectors), never raw events — with millions of series
+    (per-user) the same code takes a SAX/PAA bucket column as the join
+    key first (the `simhash_pair_search` banding posture); the
+    per-type diagnostic here is the bounded exact core.
+    """
+    ev = t["events"]
+    daily = ev.groupBy(
+        F.col("event_type"), date_str("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    a = daily.select(F.col("event_type").alias("type_a"), "day", F.col("ct").alias("ct_a"))
+    b = daily.select(F.col("event_type").alias("type_b"), "day", F.col("ct").alias("ct_b"))
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                (F.col("ct_a") - F.col("ct_b")) * (F.col("ct_a") - F.col("ct_b"))
+            ).alias("dist2"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_series_similarity": """
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS ct
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*)::BIGINT AS n_days,
+               SUM((a.ct - b.ct) * (a.ct - b.ct))::BIGINT AS dist2
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
     "ts_quantile_rollup": f"""
         WITH daily AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
@@ -667,4 +712,5 @@ BUILDERS = {
     "ts_autocorr_daily": ts_autocorr_daily,
     "ts_seasonal_backtest": ts_seasonal_backtest,
     "ts_quantile_rollup": ts_quantile_rollup,
+    "ts_series_similarity": ts_series_similarity,
 }
