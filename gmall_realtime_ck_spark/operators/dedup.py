@@ -356,6 +356,50 @@ def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def source_minhash_jaccard(t: dict[str, DataFrame]) -> DataFrame:
+    """Approximate cross-source overlap via re-aggregatable MinHash
+    sketches — the sketch counterpart of ``source_overlap`` (exact
+    shingle intersection). Each source's 16-value MinHash signature is
+    a mergeable aggregate (min per hash fn over its distinct shingle
+    set), so at 100 TB the whole corpus collapses to |sources| × 16
+    ints in ONE keyed shuffle with map-side partial mins — no
+    shingle-keyed self-join, no |shared-shingles|-sized intermediate.
+    The |sources|² pairwise comparison then runs over the tiny sketch
+    table. Matching positions / 16 estimates Jaccard(source_a,
+    source_b) (Broder 1997); the same estimator the per-doc LSH path
+    uses, lifted to the source level. Generalizes the reference's
+    keyed-set distinct aggregation (DWS
+    DwsTradeProvinceOrderWindow.java order-id set union) into a
+    bounded-size sketch.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("source", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "source",
+        F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", SHINGLE_K)))).alias("s"),
+    ).distinct()
+    hashed = sh.withColumn("h", F.expr(H28_SPARK.format(c="s")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sigs = hashed.groupBy("source").agg(*aggs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("bigint") for i in range(N_HASHES)
+    )
+    return (
+        sa.join(sb, F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            matches.alias("sig_matches"),
+            F.round(matches / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def containment_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Asymmetric shingle containment for the LSH candidate pairs:
     |A∩B|·1000 ÷ |A| and ÷ |B| — the measure that catches a document
@@ -920,4 +964,22 @@ BUILDERS = {
     "text_ngram_novelty": ngram_novelty,
     "simhash_pair_search": simhash_hamming_pairs,
     "text_novelty_decay": novelty_decay_curve,
+    "source_minhash_jaccard": source_minhash_jaccard,
 }
+
+ORACLES["source_minhash_jaccard"] = f"""
+        WITH tk0 AS (
+            SELECT source, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT source, unnest({_SH_D}) AS s FROM tk0
+        ), hashed AS (
+            SELECT source, {_H28_D} AS h FROM sh
+        ), sigs AS (
+            SELECT source, {_MINHASH_AGGS_D}
+            FROM hashed GROUP BY source
+        )
+        SELECT sa.source AS source_a, sb.source AS source_b,
+               ({_SIG_MATCHES_D})::BIGINT AS sig_matches,
+               round(({_SIG_MATCHES_D}) / {N_HASHES}.0, 6) AS est_jaccard
+        FROM sigs sa JOIN sigs sb ON sa.source < sb.source
+"""

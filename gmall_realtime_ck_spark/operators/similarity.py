@@ -901,6 +901,38 @@ def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension embedding profile: count, mean, min, max, and
+    dynamic range per vector position — the index-health screen run
+    before building an ANN index (dead dimensions ⇒ wasted PQ/SQ8
+    budget; runaway ranges ⇒ one dimension dominating L2). INTEGER
+    exact: components quantize to micro-units, the mean uses integer
+    division — both engines compare exact int64s.
+
+    Scale: one posexplode + one groupBy(pos) with map-side partial
+    aggregation — the shuffle carries dims × n_partitions partial rows
+    and the result is exactly |dims| rows regardless of corpus size.
+    The raw vectors are scanned once, projected to two columns.
+    """
+    emb = t["embeddings"].select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos", "v")
+    )
+    return (
+        emb.groupBy(F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(v) div count(1)").alias("mean_micro"),
+            F.min("v").alias("min_micro"),
+            F.max("v").alias("max_micro"),
+            (F.max("v") - F.min("v")).alias("range_micro"),
+        )
+    )
+
+
 def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
     """Label-noise screening: each vector's squared distance to its own
     label's centroid, with a per-label p99 outlier flag — the mislabel
@@ -1397,6 +1429,18 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
+    "embedding_dim_stats": """
+        WITH ex AS (
+            SELECT (i - 1)::BIGINT AS pos,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) r(i)
+        )
+        SELECT pos, COUNT(*) AS n,
+               (SUM(v) // COUNT(*))::BIGINT AS mean_micro,
+               MIN(v) AS min_micro, MAX(v) AS max_micro,
+               (MAX(v) - MIN(v))::BIGINT AS range_micro
+        FROM ex GROUP BY pos
+    """,
 }
 
 BUILDERS = {
@@ -1417,4 +1461,5 @@ BUILDERS = {
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
     "embedding_label_outliers": embedding_label_outliers,
+    "embedding_dim_stats": embedding_dim_stats,
 }

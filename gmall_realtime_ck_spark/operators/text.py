@@ -343,6 +343,70 @@ def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: PMI collocation mining: only pairs seen at least this often qualify
+#: (rare pairs have unboundedly noisy PMI — the standard cutoff).
+PMI_MIN_PAIR_CT = 5
+
+
+def corpus_pmi_bigrams(t: dict[str, DataFrame]) -> DataFrame:
+    """Collocation mining via pointwise mutual information (Church &
+    Hanks 1990): score every adjacent token pair seen ≥
+    PMI_MIN_PAIR_CT times by ln P(w1,w2) − ln P(w1) − ln P(w2), with
+    pair probability from the bigram stream and unigram probabilities
+    from the token stream — the classic phrase detector a tokenizer /
+    vocab pipeline runs before merging multi-word units.
+
+    Determinism: the result set is membership-stable (an integer count
+    threshold, no ranking over floats) and the PMI itself is a fixed
+    left-to-right sum of libm logs of exact integers, written
+    identically in both engines, rounded to 6 dp.
+
+    Scale: both count tables are keyed aggregations with map-side
+    combine (vocabulary- and vocabulary²-sized, not corpus-sized); the
+    two corpus totals are 1-row aggregates broadcast into the
+    vocab-keyed join — nothing fact-sized moves after the first
+    groupBy. PMI is computed in log space so no product of counts can
+    overflow int64 at any corpus size.
+    """
+    docs = t["documents"]
+    tk0 = docs.select(F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    tok = tk0.select(F.explode("tk").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    n_tokens = uni.agg(F.sum("ct").alias("n_tokens"))
+    bg = tk0.select(F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram"))
+    pair_all = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_ct"))
+    m_pairs = pair_all.agg(F.sum("pair_ct").alias("m_pairs"))
+    pairs = (
+        pair_all.filter(F.col("pair_ct") >= PMI_MIN_PAIR_CT)
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(bigram, ' ', 2)"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("ct").alias("ct1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("ct").alias("ct2"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(m_pairs))
+        .select(
+            "w1",
+            "w2",
+            "pair_ct",
+            "ct1",
+            "ct2",
+            F.round(
+                F.log(F.col("pair_ct").cast("double"))
+                - F.log(F.col("m_pairs").cast("double"))
+                - F.log(F.col("ct1").cast("double"))
+                - F.log(F.col("ct2").cast("double"))
+                + F.log(F.col("n_tokens").cast("double"))
+                + F.log(F.col("n_tokens").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def corpus_tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     """Per-document top terms by a tf-idf surrogate. For a fixed corpus
     size N, idf = ln(N/df) is strictly decreasing in df, so ranking by
@@ -1183,6 +1247,37 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "corpus_pmi_bigrams": f"""
+        WITH tk0 AS (
+            SELECT {_TOKS_D} AS tk FROM documents
+        ), tok AS (
+            SELECT unnest(tk) AS tok FROM tk0
+        ), uni AS (
+            SELECT tok, COUNT(*) AS ct FROM tok GROUP BY tok
+        ), n_tokens AS (
+            SELECT SUM(ct)::BIGINT AS n_tokens FROM uni
+        ), bg AS (
+            SELECT unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk0
+        ), pair_all AS (
+            SELECT bigram, COUNT(*) AS pair_ct FROM bg GROUP BY bigram
+        ), m_pairs AS (
+            SELECT SUM(pair_ct)::BIGINT AS m_pairs FROM pair_all
+        )
+        SELECT split_part(p.bigram, ' ', 1) AS w1,
+               split_part(p.bigram, ' ', 2) AS w2,
+               p.pair_ct, u1.ct AS ct1, u2.ct AS ct2,
+               round(ln(p.pair_ct::DOUBLE) - ln(m.m_pairs::DOUBLE)
+                     - ln(u1.ct::DOUBLE) - ln(u2.ct::DOUBLE)
+                     + ln(n.n_tokens::DOUBLE) + ln(n.n_tokens::DOUBLE), 6) AS pmi
+        FROM pair_all p
+        JOIN uni u1 ON u1.tok = split_part(p.bigram, ' ', 1)
+        JOIN uni u2 ON u2.tok = split_part(p.bigram, ' ', 2)
+        CROSS JOIN n_tokens n CROSS JOIN m_pairs m
+        WHERE p.pair_ct >= {PMI_MIN_PAIR_CT}
+    """,
     "text_bigram_topk": f"""
         WITH tk0 AS (
             SELECT lang, {_TOKS_D} AS tk FROM documents
@@ -1266,4 +1361,5 @@ BUILDERS = {
     "text_span_dedup": text_span_dedup,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_length_percentiles": corpus_length_percentiles,
+    "corpus_pmi_bigrams": corpus_pmi_bigrams,
 }

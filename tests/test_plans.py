@@ -173,6 +173,8 @@ BOUNDED_NLJ_OK = {
     "diag_key_skew",  # 1-row total/count stats
     "quality_profile_orders",  # 1-row plain-aggs × 1-row distinct-aggs
     "sample_temperature_mixture",  # two 1-row scalar broadcasts (total, Z)
+    "source_minhash_jaccard",  # |sources|² pairwise over per-source sketches
+    "corpus_pmi_bigrams",  # two 1-row scalar broadcasts (N tokens, M pairs)
 }
 
 
