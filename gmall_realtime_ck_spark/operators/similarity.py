@@ -933,6 +933,85 @@ def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: PCA power iteration: Gram-matrix inputs quantize to milli-units so
+#: Σ v_i·v_j stays ≈ |corpus|·(420)² — inside int64 up to ~5e13 rows;
+#: each intermediate vector renormalizes to ±10⁶ before the next
+#: matrix-vector product so products never exceed 10¹²·dims.
+PCA_QUANT = 1000
+PCA_NORM = 1000000
+PCA_ITERS = 4
+
+
+def embedding_pca_project(t: dict[str, DataFrame]) -> DataFrame:
+    """Principal-axis projection via a distributed, INTEGER-exact
+    power iteration — the spread axis a curation pipeline uses for
+    embedding-space stratified sampling and drift plots without an ML
+    library. Components quantize to milli-units, the Gram matrix
+    G[i,j] = Σ_rows v_i·v_j is ONE keyed aggregation (dims² groups —
+    independent of corpus size), and PCA_ITERS power steps (v₀ = 1;
+    vₖ₊₁ = G·vₖ) run entirely in int64 with a rescale to ±10⁶ between
+    steps, so both engines produce bit-identical axes — no float
+    eigensolver, no collect. Each row's pc1_scaled is its dot product
+    with that axis.
+
+    Honest convergence note: k power steps give the order-k Krylov
+    axis G^k·1 — within (λ₂/λ₁)^k of the true PC1 when the spectrum
+    has a gap (real text/image embeddings typically do); on a
+    near-isotropic spectrum it is a deterministic variance-weighted
+    axis rather than the exact eigenvector, which is still a valid
+    stratification key (and exactly reproduced by the oracle either
+    way).
+
+    Scale: the only corpus-sized shuffles are the vec_id-keyed
+    pair-explode feeding G (dims²-per-row fan-out, evenly hashed) and
+    the final projection join; everything between is dims²-row
+    algebra. The scalar rescale maxima are 1-row broadcast aggregates.
+    """
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {PCA_QUANT}) as bigint))"
+        ).alias("xm"),
+    )
+    comp = emb.select("vec_id", F.posexplode("xm").alias("pos", "v")).localCheckpoint()
+    a = comp.alias("a")
+    b = comp.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+    )
+    # Rescale by DIVIDING first (gs = g div (gmax div 10⁶ + 1)) so no
+    # product ever exceeds int64 — multiplying g·10⁶ before dividing
+    # would overflow past ~5e7 corpus rows.
+    gmax = gram.agg(F.max(F.abs("g")).alias("gmax"))
+    gs = gram.crossJoin(F.broadcast(gmax)).select(
+        "i", "j", F.expr(f"g div (gmax div {PCA_NORM} + 1)").alias("gs")
+    )
+    gs = gs.localCheckpoint()
+    def rescale(vec: DataFrame) -> DataFrame:
+        vmax = vec.agg(F.max(F.abs("v")).alias("vmax"))
+        return vec.crossJoin(F.broadcast(vmax)).select(
+            F.col("i").alias("pos"),
+            F.expr(f"v div (vmax div {PCA_NORM} + 1)").alias("w"),
+        )
+
+    vec = gs.groupBy("i").agg(F.sum("gs").alias("v"))  # step 1: G·1
+    for _ in range(PCA_ITERS - 1):
+        axis = rescale(vec)
+        vec = (
+            gs.join(axis, gs.j == axis.pos)
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("w")).alias("v"))
+        )
+    axis = rescale(vec)
+    return (
+        comp.join(axis, "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("pc1_scaled"))
+    )
+
+
 def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
     """Label-noise screening: each vector's squared distance to its own
     label's centroid, with a per-label p99 outlier flag — the mislabel
@@ -1429,6 +1508,40 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
+    "embedding_pca_project": f"""
+        WITH comp AS (
+            SELECT vec_id, (i - 1)::BIGINT AS pos,
+                   CAST(round(embedding[i]::DOUBLE * {PCA_QUANT}) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ), gram AS (
+            SELECT a.pos AS i, b.pos AS j, SUM(a.v * b.v)::BIGINT AS g
+            FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+            GROUP BY a.pos, b.pos
+        ), gmax AS (SELECT MAX(ABS(g)) AS gmax FROM gram),
+        gs AS (
+            SELECT i, j, (g // (gmax // {PCA_NORM} + 1))::BIGINT AS gs
+            FROM gram, gmax
+        ),
+        v1 AS (SELECT i, SUM(gs)::BIGINT AS v FROM gs GROUP BY i){"".join(
+            f''',
+        v{k - 1}max AS (SELECT MAX(ABS(v)) AS vmax FROM v{k - 1}),
+        v{k - 1}s AS (
+            SELECT i AS pos, (v // (vmax // {PCA_NORM} + 1))::BIGINT AS w
+            FROM v{k - 1}, v{k - 1}max
+        ),
+        v{k} AS (
+            SELECT gs.i, SUM(gs.gs * s.w)::BIGINT AS v
+            FROM gs JOIN v{k - 1}s s ON gs.j = s.pos GROUP BY gs.i
+        )''' for k in range(2, PCA_ITERS + 1))},
+        vfmax AS (SELECT MAX(ABS(v)) AS vmax FROM v{PCA_ITERS}),
+        vfs AS (
+            SELECT i AS pos, (v // (vmax // {PCA_NORM} + 1))::BIGINT AS w
+            FROM v{PCA_ITERS}, vfmax
+        )
+        SELECT comp.vec_id, SUM(comp.v * vfs.w)::BIGINT AS pc1_scaled
+        FROM comp JOIN vfs ON comp.pos = vfs.pos
+        GROUP BY comp.vec_id
+    """,
     "embedding_dim_stats": """
         WITH ex AS (
             SELECT (i - 1)::BIGINT AS pos,
@@ -1462,4 +1575,5 @@ BUILDERS = {
     "embedding_pq_codes": embedding_pq_codes,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_pca_project": embedding_pca_project,
 }

@@ -170,7 +170,8 @@ _PRIORITY_HEAD = [
     # embedding_sq8_codes, ann_label_precision, text_rake_keyphrases,
     # privacy_l_diversity, flow_sq8_encode, ts_quantile_rollup,
     # embedding_centroid_drift, text_langid_ngram, ts_series_similarity,
-    # source_minhash_jaccard, embedding_dim_stats, corpus_pmi_bigrams.
+    # source_minhash_jaccard, embedding_dim_stats, corpus_pmi_bigrams,
+    # embedding_pca_project.
 ]
 
 

@@ -175,6 +175,7 @@ BOUNDED_NLJ_OK = {
     "sample_temperature_mixture",  # two 1-row scalar broadcasts (total, Z)
     "source_minhash_jaccard",  # |sources|² pairwise over per-source sketches
     "corpus_pmi_bigrams",  # two 1-row scalar broadcasts (N tokens, M pairs)
+    "embedding_pca_project",  # three 1-row rescale maxima broadcasts
 }
 
 

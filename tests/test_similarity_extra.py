@@ -150,3 +150,24 @@ def test_kmeans_ivf_recall_floor(tables):
     n_cells = tables["embeddings"].select("label").distinct().count()
     assert total > 0
     assert hits / total > sim.N_PROBE / n_cells
+
+
+def test_pca_axis_tracks_float_krylov(tables):
+    """embedding_pca_project's integer power iteration must reproduce
+    the float-arithmetic order-PCA_ITERS Krylov projection (G^k·1) to
+    correlation > 0.999 — i.e. the milli-quantization and the ±10⁶
+    integer rescales add only rounding noise, never change the axis."""
+    import numpy as np
+
+    rows = tables["embeddings"].select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    G = X.T @ X
+    v = np.ones(X.shape[1])
+    for _ in range(sim.PCA_ITERS):
+        v = G @ v
+    ref = X @ v
+    got = {r["vec_id"]: r["pc1_scaled"] for r in sim.embedding_pca_project(tables).collect()}
+    proj = np.array([got[r["vec_id"]] for r in rows], dtype=np.float64)
+    corr = abs(np.corrcoef(proj, ref)[0, 1])
+    assert corr > 0.999, corr
