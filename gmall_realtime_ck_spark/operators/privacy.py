@@ -139,6 +139,101 @@ def l_diversity_audit(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: t-closeness threshold in 1e-6 EMD units: classes whose sensitive
+#: distribution sits further than this from the global one leak.
+T_CLOSE_E6 = 200000
+
+
+def t_closeness_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the release-privacy triad after
+    :func:`k_anonymity_audit` / :func:`l_diversity_audit`: a class can
+    be big (k-ok) and varied (l-ok) yet still leak if its sensitive
+    distribution is far from the corpus-wide one (e.g. a class that is
+    90% one cohort when the population is 2%). Distance is the earth
+    mover's distance for an ordered attribute:
+    EMD = (1/(m−1)) Σᵢ |Σ_{j≤i}(Pⱼ−Qⱼ)|.
+
+    INTEGER-exact: both distributions quantize to 1e-6 units with
+    truncating division (identical on both engines), so cumulative
+    sums stay ≤ m·10⁶ at ANY corpus size — no N² products that would
+    overflow int64 on a 10¹⁰-event table.
+
+    Scale: three keyed aggregations (class×sensitive, class, global),
+    then class-level algebra: the dense (class × sensitive-domain)
+    grid joins each class to the m-row global distribution (broadcast
+    — the domain is an aggregate, never event-sized) and the EMD
+    window partitions by class over ≤ m rows.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    qi = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END"
+        ).alias("value_tier"),
+        (F.col("user_id") % 50).alias("sensitive"),
+    )
+    cls_sens = qi.groupBy("event_type", "day", "value_tier", "sensitive").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cls = cls_sens.groupBy("event_type", "day", "value_tier").agg(
+        F.sum("ct").alias("class_size")
+    )
+    glob = qi.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g_ct"))
+    totals = glob.agg(
+        F.sum("g_ct").alias("n_total"), F.count(F.lit(1)).alias("m_dom")
+    )
+    qdist = glob.crossJoin(F.broadcast(totals)).select(
+        "sensitive",
+        F.expr("(g_ct * 1000000) div n_total").alias("q_e6"),
+        "m_dom",
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(qdist))
+        .join(cls_sens, ["event_type", "day", "value_tier", "sensitive"], "left")
+        .select(
+            "event_type",
+            "day",
+            "value_tier",
+            "sensitive",
+            "class_size",
+            "m_dom",
+            F.expr("(coalesce(ct, 0) * 1000000) div class_size").alias("p_e6"),
+            "q_e6",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day", "value_tier")
+        .orderBy("sensitive")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type", "day", "value_tier").orderBy(
+        F.desc("sensitive")
+    )
+    cum = grid.withColumn("cum_d", F.sum(F.col("p_e6") - F.col("q_e6")).over(w)).withColumn(
+        "rn_last", F.row_number().over(wr)
+    )
+    return (
+        cum.filter(F.col("rn_last") > 1)  # EMD sums the first m-1 cumulants
+        .groupBy("event_type", "day", "value_tier")
+        .agg(
+            F.max("class_size").alias("class_size"),
+            F.expr("sum(abs(cum_d)) div (max(m_dom) - 1)").alias("emd_e6"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "value_tier",
+            "class_size",
+            "emd_e6",
+            (F.col("emd_e6") > T_CLOSE_E6).cast("bigint").alias("at_risk"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "privacy_l_diversity": f"""
         SELECT event_type,
@@ -148,6 +243,50 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT user_id % 50) AS n_sensitive,
                (COUNT(DISTINCT user_id % 50) < {L_DIVERSE})::BIGINT AS at_risk
         FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "privacy_t_closeness": f"""
+        WITH qi AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS value_tier,
+                   user_id % 50 AS sensitive
+            FROM events
+        ), cls_sens AS (
+            SELECT event_type, day, value_tier, sensitive, COUNT(*) AS ct
+            FROM qi GROUP BY 1, 2, 3, 4
+        ), cls AS (
+            SELECT event_type, day, value_tier, SUM(ct)::BIGINT AS class_size
+            FROM cls_sens GROUP BY 1, 2, 3
+        ), gdist AS (
+            SELECT sensitive, COUNT(*) AS g_ct FROM qi GROUP BY sensitive
+        ), totals AS (
+            SELECT SUM(g_ct)::BIGINT AS n_total, COUNT(*)::BIGINT AS m_dom FROM gdist
+        ), qdist AS (
+            SELECT sensitive, ((g_ct * 1000000) // n_total)::BIGINT AS q_e6, m_dom
+            FROM gdist, totals
+        ), grid AS (
+            SELECT c.event_type, c.day, c.value_tier, q.sensitive,
+                   c.class_size, q.m_dom,
+                   ((coalesce(s.ct, 0) * 1000000) // c.class_size)::BIGINT AS p_e6,
+                   q.q_e6
+            FROM cls c CROSS JOIN qdist q
+            LEFT JOIN cls_sens s
+              ON s.event_type = c.event_type AND s.day = c.day
+             AND s.value_tier = c.value_tier AND s.sensitive = q.sensitive
+        ), cum AS (
+            SELECT event_type, day, value_tier, sensitive, class_size, m_dom,
+                   SUM(p_e6 - q_e6) OVER (PARTITION BY event_type, day, value_tier
+                                          ORDER BY sensitive
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d,
+                   row_number() OVER (PARTITION BY event_type, day, value_tier
+                                      ORDER BY sensitive DESC) AS rn_last
+            FROM grid
+        )
+        SELECT event_type, day, value_tier,
+               MAX(class_size)::BIGINT AS class_size,
+               (SUM(ABS(cum_d)) // (MAX(m_dom) - 1))::BIGINT AS emd_e6,
+               ((SUM(ABS(cum_d)) // (MAX(m_dom) - 1)) > {T_CLOSE_E6})::BIGINT AS at_risk
+        FROM cum WHERE rn_last > 1
         GROUP BY 1, 2, 3
     """,
     "privacy_k_anonymity": f"""
@@ -176,4 +315,5 @@ BUILDERS = {
     "text_pii_redaction": pii_redaction,
     "privacy_k_anonymity": k_anonymity_audit,
     "privacy_l_diversity": l_diversity_audit,
+    "privacy_t_closeness": t_closeness_audit,
 }

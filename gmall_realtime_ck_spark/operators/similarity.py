@@ -973,13 +973,32 @@ def embedding_pca_project(t: dict[str, DataFrame]) -> DataFrame:
             f"transform(embedding, x -> cast(round(cast(x as double) * {PCA_QUANT}) as bigint))"
         ).alias("xm"),
     )
-    comp = emb.select("vec_id", F.posexplode("xm").alias("pos", "v")).localCheckpoint()
-    a = comp.alias("a")
-    b = comp.alias("b")
+    comp = emb.select("vec_id", F.posexplode("xm").alias("pos", "v"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(x, dtype=np.int64) for x in pdf["xm"]])
+            G = X.T @ X  # int64-exact: |v| ≤ 420·PCA_QUANT/1000, batch ≤ 10k rows
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "pg": G.ravel()}
+            )
+
+    # Arrow-batched partial Gram: one integer matmul per batch, then a
+    # dims²-group reduce — same exact integers as the oracle's
+    # pair-explode Σ v_i·v_j, at a fraction of the shuffle (the pair
+    # explode is dims²×|corpus| rows; the partials are dims²×|batches|).
     gram = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+        emb.select("xm")
+        .mapInPandas(partial_gram, "i long, j long, pg long")
+        .groupBy("i", "j")
+        .agg(F.sum("pg").alias("g"))
     )
     # Rescale by DIVIDING first (gs = g div (gmax div 10⁶ + 1)) so no
     # product ever exceeds int64 — multiplying g·10⁶ before dividing

@@ -176,6 +176,7 @@ BOUNDED_NLJ_OK = {
     "source_minhash_jaccard",  # |sources|² pairwise over per-source sketches
     "corpus_pmi_bigrams",  # two 1-row scalar broadcasts (N tokens, M pairs)
     "embedding_pca_project",  # three 1-row rescale maxima broadcasts
+    "privacy_t_closeness",  # class grid × m-row sensitive-domain broadcast
 }
 
 
