@@ -933,6 +933,102 @@ def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009): 60 damps the
+#: head so a #1 in one list can't drown consistent mid-rankers.
+RRF_K = 60
+
+
+def ann_rrf_fusion(t: dict[str, DataFrame]) -> DataFrame:
+    """Hybrid-retrieval merge via reciprocal rank fusion: the exact
+    cosine top-k list and an exact unnormalized dot-product top-k list
+    (the two disagree where vector norms vary — dot favors long
+    vectors the way a BM25 leg favors long documents) are fused with
+    rrf(d) = Σ_lists ⌊10⁶ / (RRF_K + rank)⌋ and re-ranked. INTEGER
+    fusion scores, so the merged ordering is bit-stable across
+    engines; ties break on neighbor_id.
+
+    Scale: both legs are the bounded-query two-phase search (corpus
+    never shuffles, candidates ≈ |queries|·(k+pad)); the fusion itself
+    is a full-outer join of two |queries|·k tables — negligible.
+
+    Generalizes the reference's serving-layer union of per-channel
+    rankings (PUB TrafficStatsController keyword/channel lists) into
+    the standard multi-retriever merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cos_leg = cosine_topk(t).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rank_cos")
+    )
+
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    qpdf = _collect_query_side(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "embedding"),
+        "ann_rrf_fusion",
+    )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    n_cand = TOP_K + CAND_PAD
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dot = (c_mat @ b_mat.T).T
+            dot[b_ids[:, None] == c_ids[None, :]] = -np.inf
+            k = min(n_cand, dot.shape[1])
+            idx = np.argpartition(-dot, kth=k - 1, axis=1)[:, :k]
+            rows = np.repeat(np.arange(len(b_ids)), k)
+            yield pd.DataFrame({"q_id": b_ids[rows], "neighbor_id": c_ids[idx.ravel()]})
+
+    cand = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(gen, "q_id long, neighbor_id long")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    qside = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cside = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    rescored = (
+        qside.join(F.broadcast(cand), "q_id")
+        .join(cside, "neighbor_id")
+        .withColumn("dot", F.expr(DOT.format(a="q_emb", b="n_emb")))
+    )
+    wd = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    dot_leg = (
+        rescored.withColumn("rank_dot", F.row_number().over(wd))
+        .filter(F.col("rank_dot") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank_dot")
+    )
+
+    fused = (
+        cos_leg.join(dot_leg, ["q_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf_e6",
+            F.expr(f"coalesce(1000000 div ({RRF_K} + rank_cos), 0)")
+            + F.expr(f"coalesce(1000000 div ({RRF_K} + rank_dot), 0)"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_e6"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rrf_e6",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 #: PCA power iteration: Gram-matrix inputs quantize to milli-units so
 #: Σ v_i·v_j stays ≈ |corpus|·(420)² — inside int64 up to ~5e13 rows;
 #: each intermediate vector renormalizes to ±10⁶ before the next
@@ -1527,6 +1623,42 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
+    "ann_rrf_fusion": f"""
+        WITH emb AS (
+            SELECT vec_id, embedding, sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   {_DOT_D.format(a='q.embedding', b='c.embedding')} AS dot,
+                   {_DOT_D.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm) AS cos
+            FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ), cos_leg AS (
+            SELECT q_id, neighbor_id, rank_cos FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank_cos
+                FROM scored
+            ) WHERE rank_cos <= {TOP_K}
+        ), dot_leg AS (
+            SELECT q_id, neighbor_id, rank_dot FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, neighbor_id ASC) AS rank_dot
+                FROM scored
+            ) WHERE rank_dot <= {TOP_K}
+        ), fused AS (
+            SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                   coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                   (coalesce(1000000 // ({RRF_K} + a.rank_cos), 0)
+                    + coalesce(1000000 // ({RRF_K} + b.rank_dot), 0))::BIGINT AS rrf_e6
+            FROM cos_leg a FULL OUTER JOIN dot_leg b
+              ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+        )
+        SELECT q_id, neighbor_id, rrf_e6, rank FROM (
+            SELECT q_id, neighbor_id, rrf_e6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, neighbor_id ASC)::BIGINT AS rank
+            FROM fused
+        ) WHERE rank <= {TOP_K}
+    """,
     "embedding_pca_project": f"""
         WITH comp AS (
             SELECT vec_id, (i - 1)::BIGINT AS pos,
@@ -1595,4 +1727,5 @@ BUILDERS = {
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,
+    "ann_rrf_fusion": ann_rrf_fusion,
 }
