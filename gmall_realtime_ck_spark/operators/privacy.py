@@ -165,8 +165,6 @@ def t_closeness_audit(t: dict[str, DataFrame]) -> DataFrame:
     — the domain is an aggregate, never event-sized) and the EMD
     window partitions by class over ≤ m rows.
     """
-    from pyspark.sql import Window
-
     ev = t["events"]
     qi = ev.select(
         "event_type",
@@ -179,10 +177,20 @@ def t_closeness_audit(t: dict[str, DataFrame]) -> DataFrame:
     cls_sens = qi.groupBy("event_type", "day", "value_tier", "sensitive").agg(
         F.count(F.lit(1)).alias("ct")
     )
+    return t_closeness_from_class_counts(cls_sens)
+
+
+def t_closeness_from_class_counts(cls_sens: DataFrame) -> DataFrame:
+    """EMD audit algebra over pre-aggregated (QI, sensitive) counts —
+    the shared spine of the batch audit and the streaming twin (which
+    maintains ``cls_sens`` continuously and re-runs this class-level
+    algebra per poll; only the first aggregation is event-sized)."""
+    from pyspark.sql import Window
+
     cls = cls_sens.groupBy("event_type", "day", "value_tier").agg(
         F.sum("ct").alias("class_size")
     )
-    glob = qi.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g_ct"))
+    glob = cls_sens.groupBy("sensitive").agg(F.sum("ct").alias("g_ct"))
     totals = glob.agg(
         F.sum("g_ct").alias("n_total"), F.count(F.lit(1)).alias("m_dom")
     )
@@ -191,9 +199,28 @@ def t_closeness_audit(t: dict[str, DataFrame]) -> DataFrame:
         F.expr("(g_ct * 1000000) div n_total").alias("q_e6"),
         "m_dom",
     )
+    # the grid and the probe side both descend from cls_sens; when
+    # that shared parent is a named view (the streaming twin's memory
+    # table) self-join alias resolution gets confused, so break the
+    # lineage by renaming the probe side's columns before the join —
+    # every join key then has a globally unique name
+    probe = cls_sens.select(
+        F.col("event_type").alias("s_event_type"),
+        F.col("day").alias("s_day"),
+        F.col("value_tier").alias("s_value_tier"),
+        F.col("sensitive").alias("s_sensitive"),
+        "ct",
+    )
     grid = (
         cls.crossJoin(F.broadcast(qdist))
-        .join(cls_sens, ["event_type", "day", "value_tier", "sensitive"], "left")
+        .join(
+            probe,
+            (F.col("event_type") == F.col("s_event_type"))
+            & (F.col("day") == F.col("s_day"))
+            & (F.col("value_tier") == F.col("s_value_tier"))
+            & (F.col("sensitive") == F.col("s_sensitive")),
+            "left",
+        )
         .select(
             "event_type",
             "day",

@@ -171,7 +171,8 @@ _PRIORITY_HEAD = [
     # privacy_l_diversity, flow_sq8_encode, ts_quantile_rollup,
     # embedding_centroid_drift, text_langid_ngram, ts_series_similarity,
     # source_minhash_jaccard, embedding_dim_stats, corpus_pmi_bigrams,
-    # embedding_pca_project, privacy_t_closeness, ann_rrf_fusion.
+    # embedding_pca_project, privacy_t_closeness, ann_rrf_fusion,
+    # flow_t_closeness.
 ]
 
 

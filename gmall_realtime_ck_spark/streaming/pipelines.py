@@ -429,6 +429,33 @@ def flow_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(k_anonymity_audit({"events": ev}), "complete")
 
 
+def flow_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-closeness audit as a live stream — per-class sensitive
+    distributions maintained continuously so a release gate can check
+    distribution skew on CURRENT data. Only the event-sized first
+    aggregation (class × sensitive counts) streams (complete mode,
+    one keyed state store); the class-level EMD algebra
+    (privacy.t_closeness_from_class_counts) re-runs per poll over the
+    |classes|·m-row table. Final result ≡ the batch audit, so the
+    batch oracle applies verbatim."""
+    from ..operators.privacy import t_closeness_from_class_counts
+
+    ev = events_file_stream(spark, sf_dir)
+    qi = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END"
+        ).alias("value_tier"),
+        (F.col("user_id") % 50).alias("sensitive"),
+    )
+    cls_sens = qi.groupBy("event_type", "day", "value_tier", "sensitive").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    counts = _run_to_memory(cls_sens, "complete")
+    return t_closeness_from_class_counts(counts)
+
+
 def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key streaming rate limiting as a live stream — at most
     USER_DAY_QUOTA events admitted per (user, day), per-day counts in
@@ -690,6 +717,7 @@ STREAM_BUILDERS = {
     "flow_user_quota": flow_user_quota,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
+    "flow_t_closeness": flow_t_closeness,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
     "flow_session_windows": flow_session_windows,
@@ -723,6 +751,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_incremental_dedup": DD["text_incremental_dedup"],
         "flow_sq8_encode": SIM["embedding_sq8_codes"],
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
+        "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

@@ -200,3 +200,16 @@ def test_kafka_sink_builders_construct(spark):
     assert ks.to_kafka_fixed(df, "t", "broker:9092") is not None
     assert ks.to_kafka_dynamic(df, "broker:9092") is not None
     assert ks.to_kafka_upsert(df, "t", "broker:9092", key_col="key") is not None
+
+
+def test_t_closeness_stream_equals_batch(spark, tables):
+    """flow_t_closeness: the complete-mode class×sensitive count
+    stream fed through the shared EMD spine
+    (privacy.t_closeness_from_class_counts) equals the batch audit
+    exactly — the streaming twin re-runs only class-level algebra per
+    poll, so equality is structural, not approximate."""
+    from gmall_realtime_ck_spark.operators.privacy import t_closeness_audit
+
+    out = pipelines.flow_t_closeness(spark, SF_DIR)
+    batch = t_closeness_audit(tables)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
