@@ -83,6 +83,50 @@ def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup with keep-BEST policy: inside each content-hash
+    group, keep the highest-quality representative (here: longest
+    text, tie-break lowest doc_id) instead of the first-seen row —
+    the selection CCNet-style pipelines apply so the canonical copy is
+    the least-truncated crawl of a page.
+
+    Scale: argmin over min(struct(-len, doc_id)) is a partial-aggregate
+    (map-side combine), so a pathological hash group with millions of
+    identical docs never funnels through one task the way a
+    row_number window over the group would; the join back is keyed on
+    the same hash — two shuffles total, both on ``h``, and AQE can
+    coalesce them.
+    """
+    docs = t["documents"]
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.length("text").cast("long").alias("n_len"),
+    )
+    best = (
+        hashed.groupBy("h")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_len")).alias("neg_len"),
+                    F.col("doc_id").alias("best_id"),
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("h", F.col("b.best_id").alias("best_id"), "n_dups")
+    )
+    return (
+        hashed.join(best, "h")
+        .select(
+            "doc_id",
+            "h",
+            "n_dups",
+            (F.col("doc_id") == F.col("best_id")).cast("bigint").alias("is_kept"),
+        )
+    )
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct rows — shared by minhash + jaccard.
     Tokens are materialized as a column first so the shingle HOF doesn't
@@ -718,6 +762,18 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
     """,
+    "text_dedup_keep_best": """
+        SELECT doc_id, h, n_dups, (doc_id = best_id)::BIGINT AS is_kept FROM (
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS h,
+                   count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_dups,
+                   first_value(doc_id) OVER (
+                       PARTITION BY md5(lower(trim(text)))
+                       ORDER BY length(text) DESC, doc_id
+                   ) AS best_id
+            FROM documents
+        )
+    """,
     "text_minhash_lsh_pairs": _MINHASH_CTE
     + f"""
         SELECT doc_a, doc_b, ({_SIG_MATCHES_D})::BIGINT AS sig_matches
@@ -952,6 +1008,7 @@ ORACLES["text_clean_manifest"] = _MINHASH_CTE + f"""
 
 BUILDERS = {
     "text_dedup_exact": dedup_exact,
+    "text_dedup_keep_best": dedup_keep_best,
     "text_minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_docs": simhash_docs,
     "text_ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -173,6 +173,60 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("media_id") % every_n == 0)
 
 
+FRAME_BYTES = 16
+FRAME_EVERY = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frame_bytes", LongType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, every_n: int = FRAME_EVERY
+) -> DataFrame:
+    """Frame-sampling stage: each video payload is a sequence of
+    fixed-size frames; emit every Nth frame as its own row with a
+    deterministic per-frame feature (byte sum — the seam where a real
+    deployment plugs ffmpeg frame extraction + an image embed).
+
+    The fan-out (1 video row → many frame rows) happens INSIDE the
+    Arrow batch, map-only: no shuffle, no explode of a
+    Python-materialized array column, and downstream per-frame ops
+    inherit the video's partitioning.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            sums: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    chunk = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    mids.append(mid)
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def media_from_docs(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic media table derived from ``documents``: the utf-8
     bytes of each text stand in for a payload, with typed metadata
@@ -234,9 +288,22 @@ def xmodal_exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def xmodal_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Declared frame-sample pipeline: metadata-only route (mime =
+    video/*) prunes before any payload crosses the Arrow boundary,
+    then :func:`sample_video_frames` fans each video out to every 4th
+    16-byte frame. Deterministic byte arithmetic keeps the Python
+    stage DuckDB-oracled (the corpus is ASCII, so codepoints ≡ bytes).
+    """
+    media = media_from_docs(t)
+    vids = media.filter(F.col("mime") == "video/mp4")
+    return sample_video_frames(vids)
+
+
 BUILDERS = {
     "xmodal_media_features": xmodal_media_features,
     "xmodal_exact_dedup": xmodal_exact_dedup,
+    "xmodal_frame_sample": xmodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -265,6 +332,25 @@ ORACLES: dict[str, str] = {
                ((byte_sum * 1000) // n_bytes)::BIGINT AS mean_byte_milli
         FROM m
         WHERE mime LIKE 'image/%' AND n_bytes >= 100
+    """,
+    "xmodal_frame_sample": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text, length(text)::BIGINT AS n_bytes
+            FROM documents WHERE doc_id % 4 = 3
+        ), frames AS (
+            SELECT media_id,
+                   unnest(range(0, ((n_bytes + {FRAME_BYTES - 1}) // {FRAME_BYTES})::BIGINT)) AS frame_idx,
+                   text
+            FROM m
+        )
+        SELECT media_id,
+               frame_idx::BIGINT AS frame_idx,
+               length(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))::BIGINT
+                   AS n_frame_bytes,
+               list_aggregate(list_transform(
+                   string_split(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
+                   c -> unicode(c)), 'sum')::BIGINT AS frame_sum
+        FROM frames WHERE frame_idx % {FRAME_EVERY} = 0
     """,
 }
 

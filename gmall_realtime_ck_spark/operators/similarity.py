@@ -1410,6 +1410,142 @@ def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ann_pq_adc_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query path that
+    makes :func:`embedding_pq_codes` an index, not just compression
+    (Jégou et al., PAMI 2011 §III-B): the corpus is represented ONLY
+    by its 4 subspace codes; each query precomputes a distance
+    look-up table (LUT) to every codeword, and a corpus point's
+    distance is the 4-way LUT sum — no corpus vector is ever touched
+    at query time.
+
+    INTEGER-exact end to end: codebook, corpus codes, LUT entries and
+    ADC sums are all Σ-of-squared-int64-micro-unit arithmetic (≤
+    ~2.6e14 at 64 dims, far inside int64), so top-k order — including
+    (distance, neighbor_id) tie-breaks — is bit-identical to the
+    all-pairs SQL oracle.
+
+    Scale posture (the cosine_topk contract): the collected state is
+    the codebook (labels × dims) and the capped query side
+    (MAX_QUERY_ROWS guard); the corpus never shuffles before the
+    map-side exact top-k — each partition reduces to ≤ |Q|·k candidate
+    rows via the LUT, and only partitions × |Q| × k rows meet the
+    final keyed window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+        F.col("label").cast("bigint").alias("cl"),
+    )
+    spark = emb.sparkSession
+    # codebook: per-label per-dim integer means over the FULL table
+    # (same derivation as embedding_pq_codes) — bounded labels × dims
+    comp = emb.select("cl", F.posexplode("xm").alias("pos", "v"))
+    per = comp.groupBy("cl", "pos").agg(F.expr("sum(v) div count(1)").alias("cm"))
+    cent = per.groupBy("cl").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)").alias("c")
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["cl"])
+    if not rows:
+        return emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.lit(0).cast("bigint").alias("neighbor_id"),
+            F.lit(0).cast("bigint").alias("adc_d"),
+            F.lit(0).cast("bigint").alias("rank"),
+        ).limit(0)
+    cls_sorted = np.array([int(r["cl"]) for r in rows], dtype=np.int64)
+    cb = np.array([list(r["c"]) for r in rows], dtype=np.int64)  # L × dims
+    dims = cb.shape[1]
+    subdim = dims // PQ_SUBSPACES
+
+    # corpus side → wide codes (c0..c3), PURE MAP: inline per-codeword
+    # integer argmin exactly as embedding_pq_codes
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0)
+    code_cols = []
+    for s in range(PQ_SUBSPACES):
+        arms = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with("
+                        f"slice(xm, {s * subdim + 1}, {subdim}), "
+                        "array("
+                        + ",".join(
+                            f"{int(v)}L" for v in cb[j, s * subdim : (s + 1) * subdim]
+                        )
+                        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+                    ).alias("d"),
+                    F.lit(int(cls_sorted[j])).cast("bigint").alias("cl"),
+                )
+                for j in range(len(cls_sorted))
+            ]
+        )
+        code_cols.append(F.array_min(arms).getField("cl").alias(f"c{s}"))
+    codes = corpus.select("vec_id", *code_cols)
+
+    # query side: capped collect → per-query LUT (|Q| × L per subspace)
+    qpdf = _collect_query_side(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "xm"),
+        "ann_pq_adc_topk",
+    )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(q_ids) == 0:
+        return codes.select(
+            F.col("vec_id").alias("q_id"),
+            F.lit(0).cast("bigint").alias("neighbor_id"),
+            F.lit(0).cast("bigint").alias("adc_d"),
+            F.lit(0).cast("bigint").alias("rank"),
+        ).limit(0)
+    q_mat = np.stack(qpdf["xm"].apply(list).to_numpy()).astype(np.int64)
+    luts = []
+    for s in range(PQ_SUBSPACES):
+        qs = q_mat[:, s * subdim : (s + 1) * subdim]  # |Q| × subdim
+        cs = cb[:, s * subdim : (s + 1) * subdim]  # L × subdim
+        diff = qs[:, None, :] - cs[None, :, :]
+        luts.append(np.einsum("qld,qld->ql", diff, diff))  # |Q| × L
+    bc = spark.sparkContext.broadcast((q_ids, cls_sorted, luts))
+
+    def gen(batches):
+        b_qids, b_cls, b_luts = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            d_tot = np.zeros((len(b_qids), len(c_ids)), dtype=np.int64)
+            for s in range(PQ_SUBSPACES):
+                idx = np.searchsorted(b_cls, pdf[f"c{s}"].to_numpy(dtype=np.int64))
+                d_tot += b_luts[s][:, idx]
+            k = min(TOP_K, d_tot.shape[1])
+            kth = np.partition(d_tot, k - 1, axis=1)[:, k - 1]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(b_qids)):
+                sel = np.nonzero(d_tot[qi] <= kth[qi])[0]
+                order = sel[np.lexsort((c_ids[sel], d_tot[qi, sel]))][:k]
+                out_q.extend([b_qids[qi]] * len(order))
+                out_n.extend(c_ids[order])
+                out_d.extend(d_tot[qi, order])
+            yield pd.DataFrame(
+                {
+                    "q_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "adc_d": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    cand = codes.mapInPandas(gen, "q_id long, neighbor_id long, adc_d long")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_d", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
@@ -1453,6 +1589,44 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cl) AS rn
             FROM d
         ) WHERE rn = 1
+    """,
+    "ann_pq_adc_topk": f"""
+        WITH ex AS (
+            SELECT vec_id, label::BIGINT AS cl, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm,
+                   ((i - 1) // {PQ_SUBDIM})::BIGINT AS sub
+            FROM embeddings, range(1, 65) r(i)
+        ), c0 AS (
+            SELECT cl, i, SUM(xm) // COUNT(*) AS cm
+            FROM ex GROUP BY cl, i
+        ), cd AS (
+            SELECT ex.vec_id, ex.sub, c0.cl,
+                   SUM((ex.xm - c0.cm) * (ex.xm - c0.cm))::BIGINT AS d
+            FROM ex JOIN c0 USING (i)
+            WHERE ex.vec_id % {QUERY_MOD} <> 0
+            GROUP BY ex.vec_id, ex.sub, c0.cl
+        ), codes AS (
+            SELECT vec_id, sub, cl AS code FROM (
+                SELECT vec_id, sub, cl,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cl) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ), lut AS (
+            SELECT ex.vec_id AS q_id, ex.sub, c0.cl AS code,
+                   SUM((ex.xm - c0.cm) * (ex.xm - c0.cm))::BIGINT AS d
+            FROM ex JOIN c0 USING (i)
+            WHERE ex.vec_id % {QUERY_MOD} = 0
+            GROUP BY ex.vec_id, ex.sub, c0.cl
+        ), adc AS (
+            SELECT lut.q_id, codes.vec_id AS neighbor_id, SUM(lut.d)::BIGINT AS adc_d
+            FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+            GROUP BY lut.q_id, codes.vec_id
+        )
+        SELECT q_id, neighbor_id, adc_d, rank::BIGINT AS rank FROM (
+            SELECT q_id, neighbor_id, adc_d,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc_d, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {TOP_K}
     """,
     "embedding_kmeans_assign": """
         WITH ex AS (
@@ -1724,6 +1898,7 @@ BUILDERS = {
     "embedding_centroid_drift": embedding_centroid_drift,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,

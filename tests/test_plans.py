@@ -764,3 +764,36 @@ def test_centroid_drift_is_dim_keyed(tables):
     p = plan_of(tables, "embedding_centroid_drift")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_keep_best_dedup_is_agg_join_not_window(tables):
+    """text_dedup_keep_best selects the per-hash representative via a
+    partial-aggregable min(struct) + keyed join back — NOT a window
+    over the hash group — so a pathological group of millions of
+    identical docs combines map-side instead of funnelling one task."""
+    p = plan_of(tables, "text_dedup_keep_best")
+    assert "Window" not in p, p
+    assert "HashAggregate" in p or "SortAggregate" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_frame_sample_is_map_only(tables):
+    """xmodal_frame_sample prunes on metadata, then fans frames out
+    inside the Arrow batch: MapInPandas with no shuffle anywhere —
+    frame extraction scales with input splits alone."""
+    p = plan_of(tables, "xmodal_frame_sample")
+    assert "MapInPandas" in p, p
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_pq_adc_corpus_never_shuffles_before_topk(tables):
+    """ann_pq_adc_topk: after the bounded codebook/LUT collects, the
+    corpus side is a pure map (inline code argmin -> LUT top-k in
+    MapInPandas); the only exchange is the final per-query rank window
+    over partitions x |Q| x k candidate rows."""
+    p = plan_of(tables, "ann_pq_adc_topk")
+    assert "MapInPandas" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 1, p
