@@ -140,17 +140,21 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     each keyed on event_type; no windows over raw rows.
     """
     ev = t["events"].select("event_id", "event_type", "value")
+    # the aggregate sides rename their key before joining back: both
+    # legs descend from the same parent, and when that parent is a
+    # named view (the flow_anomaly_mad memory table) Spark's self-join
+    # resolution rejects the shared-lineage equi-join
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
+    ).withColumnRenamed("event_type", "m_type")
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("m_type")
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
-    )
+    ).withColumnRenamed("event_type", "d_type")
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
         .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))
         .select("event_id", "event_type", cents("value").alias("value_cents"))
     )

@@ -456,6 +456,27 @@ def flow_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_from_class_counts(counts)
 
 
+def flow_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAD outlier screen as a live stream: the event log ingests
+    in append mode (watermarked source, projection pruned to the three
+    audit columns before anything buffers), and each poll re-runs the
+    batch audit (operators.behavior.events_anomaly_mad) over the
+    ingested log — median/MAD thresholds and the flagged rows are
+    always current. The audited set equals the batch input, so the
+    batch oracle applies verbatim.
+
+    At 100 TB the polled log lives in a real sink (Delta/parquet) and
+    the thresholds derive from a continuously-maintained
+    (type, value)-count histogram instead of the raw log — the audit
+    algebra is unchanged, it just reads the compressed distribution.
+    """
+    from ..operators.behavior import events_anomaly_mad
+
+    ev = events_file_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    log = _run_to_memory(ev, "append")
+    return events_anomaly_mad({"events": log})
+
+
 def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key streaming rate limiting as a live stream — at most
     USER_DAY_QUOTA events admitted per (user, day), per-day counts in
@@ -715,6 +736,7 @@ STREAM_BUILDERS = {
     "flow_histogram": flow_histogram,
     "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_user_quota": flow_user_quota,
+    "flow_anomaly_mad": flow_anomaly_mad,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -751,6 +773,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_incremental_dedup": DD["text_incremental_dedup"],
         "flow_sq8_encode": SIM["embedding_sq8_codes"],
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
+        "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
