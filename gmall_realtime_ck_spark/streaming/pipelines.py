@@ -624,6 +624,38 @@ def flow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(doc_token_count({"documents": docs}), "append")
 
 
+def flow_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter tokens as a live stream: per-token counts are
+    maintained continuously (ONE keyed complete-mode aggregation on
+    the exploded token stream) and each poll runs the heavy-hitter
+    selection algebra — total, φ-threshold, permille share — over the
+    count table, so the hot-vocabulary monitor is always current.
+    Final counts equal the batch recount ⇒ the corpus_heavy_tokens
+    oracle applies verbatim.
+
+    The keyed state here is vocabulary-sized; at 100 TB the production
+    twin swaps the exact count state for the bounded space-saving
+    sketch (operators.text._space_saving_candidates) inside
+    applyInPandasWithState and keeps the same poll-time selection —
+    the batch operator documents that sketch's superset guarantee.
+    """
+    from ..operators.text import HH_K, TOKENS_SPARK
+
+    docs = documents_file_stream(spark, sf_dir)
+    toks = docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token"))
+    counts = _run_to_memory(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("ct")), "complete"
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("ct").over(Window.partitionBy())
+    return (
+        counts.withColumn("total", total)
+        .filter(F.col("ct") * HH_K > F.col("total"))
+        .select("token", "ct", F.expr("ct * 1000 div total").alias("share_permille"))
+    )
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -737,6 +769,7 @@ STREAM_BUILDERS = {
     "flow_backfill_ohlc": flow_backfill_ohlc,
     "flow_user_quota": flow_user_quota,
     "flow_anomaly_mad": flow_anomaly_mad,
+    "flow_heavy_tokens": flow_heavy_tokens,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -774,6 +807,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_sq8_encode": SIM["embedding_sq8_codes"],
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
+        "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
