@@ -111,6 +111,98 @@ def benchmark_contamination(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: Bloom geometry: 520 words × 63 usable bits ≈ 32.8 kbit (the sign
+#: bit stays clear so every mask and word is a non-negative int64 on
+#: BOTH engines — DuckDB and Spark shift semantics only provably
+#: agree on non-negatives), two probes per key. Sized so the fixed
+#: 10-doc benchmark's ~3k shingles load the filter to ~0.17 set-bit
+#: density → ~3% false-positive rate; production sizes m to the
+#: benchmark set the same way (bits ≈ 10× keys for k=2).
+BLOOM_WORDS = 520
+BLOOM_BITS_PER_WORD = 63
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+#: Knuth multiplicative constant spreads the second probe
+BLOOM_PROBE2_MULT = 2654435761
+
+
+def bloom_contamination(t: dict[str, DataFrame]) -> DataFrame:
+    """Bloom-filter contamination PRE-SCREEN: the benchmark shingle
+    set folds into a fixed 8190-bit Bloom filter (two md5-derived
+    probes per shingle), and every corpus shingle tests membership
+    against it — emitting per-document bloom hits NEXT TO the exact
+    hits so the false-positive overhead of the screen is measurable
+    row by row (bloom_hits ≥ exact_hits always; the gap is the FP
+    cost a deployment pays for skipping the exact join).
+
+    Why it matters at 100 TB: the exact check joins every corpus
+    shingle against the benchmark set; the Bloom filter is ~1 KB of
+    int64 words INLINED INTO THE SCAN as a literal array, so the
+    pre-screen is a pure map — zero joins, zero shuffles — and only
+    the ~permille of shingles that hit the filter need the exact join.
+    Everything is integer arithmetic on md5 prefixes: deterministic,
+    engine-portable, RNG-free.
+    """
+    docs = t["documents"]
+    tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tokenized.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", 3)))).alias("s"),
+    )
+    h = F.expr(H28_SPARK.format(c="s"))
+    bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
+    # fold the benchmark set into ≤BLOOM_WORDS words: probes → (word,
+    # mask) → bit_or per word; the aggregate is BLOOM_WORDS rows max
+    probes = bench.select(
+        F.explode(
+            F.array(h % BLOOM_M, (h * BLOOM_PROBE2_MULT) % BLOOM_M)
+        ).alias("pos")
+    )
+    words = (
+        probes.select(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {BLOOM_BITS_PER_WORD} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    filled = [0] * BLOOM_WORDS
+    for row in words.collect():  # bounded: ≤ BLOOM_WORDS rows
+        filled[int(row["word"])] = int(row["w"])
+    arr = "array(" + ",".join(f"{v}L" for v in filled) + ")"
+    corpus = (
+        sh.filter(F.col("doc_id") >= 10)
+        .withColumn("b1", h % BLOOM_M)
+        .withColumn("b2", (h * BLOOM_PROBE2_MULT) % BLOOM_M)
+        .withColumn(
+            "bloom_hit",
+            F.expr(
+                f"cast(((shiftright(element_at({arr}, cast(b1 div {BLOOM_BITS_PER_WORD} as int) + 1), "
+                f"cast(b1 % {BLOOM_BITS_PER_WORD} as int)) & 1) = 1) AND "
+                f"((shiftright(element_at({arr}, cast(b2 div {BLOOM_BITS_PER_WORD} as int) + 1), "
+                f"cast(b2 % {BLOOM_BITS_PER_WORD} as int)) & 1) = 1) as bigint)"
+            ),
+        )
+        .join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "s", "left")
+    )
+    return (
+        corpus.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_hit").alias("bloom_hits"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
+        )
+    )
+
+
 def repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
     """Doc-internal repetition: 1000 × (1 − distinct/total 3-gram
     shingles) — the boilerplate/looping-text quality signal (Gopher
@@ -618,6 +710,44 @@ ORACLES: dict[str, str] = {
                (bench_hits * 1000) // n_shingles AS contamination_permille
         FROM scored
     """,
+    "sample_bloom_contamination": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest({_SH3_D}) AS s FROM tk0
+        ), bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id < 10
+        ), bh AS (
+            SELECT {H28_DUCK.format(c="s")} AS h FROM bench
+        ), probes AS (
+            SELECT unnest([h % {BLOOM_M}, (h * {BLOOM_PROBE2_MULT}) % {BLOOM_M}]) AS pos
+            FROM bh
+        ), words AS (
+            SELECT pos // {BLOOM_BITS_PER_WORD} AS word,
+                   bit_or(1::BIGINT << (pos % {BLOOM_BITS_PER_WORD})::INT) AS w
+            FROM probes GROUP BY pos // {BLOOM_BITS_PER_WORD}
+        ), corpus AS (
+            SELECT doc_id, s,
+                   {H28_DUCK.format(c="s")} % {BLOOM_M} AS b1,
+                   ({H28_DUCK.format(c="s")} * {BLOOM_PROBE2_MULT}) % {BLOOM_M} AS b2
+            FROM sh WHERE doc_id >= 10
+        ), flags AS (
+            SELECT c.doc_id,
+                   ((((COALESCE(w1.w, 0) >> (c.b1 % {BLOOM_BITS_PER_WORD})::INT) & 1) = 1)
+                    AND (((COALESCE(w2.w, 0) >> (c.b2 % {BLOOM_BITS_PER_WORD})::INT) & 1) = 1)
+                   )::BIGINT AS bloom_hit,
+                   (b.s IS NOT NULL)::BIGINT AS exact_hit
+            FROM corpus c
+            LEFT JOIN words w1 ON c.b1 // {BLOOM_BITS_PER_WORD} = w1.word
+            LEFT JOIN words w2 ON c.b2 // {BLOOM_BITS_PER_WORD} = w2.word
+            LEFT JOIN bench b ON c.s = b.s
+        )
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               SUM(bloom_hit)::BIGINT AS bloom_hits,
+               SUM(exact_hit)::BIGINT AS exact_hits,
+               (SUM(bloom_hit) - SUM(exact_hit))::BIGINT AS false_pos
+        FROM flags GROUP BY doc_id
+    """,
     "repetition_ratio": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -724,6 +854,7 @@ BUILDERS = {
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,
+    "sample_bloom_contamination": bloom_contamination,
     "repetition_ratio": repetition_ratio,
     "corpus_vocab_stats": corpus_vocab_stats,
     "sequence_pack_assign": sequence_pack_assign,

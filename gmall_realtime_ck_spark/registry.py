@@ -173,7 +173,8 @@ _PRIORITY_HEAD = [
     # source_minhash_jaccard, embedding_dim_stats, corpus_pmi_bigrams,
     # embedding_pca_project, privacy_t_closeness, ann_rrf_fusion,
     # flow_t_closeness, text_dedup_keep_best, xmodal_frame_sample,
-    # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens.
+    # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens,
+    # sample_bloom_contamination.
 ]
 
 

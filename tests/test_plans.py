@@ -797,3 +797,14 @@ def test_pq_adc_corpus_never_shuffles_before_topk(tables):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_bloom_prescreen_map_side(tables):
+    """sample_bloom_contamination: after the bounded word-table
+    collect, the Bloom membership test is a literal-array lookup
+    inlined into the scan — the only joins in the plan are the
+    broadcast exact-hit comparison leg; no cartesian, no NLJ."""
+    p = plan_of(tables, "sample_bloom_contamination")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p, p
