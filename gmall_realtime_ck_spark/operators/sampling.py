@@ -125,55 +125,46 @@ BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
 BLOOM_PROBE2_MULT = 2654435761
 
 
-def bloom_contamination(t: dict[str, DataFrame]) -> DataFrame:
-    """Bloom-filter contamination PRE-SCREEN: the benchmark shingle
-    set folds into a fixed 8190-bit Bloom filter (two md5-derived
-    probes per shingle), and every corpus shingle tests membership
-    against it — emitting per-document bloom hits NEXT TO the exact
-    hits so the false-positive overhead of the screen is measurable
-    row by row (bloom_hits ≥ exact_hits always; the gap is the FP
-    cost a deployment pays for skipping the exact join).
-
-    Why it matters at 100 TB: the exact check joins every corpus
-    shingle against the benchmark set; the Bloom filter is ~1 KB of
-    int64 words INLINED INTO THE SCAN as a literal array, so the
-    pre-screen is a pure map — zero joins, zero shuffles — and only
-    the ~permille of shingles that hit the filter need the exact join.
-    Everything is integer arithmetic on md5 prefixes: deterministic,
-    engine-portable, RNG-free.
-    """
-    docs = t["documents"]
+def doc_distinct_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, 3-gram shingle) distinct rows — the shared front of
+    the contamination screens; works on a batch table or a stream."""
     tokenized = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
-    sh = tokenized.select(
+    return tokenized.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", 3)))).alias("s"),
     )
+
+
+def bloom_words_literal(bench: DataFrame) -> str:
+    """Fold a shingle set into the fixed Bloom filter and return it as
+    a Spark SQL literal-array fragment: probes → (word, mask) →
+    bit_or per word (≤ BLOOM_WORDS rows collected — bounded by the
+    filter geometry, never by data size)."""
     h = F.expr(H28_SPARK.format(c="s"))
-    bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
-    # fold the benchmark set into ≤BLOOM_WORDS words: probes → (word,
-    # mask) → bit_or per word; the aggregate is BLOOM_WORDS rows max
     probes = bench.select(
-        F.explode(
-            F.array(h % BLOOM_M, (h * BLOOM_PROBE2_MULT) % BLOOM_M)
-        ).alias("pos")
+        F.explode(F.array(h % BLOOM_M, (h * BLOOM_PROBE2_MULT) % BLOOM_M)).alias("pos")
     )
     words = (
         probes.select(
             (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
-            F.expr(
-                f"shiftleft(1L, cast(pos % {BLOOM_BITS_PER_WORD} as int))"
-            ).alias("mask"),
+            F.expr(f"shiftleft(1L, cast(pos % {BLOOM_BITS_PER_WORD} as int))").alias("mask"),
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("w"))
     )
     filled = [0] * BLOOM_WORDS
-    for row in words.collect():  # bounded: ≤ BLOOM_WORDS rows
+    for row in words.collect():
         filled[int(row["word"])] = int(row["w"])
-    arr = "array(" + ",".join(f"{v}L" for v in filled) + ")"
+    return "array(" + ",".join(f"{v}L" for v in filled) + ")"
+
+
+def bloom_score(sh: DataFrame, bench: DataFrame, arr: str) -> DataFrame:
+    """Score (doc_id, s) shingle rows against an inlined Bloom filter
+    AND the exact benchmark set, rolling both up per document — the
+    shared back half of the batch screen and its stream-static twin."""
+    h = F.expr(H28_SPARK.format(c="s"))
     corpus = (
-        sh.filter(F.col("doc_id") >= 10)
-        .withColumn("b1", h % BLOOM_M)
+        sh.withColumn("b1", h % BLOOM_M)
         .withColumn("b2", (h * BLOOM_PROBE2_MULT) % BLOOM_M)
         .withColumn(
             "bloom_hit",
@@ -200,6 +191,30 @@ def bloom_contamination(t: dict[str, DataFrame]) -> DataFrame:
             "exact_hits",
             (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
         )
+    )
+
+
+def bloom_contamination(t: dict[str, DataFrame]) -> DataFrame:
+    """Bloom-filter contamination PRE-SCREEN: the benchmark shingle
+    set folds into a fixed 32.8-kbit Bloom filter (two md5-derived
+    probes per shingle), and every corpus shingle tests membership
+    against it — emitting per-document bloom hits NEXT TO the exact
+    hits so the false-positive overhead of the screen is measurable
+    row by row (bloom_hits ≥ exact_hits always; the gap is the FP
+    cost a deployment pays for skipping the exact join).
+
+    Why it matters at 100 TB: the exact check joins every corpus
+    shingle against the benchmark set; the Bloom filter is ~4 KB of
+    int64 words INLINED INTO THE SCAN as a literal array, so the
+    pre-screen is a pure map — zero joins, zero shuffles — and only
+    the shingles that hit the filter need the exact join. Everything
+    is integer arithmetic on md5 prefixes: deterministic,
+    engine-portable, RNG-free.
+    """
+    sh = doc_distinct_shingles(t["documents"])
+    bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
+    return bloom_score(
+        sh.filter(F.col("doc_id") >= 10), bench, bloom_words_literal(bench)
     )
 
 

@@ -656,6 +656,35 @@ def flow_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static Bloom contamination screen: the benchmark Bloom
+    filter builds ONCE from the static corpus (bounded word-table
+    collect, inlined as a literal array) and each arriving document's
+    shingles test membership as a stateless map on the stream — the
+    decontamination gate a live ingest runs per shard. The per-doc
+    aggregation runs in complete mode; final table equals the batch
+    screen ⇒ the sample_bloom_contamination oracle applies verbatim.
+    """
+    from ..catalog import load_tables
+    from ..operators.sampling import (
+        bloom_score,
+        bloom_words_literal,
+        doc_distinct_shingles,
+    )
+
+    bench = (
+        doc_distinct_shingles(load_tables(spark, sf_dir)["documents"])
+        .filter(F.col("doc_id") < 10)
+        .select("s")
+        .distinct()
+    )
+    sh_stream = doc_distinct_shingles(documents_file_stream(spark, sf_dir))
+    scored = bloom_score(
+        sh_stream.filter(F.col("doc_id") >= 10), bench, bloom_words_literal(bench)
+    )
+    return _run_to_memory(scored, "complete")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -770,6 +799,7 @@ STREAM_BUILDERS = {
     "flow_user_quota": flow_user_quota,
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
+    "flow_bloom_contamination": flow_bloom_contamination,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -790,6 +820,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.dedup import ORACLES as DD
     from ..operators.privacy import ORACLES as PRIV
     from ..operators.quality import ORACLES as QUAL
+    from ..operators.sampling import ORACLES as SAMP
     from ..operators.relational import ORACLES as REL
     from ..operators.similarity import ORACLES as SIM
     from ..operators.stateful import ORACLES as ST
@@ -808,6 +839,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
+        "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
