@@ -343,6 +343,74 @@ def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: Kneser-Ney absolute discount (the classic 0.75 default)
+KN_DISCOUNT = 0.75
+
+
+def doc_perplexity_kneser_ney(t: dict[str, DataFrame]) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+    actually uses (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25),
+    upgrading :func:`doc_perplexity_bigram`'s Laplace model:
+
+    P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+             + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+
+    where the continuation probability counts CONTEXTS a word follows
+    (types, not tokens) — the property that keeps "Francisco" from
+    looking likely outside "San Francisco". Fixed D = 0.75; every
+    count is a keyed vocabulary-sized aggregate off the same bigram
+    model table (c, N1+(w1·), N1+(·w2), type total), composed in one
+    arithmetic shape on both engines and rounded to 6 decimals so the
+    per-doc average NLL hash-matches.
+
+    Scale: identical posture to the Laplace op — model counts are
+    keyed shuffles over exploded bigrams (vocab-sized), log-probs
+    computed once per distinct (lang, bigram) and joined back on that
+    key; nothing fact-sized broadcasts.
+    """
+    docs = t["documents"]
+    tk0 = docs.select("doc_id", "lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    bg = tk0.select(
+        "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
+    )
+    model = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("bg_ct"))
+    parts = model.select(
+        "lang",
+        "bigram",
+        "bg_ct",
+        F.expr("split_part(bigram, ' ', 1)").alias("w1"),
+        F.expr("split_part(bigram, ' ', 2)").alias("w2"),
+    )
+    ctx = parts.groupBy("lang", "w1").agg(
+        F.sum("bg_ct").alias("ctx_ct"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = parts.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btypes = model.groupBy("lang").agg(F.count(F.lit(1)).alias("btypes"))
+    scored = (
+        parts.join(ctx, ["lang", "w1"])
+        .join(cont, ["lang", "w2"])
+        .join(F.broadcast(btypes), "lang")
+        .select(
+            "lang",
+            "bigram",
+            F.expr(
+                f"ln((greatest(cast(bg_ct as double) - {KN_DISCOUNT}d, 0.0d)"
+                f" + {KN_DISCOUNT}d * cast(n1f as double)"
+                " * (cast(n1b as double) / cast(btypes as double)))"
+                " / cast(ctx_ct as double))"
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(scored, ["lang", "bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("avg_nll_kn"),
+        )
+    )
+
+
 #: PMI collocation mining: only pairs seen at least this often qualify
 #: (rare pairs have unboundedly noisy PMI — the standard cutoff).
 PMI_MIN_PAIR_CT = 5
@@ -1247,6 +1315,45 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "doc_perplexity_kneser_ney": f"""
+        WITH tk0 AS (
+            SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
+        ), bg AS (
+            SELECT doc_id, lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk0
+        ), model AS (
+            SELECT lang, bigram, COUNT(*) AS bg_ct FROM bg GROUP BY lang, bigram
+        ), parts AS (
+            SELECT lang, bigram, bg_ct,
+                   split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2
+            FROM model
+        ), ctx AS (
+            SELECT lang, w1, SUM(bg_ct) AS ctx_ct, COUNT(*) AS n1f
+            FROM parts GROUP BY lang, w1
+        ), cont AS (
+            SELECT lang, w2, COUNT(*) AS n1b FROM parts GROUP BY lang, w2
+        ), btypes AS (
+            SELECT lang, COUNT(*) AS btypes FROM model GROUP BY lang
+        ), scored AS (
+            SELECT p.lang, p.bigram,
+                   ln((greatest(p.bg_ct::DOUBLE - {KN_DISCOUNT}, 0.0)
+                       + {KN_DISCOUNT} * c.n1f::DOUBLE
+                         * (k.n1b::DOUBLE / b.btypes::DOUBLE))
+                      / c.ctx_ct::DOUBLE) AS logp
+            FROM parts p
+            JOIN ctx c ON p.lang = c.lang AND p.w1 = c.w1
+            JOIN cont k ON p.lang = k.lang AND p.w2 = k.w2
+            JOIN btypes b ON p.lang = b.lang
+        )
+        SELECT bg.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               round(-avg(s.logp), 6) AS avg_nll_kn
+        FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
+        GROUP BY bg.doc_id
+    """,
     "corpus_pmi_bigrams": f"""
         WITH tk0 AS (
             SELECT {_TOKS_D} AS tk FROM documents
@@ -1349,6 +1456,7 @@ BUILDERS = {
     "text_clean_manifest": corpus_clean_manifest,  # oracle in dedup.py
     "text_bigram_topk": bigram_topk,
     "doc_perplexity_bigram": doc_perplexity_bigram,
+    "doc_perplexity_kneser_ney": doc_perplexity_kneser_ney,
     "corpus_drift_psi": corpus_drift_psi,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,

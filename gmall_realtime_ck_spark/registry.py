@@ -174,7 +174,8 @@ _PRIORITY_HEAD = [
     # embedding_pca_project, privacy_t_closeness, ann_rrf_fusion,
     # flow_t_closeness, text_dedup_keep_best, xmodal_frame_sample,
     # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens,
-    # sample_bloom_contamination, flow_bloom_contamination.
+    # sample_bloom_contamination, flow_bloom_contamination,
+    # doc_perplexity_kneser_ney.
 ]
 
 
