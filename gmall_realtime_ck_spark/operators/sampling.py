@@ -218,6 +218,75 @@ def bloom_contamination(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: DSIR hashed-feature dimensionality (production uses ~10k; sized to
+#: the test corpus so buckets stay meaningfully occupied)
+DSIR_DIM = 1024
+
+
+def dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    with Importance Resampling): estimate target and raw distributions
+    over HASHED BIGRAM features (the trick that makes n-gram LM ratios
+    tractable at corpus scale), score every raw document by its summed
+    log importance ratio Σ_f [ln p̂_target(f) − ln p̂_raw(f)]
+    (Laplace-smoothed), and flag positive-ratio docs as selected —
+    the data-selection pass that upweights benchmark-like text before
+    pretraining. Benchmark docs (doc_id < 10) play the target set.
+
+    Scale: feature counts are keyed aggregates bounded by DSIR_DIM;
+    the per-feature log-ratio table (≤ DSIR_DIM rows) broadcasts into
+    the doc-feature stream — one keyed shuffle for the counts, one for
+    the per-doc rollup, nothing fact-sized ever collected.
+    """
+    docs = t["documents"]
+    tk0 = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    bg = tk0.select(
+        "doc_id", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
+    )
+    feat = bg.select(
+        "doc_id", (F.expr(H28_SPARK.format(c="bigram")) % DSIR_DIM).alias("f")
+    )
+    tgt = feat.filter(F.col("doc_id") < 10).groupBy("f").agg(
+        F.count(F.lit(1)).alias("t_ct")
+    )
+    raw = feat.filter(F.col("doc_id") >= 10).groupBy("f").agg(
+        F.count(F.lit(1)).alias("r_ct")
+    )
+    joined = (
+        tgt.join(raw, "f", "full_outer")
+        .select(
+            "f",
+            F.coalesce("t_ct", F.lit(0)).alias("t_ct"),
+            F.coalesce("r_ct", F.lit(0)).alias("r_ct"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("t_ct").alias("n_t"), F.sum("r_ct").alias("n_r")
+    )
+    ratios = joined.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.expr(
+            f"ln(cast(t_ct + 1 as double) / cast(n_t + {DSIR_DIM} as double))"
+            f" - ln(cast(r_ct + 1 as double) / cast(n_r + {DSIR_DIM} as double))"
+        ).alias("lr"),
+    )
+    return (
+        feat.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(ratios), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "log_weight",
+            (F.col("log_weight") > 0).cast("bigint").alias("selected"),
+        )
+    )
+
+
 def repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
     """Doc-internal repetition: 1000 × (1 − distinct/total 3-gram
     shingles) — the boilerplate/looping-text quality signal (Gopher
@@ -610,6 +679,7 @@ def sample_weighted_priority(t: dict[str, DataFrame]) -> DataFrame:
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
+_SH2_D = shingles_duck("tk", 2)
 
 ORACLES: dict[str, str] = {
     "sample_temperature_mixture": f"""
@@ -763,6 +833,36 @@ ORACLES: dict[str, str] = {
                (SUM(bloom_hit) - SUM(exact_hit))::BIGINT AS false_pos
         FROM flags GROUP BY doc_id
     """,
+    "sample_dsir_weights": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), bg AS (
+            SELECT doc_id, unnest({_SH2_D}) AS bigram FROM tk0
+        ), feat AS (
+            SELECT doc_id, {H28_DUCK.format(c="bigram")} % {DSIR_DIM} AS f FROM bg
+        ), tgt AS (
+            SELECT f, COUNT(*) AS t_ct FROM feat WHERE doc_id < 10 GROUP BY f
+        ), raw AS (
+            SELECT f, COUNT(*) AS r_ct FROM feat WHERE doc_id >= 10 GROUP BY f
+        ), joined AS (
+            SELECT COALESCE(tgt.f, raw.f) AS f,
+                   COALESCE(t_ct, 0) AS t_ct, COALESCE(r_ct, 0) AS r_ct
+            FROM tgt FULL OUTER JOIN raw ON tgt.f = raw.f
+        ), totals AS (
+            SELECT SUM(t_ct) AS n_t, SUM(r_ct) AS n_r FROM joined
+        ), ratios AS (
+            SELECT f,
+                   ln((t_ct + 1)::DOUBLE / (n_t + {DSIR_DIM})::DOUBLE)
+                 - ln((r_ct + 1)::DOUBLE / (n_r + {DSIR_DIM})::DOUBLE) AS lr
+            FROM joined, totals
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+               round(SUM(lr), 6) AS log_weight,
+               (round(SUM(lr), 6) > 0)::BIGINT AS selected
+        FROM feat JOIN ratios ON feat.f = ratios.f
+        WHERE doc_id >= 10
+        GROUP BY doc_id
+    """,
     "repetition_ratio": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -870,6 +970,7 @@ BUILDERS = {
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,
     "sample_bloom_contamination": bloom_contamination,
+    "sample_dsir_weights": dsir_weights,
     "repetition_ratio": repetition_ratio,
     "corpus_vocab_stats": corpus_vocab_stats,
     "sequence_pack_assign": sequence_pack_assign,

@@ -177,6 +177,7 @@ BOUNDED_NLJ_OK = {
     "corpus_pmi_bigrams",  # two 1-row scalar broadcasts (N tokens, M pairs)
     "embedding_pca_project",  # three 1-row rescale maxima broadcasts
     "privacy_t_closeness",  # class grid × m-row sensitive-domain broadcast
+    "sample_dsir_weights",  # 1-row (n_t, n_r) totals broadcast
 }
 
 
