@@ -305,6 +305,22 @@ def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
     are absent, matching the oracle.
     """
     docs = t["documents"]
+    return score_bigram_nll(doc_bigrams(docs), bigram_lm_table(docs))
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bigram) rows — works on a batch table or a
+    stream; docs with < 2 tokens carry no bigrams."""
+    tk0 = docs.select("doc_id", "lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    return tk0.select(
+        "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
+    )
+
+
+def bigram_lm_table(docs: DataFrame) -> DataFrame:
+    """The Laplace bigram model as a (lang, bigram, logp) table —
+    vocab-sized keyed aggregates; shared by the batch scorer and the
+    stream-static gate."""
     tk0 = docs.select("doc_id", "lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
     bg = tk0.select(
         "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
@@ -320,7 +336,7 @@ def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("tok").alias("v"))
     )
-    scored = (
+    return (
         model.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
         .join(ctx, ["lang", "w1"])
         .join(F.broadcast(vocab), "lang")
@@ -333,6 +349,11 @@ def doc_perplexity_bigram(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("logp"),
         )
     )
+
+
+def score_bigram_nll(bg: DataFrame, scored: DataFrame) -> DataFrame:
+    """Per-doc average NLL rollup of bigram rows against a
+    (lang, bigram, logp) model table."""
     return (
         bg.join(scored, ["lang", "bigram"])
         .groupBy("doc_id")

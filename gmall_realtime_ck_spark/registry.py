@@ -175,7 +175,8 @@ _PRIORITY_HEAD = [
     # flow_t_closeness, text_dedup_keep_best, xmodal_frame_sample,
     # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens,
     # sample_bloom_contamination, flow_bloom_contamination,
-    # doc_perplexity_kneser_ney, sample_dsir_weights.
+    # doc_perplexity_kneser_ney, sample_dsir_weights,
+    # flow_perplexity_gate.
 ]
 
 

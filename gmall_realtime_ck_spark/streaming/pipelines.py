@@ -685,6 +685,22 @@ def flow_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(scored, "complete")
 
 
+def flow_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static perplexity gate: the Laplace bigram LM trains
+    ONCE on the static corpus (vocab-sized keyed aggregates) and each
+    arriving document's bigrams join the (lang, bigram, logp) model
+    table stream-static — the KenLM-style quality screen CCNet runs
+    per shard, with the per-doc average-NLL rollup in complete mode.
+    Final table equals the batch scorer ⇒ its oracle applies verbatim.
+    """
+    from ..catalog import load_tables
+    from ..operators.text import bigram_lm_table, doc_bigrams, score_bigram_nll
+
+    model = bigram_lm_table(load_tables(spark, sf_dir)["documents"])
+    bg_stream = doc_bigrams(documents_file_stream(spark, sf_dir))
+    return _run_to_memory(score_bigram_nll(bg_stream, model), "complete")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -800,6 +816,7 @@ STREAM_BUILDERS = {
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
     "flow_bloom_contamination": flow_bloom_contamination,
+    "flow_perplexity_gate": flow_perplexity_gate,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -840,6 +857,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
+        "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
