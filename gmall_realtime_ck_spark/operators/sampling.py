@@ -239,13 +239,25 @@ def dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
     the per-doc rollup, nothing fact-sized ever collected.
     """
     docs = t["documents"]
+    feat = dsir_features(docs)
+    return dsir_score(feat.filter(F.col("doc_id") >= 10), dsir_ratio_table(feat))
+
+
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, hashed-bigram-bucket) rows — works on a batch table or
+    a stream; the shared front of the DSIR weigher and its gate."""
     tk0 = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
     bg = tk0.select(
         "doc_id", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
     )
-    feat = bg.select(
+    return bg.select(
         "doc_id", (F.expr(H28_SPARK.format(c="bigram")) % DSIR_DIM).alias("f")
     )
+
+
+def dsir_ratio_table(feat: DataFrame) -> DataFrame:
+    """The ≤ DSIR_DIM-row per-feature log importance ratio table
+    (target = doc_id < 10, raw = the rest), Laplace-smoothed."""
     tgt = feat.filter(F.col("doc_id") < 10).groupBy("f").agg(
         F.count(F.lit(1)).alias("t_ct")
     )
@@ -260,19 +272,21 @@ def dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
             F.coalesce("r_ct", F.lit(0)).alias("r_ct"),
         )
     )
-    totals = joined.agg(
-        F.sum("t_ct").alias("n_t"), F.sum("r_ct").alias("n_r")
-    )
-    ratios = joined.crossJoin(F.broadcast(totals)).select(
+    totals = joined.agg(F.sum("t_ct").alias("n_t"), F.sum("r_ct").alias("n_r"))
+    return joined.crossJoin(F.broadcast(totals)).select(
         "f",
         F.expr(
             f"ln(cast(t_ct + 1 as double) / cast(n_t + {DSIR_DIM} as double))"
             f" - ln(cast(r_ct + 1 as double) / cast(n_r + {DSIR_DIM} as double))"
         ).alias("lr"),
     )
+
+
+def dsir_score(feat: DataFrame, ratios: DataFrame) -> DataFrame:
+    """Per-doc summed log-ratio rollup against the broadcast ratio
+    table — the shared back half of the batch weigher and the gate."""
     return (
-        feat.filter(F.col("doc_id") >= 10)
-        .join(F.broadcast(ratios), "f")
+        feat.join(F.broadcast(ratios), "f")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

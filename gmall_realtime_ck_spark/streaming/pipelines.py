@@ -701,6 +701,25 @@ def flow_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(score_bigram_nll(bg_stream, model), "complete")
 
 
+def flow_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static DSIR gate: the per-feature log importance ratio
+    table fits ONCE on the static corpus (≤ DSIR_DIM rows, broadcast)
+    and each arriving document's hashed-bigram features score through
+    it as a stream-static join with a complete-mode per-doc rollup —
+    the data-selection gate a live ingest applies per shard. Final
+    table equals the batch weigher ⇒ its oracle applies verbatim.
+    """
+    from ..catalog import load_tables
+    from ..operators.sampling import dsir_features, dsir_ratio_table, dsir_score
+
+    static_feat = dsir_features(load_tables(spark, sf_dir)["documents"])
+    ratios = dsir_ratio_table(static_feat)
+    stream_feat = dsir_features(documents_file_stream(spark, sf_dir))
+    return _run_to_memory(
+        dsir_score(stream_feat.filter(F.col("doc_id") >= 10), ratios), "complete"
+    )
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -817,6 +836,7 @@ STREAM_BUILDERS = {
     "flow_heavy_tokens": flow_heavy_tokens,
     "flow_bloom_contamination": flow_bloom_contamination,
     "flow_perplexity_gate": flow_perplexity_gate,
+    "flow_dsir_gate": flow_dsir_gate,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -858,6 +878,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
         "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
+        "flow_dsir_gate": SAMP["sample_dsir_weights"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
