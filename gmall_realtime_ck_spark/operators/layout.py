@@ -266,6 +266,50 @@ def layout_zorder_orders(t: dict[str, DataFrame]) -> DataFrame:
     return keyed.orderBy("zkey", "o_orderkey").limit(200)
 
 
+#: compaction target: files (here: day-slices) pack into bins of at
+#: least this many rows — the "rewrite small files to ~1 GB" knob
+COMPACT_TARGET_ROWS = 2000
+
+
+def layout_compaction_bins(t: dict[str, DataFrame]) -> DataFrame:
+    """Small-files compaction PLANNER — the maintenance pass every
+    Delta/Iceberg table needs (OPTIMIZE / rewrite_data_files): treat
+    each (day) slice of ``orders`` as one data file with its row count
+    as size, and assign contiguous files to compaction bins by
+    exclusive-running-total division — bin boundaries land wherever
+    the cumulative size crosses the target, so every bin except a
+    partition's last holds ≥ COMPACT_TARGET_ROWS rows and file order
+    (and therefore clustering) is preserved.
+
+    Scale: the planner runs on the file MANIFEST, not the data —
+    |files| rows. The window partitions by month so no single ordered
+    window ever spans the whole table's history; each month's packing
+    is independent, which is exactly how table services shard
+    compaction jobs.
+    """
+    from pyspark.sql import Window
+
+    orders = t["orders"]
+    files = orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("file_day"),
+        F.substring(F.to_date("o_orderdate").cast("string"), 1, 7).alias("file_month"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("file_month")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        files.withColumn("cum_excl", F.sum("n_rows").over(w) - F.col("n_rows"))
+        .select(
+            "file_month",
+            "file_day",
+            "n_rows",
+            F.expr(f"cum_excl div {COMPACT_TARGET_ROWS}").alias("bin_id"),
+        )
+    )
+
+
 def agg_salted_event_stats(t: dict[str, DataFrame]) -> DataFrame:
     """The salted two-stage aggregate as a first-class query: per-type
     event counts and cents totals computed through ``salted_aggregate``
@@ -309,11 +353,25 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "layout_compaction_bins": f"""
+        WITH files AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS file_day,
+                   strftime(o_orderdate, '%Y-%m') AS file_month,
+                   COUNT(*) AS n_rows
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT file_month, file_day, n_rows,
+               (SUM(n_rows) OVER (PARTITION BY file_month ORDER BY file_day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_rows) // {COMPACT_TARGET_ROWS} AS bin_id
+        FROM files
+    """,
 }
 
 BUILDERS = {
     "asof_view_before_purchase": asof_view_before_purchase,
     "layout_zorder_orders": layout_zorder_orders,
+    "layout_compaction_bins": layout_compaction_bins,
     "agg_salted_event_stats": agg_salted_event_stats,
 }
 
