@@ -234,7 +234,12 @@ def media_from_docs(t: dict[str, DataFrame]) -> DataFrame:
     the multimodal pipeline runnable — and DuckDB-oracled — without
     codec libraries or binary testdata.
     """
-    docs = t["documents"]
+    return media_projection(t["documents"])
+
+
+def media_projection(docs: DataFrame) -> DataFrame:
+    """The documents→media column mapping — works on a batch table or
+    a stream (the streaming frame sampler reuses it)."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
@@ -300,10 +305,30 @@ def xmodal_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
     return sample_video_frames(vids)
 
 
+def xmodal_media_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-mime corpus profile computed WITHOUT touching payloads:
+    counts, total bytes, average width — the metadata sweep that
+    routes/filters a multimodal corpus before any byte is decoded.
+    Catalyst must prune the payload projection out of the plan (no
+    encode() call survives — asserted in test_plans); on a real
+    parquet media table the same pruning drops the binary column from
+    ReadSchema, which is what keeps this O(metadata) instead of
+    O(corpus bytes) at 100 TB. avg_width is emitted in exact
+    milli-units (integer div) for cross-engine hashing.
+    """
+    media = media_from_docs(t)
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.expr("(sum(width) * 1000) div count(1)").alias("avg_width_milli"),
+    )
+
+
 BUILDERS = {
     "xmodal_media_features": xmodal_media_features,
     "xmodal_exact_dedup": xmodal_exact_dedup,
     "xmodal_frame_sample": xmodal_frame_sample,
+    "xmodal_media_stats": xmodal_media_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -351,6 +376,14 @@ ORACLES: dict[str, str] = {
                    string_split(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
                    c -> unicode(c)), 'sum')::BIGINT AS frame_sum
         FROM frames WHERE frame_idx % {FRAME_EVERY} = 0
+    """,
+    "xmodal_media_stats": """
+        SELECT CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                    WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+               COUNT(*) AS n,
+               SUM(length(text))::BIGINT AS total_bytes,
+               (SUM(length(text) % 256) * 1000) // COUNT(*) AS avg_width_milli
+        FROM documents GROUP BY 1
     """,
 }
 

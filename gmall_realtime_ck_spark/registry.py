@@ -176,7 +176,8 @@ _PRIORITY_HEAD = [
     # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens,
     # sample_bloom_contamination, flow_bloom_contamination,
     # doc_perplexity_kneser_ney, sample_dsir_weights,
-    # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins.
+    # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins,
+    # xmodal_media_stats, flow_frame_sample.
 ]
 
 

@@ -720,6 +720,20 @@ def flow_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video frame sampling: the metadata-pruned
+    mapInPandas frame fan-out (operators.multimodal) applied unchanged
+    to the media stream — per-row, order-independent, append mode —
+    the ingest shape a multimodal pipeline runs as video shards land,
+    before any embedding stage. Batch oracle applies verbatim.
+    """
+    from ..operators.multimodal import media_projection, sample_video_frames
+
+    media = media_projection(documents_file_stream(spark, sf_dir))
+    vids = media.filter(F.col("mime") == "video/mp4")
+    return _run_to_memory(sample_video_frames(vids), "append")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -837,6 +851,7 @@ STREAM_BUILDERS = {
     "flow_bloom_contamination": flow_bloom_contamination,
     "flow_perplexity_gate": flow_perplexity_gate,
     "flow_dsir_gate": flow_dsir_gate,
+    "flow_frame_sample": flow_frame_sample,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -856,6 +871,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.behavior import ORACLES as BEH
     from ..operators.dedup import ORACLES as DD
     from ..operators.privacy import ORACLES as PRIV
+    from ..operators.multimodal import ORACLES as XMOD
     from ..operators.quality import ORACLES as QUAL
     from ..operators.sampling import ORACLES as SAMP
     from ..operators.relational import ORACLES as REL
@@ -879,6 +895,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
         "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
         "flow_dsir_gate": SAMP["sample_dsir_weights"],
+        "flow_frame_sample": XMOD["xmodal_frame_sample"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],

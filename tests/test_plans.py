@@ -809,3 +809,13 @@ def test_bloom_prescreen_map_side(tables):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_media_stats_prunes_payload(tables):
+    """xmodal_media_stats must never materialize the payload: the
+    encode() projection that builds the binary column is pruned from
+    the executed plan entirely (the parquet-table analogue is the
+    binary column dropping out of ReadSchema)."""
+    p = plan_of(tables, "xmodal_media_stats")
+    assert "encode(" not in p, p
+    assert "Exchange hashpartitioning" in p  # one keyed agg
