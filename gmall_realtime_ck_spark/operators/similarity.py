@@ -1410,6 +1410,75 @@ def embedding_pq_codes(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _emb_micro(t: dict[str, DataFrame]) -> DataFrame:
+    """embeddings as (vec_id, xm: int64 micro-units, cl: label)."""
+    return t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xm"),
+        F.col("label").cast("bigint").alias("cl"),
+    )
+
+
+def _pq_codebook(emb):
+    """Per-label integer-mean codebook over the full table: returns
+    (sorted label ids, labels × dims int64 matrix) — a bounded
+    labels × dims collect, the IVF-centroid posture."""
+    import numpy as np
+
+    comp = emb.select("cl", F.posexplode("xm").alias("pos", "v"))
+    per = comp.groupBy("cl", "pos").agg(F.expr("sum(v) div count(1)").alias("cm"))
+    cent = per.groupBy("cl").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)").alias("c")
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["cl"])
+    if not rows:
+        return np.array([], dtype=np.int64), np.zeros((0, 0), dtype=np.int64)
+    cls_sorted = np.array([int(r["cl"]) for r in rows], dtype=np.int64)
+    cb = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+    return cls_sorted, cb
+
+
+def _pq_code_cols(cls_sorted, cb, subdim: int):
+    """Inline per-codeword integer-argmin encode expressions — one
+    column per subspace, PURE MAP over an ``xm`` column."""
+    cols = []
+    for s in range(PQ_SUBSPACES):
+        arms = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with("
+                        f"slice(xm, {s * subdim + 1}, {subdim}), "
+                        "array("
+                        + ",".join(
+                            f"{int(v)}L" for v in cb[j, s * subdim : (s + 1) * subdim]
+                        )
+                        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+                    ).alias("d"),
+                    F.lit(int(cls_sorted[j])).cast("bigint").alias("cl"),
+                )
+                for j in range(len(cls_sorted))
+            ]
+        )
+        cols.append(F.array_min(arms).getField("cl").alias(f"c{s}"))
+    return cols
+
+
+def _pq_query_luts(q_mat, cb, subdim: int):
+    """Per-subspace |Q| × L int64 distance LUTs."""
+    import numpy as np
+
+    luts = []
+    for s in range(PQ_SUBSPACES):
+        qs = q_mat[:, s * subdim : (s + 1) * subdim]
+        cs = cb[:, s * subdim : (s + 1) * subdim]
+        diff = qs[:, None, :] - cs[None, :, :]
+        luts.append(np.einsum("qld,qld->ql", diff, diff))
+    return luts
+
+
 def ann_pq_adc_topk(t: dict[str, DataFrame]) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k search — the query path that
     makes :func:`embedding_pq_codes` an index, not just compression
@@ -1435,58 +1504,24 @@ def ann_pq_adc_topk(t: dict[str, DataFrame]) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = t["embeddings"].select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
-        ).alias("xm"),
-        F.col("label").cast("bigint").alias("cl"),
-    )
+    emb = _emb_micro(t)
     spark = emb.sparkSession
     # codebook: per-label per-dim integer means over the FULL table
     # (same derivation as embedding_pq_codes) — bounded labels × dims
-    comp = emb.select("cl", F.posexplode("xm").alias("pos", "v"))
-    per = comp.groupBy("cl", "pos").agg(F.expr("sum(v) div count(1)").alias("cm"))
-    cent = per.groupBy("cl").agg(
-        F.expr("transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)").alias("c")
-    )
-    rows = sorted(cent.collect(), key=lambda r: r["cl"])
-    if not rows:
+    cls_sorted, cb = _pq_codebook(emb)
+    if len(cls_sorted) == 0:
         return emb.select(
             F.col("vec_id").alias("q_id"),
             F.lit(0).cast("bigint").alias("neighbor_id"),
             F.lit(0).cast("bigint").alias("adc_d"),
             F.lit(0).cast("bigint").alias("rank"),
         ).limit(0)
-    cls_sorted = np.array([int(r["cl"]) for r in rows], dtype=np.int64)
-    cb = np.array([list(r["c"]) for r in rows], dtype=np.int64)  # L × dims
-    dims = cb.shape[1]
-    subdim = dims // PQ_SUBSPACES
+    subdim = cb.shape[1] // PQ_SUBSPACES
 
     # corpus side → wide codes (c0..c3), PURE MAP: inline per-codeword
     # integer argmin exactly as embedding_pq_codes
     corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0)
-    code_cols = []
-    for s in range(PQ_SUBSPACES):
-        arms = F.array(
-            *[
-                F.struct(
-                    F.expr(
-                        "aggregate(zip_with("
-                        f"slice(xm, {s * subdim + 1}, {subdim}), "
-                        "array("
-                        + ",".join(
-                            f"{int(v)}L" for v in cb[j, s * subdim : (s + 1) * subdim]
-                        )
-                        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-                    ).alias("d"),
-                    F.lit(int(cls_sorted[j])).cast("bigint").alias("cl"),
-                )
-                for j in range(len(cls_sorted))
-            ]
-        )
-        code_cols.append(F.array_min(arms).getField("cl").alias(f"c{s}"))
-    codes = corpus.select("vec_id", *code_cols)
+    codes = corpus.select("vec_id", *_pq_code_cols(cls_sorted, cb, subdim))
 
     # query side: capped collect → per-query LUT (|Q| × L per subspace)
     qpdf = _collect_query_side(
@@ -1502,12 +1537,7 @@ def ann_pq_adc_topk(t: dict[str, DataFrame]) -> DataFrame:
             F.lit(0).cast("bigint").alias("rank"),
         ).limit(0)
     q_mat = np.stack(qpdf["xm"].apply(list).to_numpy()).astype(np.int64)
-    luts = []
-    for s in range(PQ_SUBSPACES):
-        qs = q_mat[:, s * subdim : (s + 1) * subdim]  # |Q| × subdim
-        cs = cb[:, s * subdim : (s + 1) * subdim]  # L × subdim
-        diff = qs[:, None, :] - cs[None, :, :]
-        luts.append(np.einsum("qld,qld->ql", diff, diff))  # |Q| × L
+    luts = _pq_query_luts(q_mat, cb, subdim)
     bc = spark.sparkContext.broadcast((q_ids, cls_sorted, luts))
 
     def gen(batches):
@@ -1538,6 +1568,105 @@ def ann_pq_adc_topk(t: dict[str, DataFrame]) -> DataFrame:
             )
 
     cand = codes.mapInPandas(gen, "q_id long, neighbor_id long, adc_d long")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_d", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ann_ivf_pq_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (Jégou et al., PAMI
+    2011 §V; FAISS IndexIVFPQ): a coarse quantizer (the label cell)
+    prunes the corpus to each query's N_PROBE nearest cells, and
+    ONLY those cells are scored with the PQ asymmetric-distance LUT.
+    Composes the two levers this module already oracles separately —
+    IVF cell pruning (cosine_topk_ivf) and ADC scoring
+    (ann_pq_adc_topk) — into one deterministic, integer-exact, fully
+    SQL-oracled search: probe selection uses full-vector integer
+    distances to cell centroids (tie-break lowest cell id), so unlike
+    the float IVF variant the output is bit-reproducible.
+
+    Scale: the corpus scans once — codes are a pure map, the probe
+    list (|Q| × N_PROBE rows, query side capped) broadcasts into a
+    KEYED equi-join on the cell id, per-batch exact top-k reduces
+    each partition to ≤ |Q|·k candidate rows, and the final window
+    ranks partitions × |Q| × k rows. Scoring work is ~N_PROBE/L of
+    exhaustive ADC — the IVF win — while nothing fact-sized ever
+    shuffles on an unbounded key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb_micro(t)
+    spark = emb.sparkSession
+    cls_sorted, cb = _pq_codebook(emb)
+    empty = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.lit(0).cast("bigint").alias("neighbor_id"),
+        F.lit(0).cast("bigint").alias("adc_d"),
+        F.lit(0).cast("bigint").alias("rank"),
+    ).limit(0)
+    if len(cls_sorted) == 0:
+        return empty
+    subdim = cb.shape[1] // PQ_SUBSPACES
+
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0)
+    codes = corpus.select("vec_id", "cl", *_pq_code_cols(cls_sorted, cb, subdim))
+
+    qpdf = _collect_query_side(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "xm"),
+        "ann_ivf_pq_topk",
+    )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(q_ids) == 0:
+        return empty
+    q_mat = np.stack(qpdf["xm"].apply(list).to_numpy()).astype(np.int64)
+    luts = _pq_query_luts(q_mat, cb, subdim)
+    # probe selection: full-vector integer distance to each cell
+    # centroid = Σ_s LUT_s — reuse the LUTs, argsort by (d, cell id)
+    d_cell = sum(luts)  # |Q| × L
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cls_sorted, d_cell[qi]))[:N_PROBE]
+        for c in order:
+            probe_rows.append((int(q_ids[qi]), int(cls_sorted[c])))
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell long")
+
+    bc = spark.sparkContext.broadcast((q_ids, cls_sorted, luts))
+
+    def gen(batches):
+        b_qids, b_cls, b_luts = bc.value
+        order_q = np.argsort(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = order_q[np.searchsorted(b_qids, pdf["q_id"].to_numpy(), sorter=order_q)]
+            d = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(PQ_SUBSPACES):
+                cidx = np.searchsorted(b_cls, pdf[f"c{s}"].to_numpy(dtype=np.int64))
+                d += b_luts[s][qidx, cidx]
+            out = pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "adc_d": d,
+                }
+            )
+            # exact per-batch top-k per query: total order (d, id)
+            out = (
+                out.sort_values(["q_id", "adc_d", "neighbor_id"])
+                .groupby("q_id", sort=False)
+                .head(TOP_K)
+            )
+            yield out
+
+    cand = (
+        codes.join(F.broadcast(probes), codes["cl"] == probes["cell"])
+        .select("q_id", "vec_id", "c0", "c1", "c2", "c3")
+        .mapInPandas(gen, "q_id long, neighbor_id long, adc_d long")
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_d"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -1621,6 +1750,58 @@ ORACLES: dict[str, str] = {
             SELECT lut.q_id, codes.vec_id AS neighbor_id, SUM(lut.d)::BIGINT AS adc_d
             FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
             GROUP BY lut.q_id, codes.vec_id
+        )
+        SELECT q_id, neighbor_id, adc_d, rank::BIGINT AS rank FROM (
+            SELECT q_id, neighbor_id, adc_d,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc_d, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {TOP_K}
+    """,
+    "ann_ivf_pq_topk": f"""
+        WITH ex AS (
+            SELECT vec_id, label::BIGINT AS cl, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm,
+                   ((i - 1) // {PQ_SUBDIM})::BIGINT AS sub
+            FROM embeddings, range(1, 65) r(i)
+        ), c0 AS (
+            SELECT cl, i, SUM(xm) // COUNT(*) AS cm
+            FROM ex GROUP BY cl, i
+        ), cd AS (
+            SELECT ex.vec_id, ex.sub, c0.cl,
+                   SUM((ex.xm - c0.cm) * (ex.xm - c0.cm))::BIGINT AS d
+            FROM ex JOIN c0 USING (i)
+            WHERE ex.vec_id % {QUERY_MOD} <> 0
+            GROUP BY ex.vec_id, ex.sub, c0.cl
+        ), codes AS (
+            SELECT vec_id, sub, cl AS code FROM (
+                SELECT vec_id, sub, cl,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cl) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ), cells AS (
+            SELECT DISTINCT vec_id, label::BIGINT AS cell FROM embeddings
+            WHERE vec_id % {QUERY_MOD} <> 0
+        ), lut AS (
+            SELECT ex.vec_id AS q_id, ex.sub, c0.cl AS code,
+                   SUM((ex.xm - c0.cm) * (ex.xm - c0.cm))::BIGINT AS d
+            FROM ex JOIN c0 USING (i)
+            WHERE ex.vec_id % {QUERY_MOD} = 0
+            GROUP BY ex.vec_id, ex.sub, c0.cl
+        ), qd AS (
+            SELECT q_id, code AS cl, SUM(d) AS d FROM lut GROUP BY q_id, code
+        ), probes AS (
+            SELECT q_id, cl FROM (
+                SELECT q_id, cl,
+                       row_number() OVER (PARTITION BY q_id ORDER BY d, cl) AS rn
+                FROM qd
+            ) WHERE rn <= {N_PROBE}
+        ), adc AS (
+            SELECT p.q_id, c.vec_id AS neighbor_id, SUM(l.d)::BIGINT AS adc_d
+            FROM codes c
+            JOIN cells ce ON c.vec_id = ce.vec_id
+            JOIN probes p ON ce.cell = p.cl
+            JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+            GROUP BY p.q_id, c.vec_id
         )
         SELECT q_id, neighbor_id, adc_d, rank::BIGINT AS rank FROM (
             SELECT q_id, neighbor_id, adc_d,
@@ -1899,6 +2080,7 @@ BUILDERS = {
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_pq_codes": embedding_pq_codes,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,

@@ -819,3 +819,15 @@ def test_media_stats_prunes_payload(tables):
     p = plan_of(tables, "xmodal_media_stats")
     assert "encode(" not in p, p
     assert "Exchange hashpartitioning" in p  # one keyed agg
+
+
+def test_ivf_pq_probe_join_is_keyed(tables):
+    """ann_ivf_pq_topk: the probe list joins the corpus codes as a
+    KEYED broadcast hash join on the cell id — never a cartesian or
+    NLJ — and scoring stays in MapInPandas with one final rank
+    exchange."""
+    p = plan_of(tables, "ann_ivf_pq_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p, p
