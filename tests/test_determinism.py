@@ -25,6 +25,11 @@ RISKY = [
     "sample_temperature_mixture",  # two 1-row scalar broadcasts
     "simhash_pair_search",      # checkpointed fingerprint self-join
     "join_temporal_dim_version",  # window + residual-range join
+    "ann_pq_adc_topk",          # driver-collected LUTs + per-batch top-k
+    "ann_ivf_pq_topk",          # probe selection + per-batch top-k
+    "sample_bloom_contamination",  # driver-collected filter words literal
+    "text_dedup_keep_best",     # min(struct) argmin + join back
+    "sample_dsir_weights",      # full-outer ratio join + rounded float sum
 ]
 
 
