@@ -96,3 +96,111 @@ def test_label_outliers_rate_and_nonnegativity(tables):
     for lbl, n in per_label.items():
         # p99 threshold admits at most ~1% + interpolation slack
         assert flagged[lbl] <= max(1, int(0.02 * n)), (lbl, flagged[lbl], n)
+
+
+def test_bloom_never_misses(tables):
+    """Bloom filters have false positives but NEVER false negatives:
+    per doc, bloom_hits >= exact_hits and false_pos = the gap."""
+    rows = _run(tables, "sample_bloom_contamination")
+    assert rows
+    assert any(r["exact_hits"] > 0 for r in rows)  # screen exercises hits
+    for r in rows:
+        assert r["bloom_hits"] >= r["exact_hits"], r
+        assert r["false_pos"] == r["bloom_hits"] - r["exact_hits"]
+        assert 0 <= r["bloom_hits"] <= r["n_shingles"]
+
+
+def test_keep_best_exactly_one_keeper_per_group(tables):
+    from collections import Counter
+
+    rows = _run(tables, "text_dedup_keep_best")
+    kept = Counter()
+    size = Counter()
+    for r in rows:
+        size[r["h"]] += 1
+        kept[r["h"]] += r["is_kept"]
+        assert r["n_dups"] >= 1
+    for h, n in size.items():
+        assert kept[h] == 1, f"group {h}: {kept[h]} keepers of {n}"
+
+
+def test_adc_ranks_contiguous_and_monotone(tables):
+    from collections import defaultdict
+
+    rows = _run(tables, "ann_pq_adc_topk")
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["q_id"]].append((r["rank"], r["adc_d"], r["neighbor_id"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1)), q
+        ds = [x[1] for x in lst]
+        assert ds == sorted(ds), q  # distance non-decreasing with rank
+
+
+def test_ivf_pq_prunes_but_never_beats_exhaustive(tables):
+    """IVF probing can only LOSE candidates vs exhaustive ADC: at each
+    rank, the pruned search's distance is >= the exhaustive one's, and
+    any (q, neighbor) pair both return must carry the same adc_d."""
+    from collections import defaultdict
+
+    adc = {(r["q_id"], r["rank"]): r["adc_d"] for r in _run(tables, "ann_pq_adc_topk")}
+    both = defaultdict(dict)
+    for r in _run(tables, "ann_pq_adc_topk"):
+        both[r["q_id"]][r["neighbor_id"]] = r["adc_d"]
+    ivf_rows = _run(tables, "ann_ivf_pq_topk")
+    assert ivf_rows
+    for r in ivf_rows:
+        key = (r["q_id"], r["rank"])
+        if key in adc:
+            assert r["adc_d"] >= adc[key], (key, r["adc_d"], adc[key])
+        shared = both[r["q_id"]].get(r["neighbor_id"])
+        if shared is not None:
+            assert shared == r["adc_d"]
+
+
+def test_frame_sample_geometry(tables):
+    from gmall_realtime_ck_spark.operators.multimodal import FRAME_BYTES, FRAME_EVERY
+
+    rows = _run(tables, "xmodal_frame_sample")
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % FRAME_EVERY == 0
+        assert 1 <= r["n_frame_bytes"] <= FRAME_BYTES
+        assert r["frame_sum"] >= 0
+
+
+def test_compaction_bins_monotone_and_filled(tables):
+    """Within each month, bin ids start at 0, never decrease along the
+    day order, and every bin except possibly the last holds >= target
+    rows once closed."""
+    from collections import defaultdict
+
+    from gmall_realtime_ck_spark.operators.layout import COMPACT_TARGET_ROWS
+
+    rows = _run(tables, "layout_compaction_bins")
+    months = defaultdict(list)
+    for r in rows:
+        months[r["file_month"]].append((r["file_day"], r["n_rows"], r["bin_id"]))
+    for m, lst in months.items():
+        lst.sort()
+        bins = [b for _, _, b in lst]
+        assert bins[0] == 0
+        assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:])), m
+        from collections import Counter
+
+        per_bin = Counter()
+        for _, n, b in lst:
+            per_bin[b] += n
+        closed = [b for b in per_bin if b < max(bins)]
+        for b in closed:
+            assert per_bin[b] >= COMPACT_TARGET_ROWS, (m, b, per_bin[b])
+
+
+def test_kneser_ney_nll_positive_and_doc_parity(tables):
+    """KN probabilities are < 1 so avg NLL is positive; the scored doc
+    set matches the Laplace scorer's (same >= 2-token gate)."""
+    kn = {r["doc_id"]: r["avg_nll_kn"] for r in _run(tables, "doc_perplexity_kneser_ney")}
+    lap = {r["doc_id"] for r in _run(tables, "doc_perplexity_bigram")}
+    assert set(kn) == lap
+    assert all(v > 0 for v in kn.values())
