@@ -1675,6 +1675,106 @@ def ann_ivf_pq_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: Matryoshka evaluation prefixes (Kusupati et al. 2022): retrieval
+#: quality of dot-product search truncated to the first d dims
+MRL_DIMS = (16, 32, 64)
+
+
+def embedding_matryoshka_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (MRL, Kusupati et
+    al. 2022): how much top-k recall survives when search uses only
+    the first 16 / 32 / 64 dims of each embedding — the measurement
+    that licenses shipping truncated vectors (4× memory/bandwidth
+    saving) at serving time. For each prefix length, every query
+    retrieves its top-5 corpus neighbors by INTEGER micro-unit dot
+    product over the prefix, and the overlap with the full-dim top-5
+    aggregates to a per-prefix mean permille.
+
+    Scale posture (cosine_topk contract): queries collected (capped),
+    corpus scanned once — the three prefix scores share one pass via
+    cumulative partial dots, per-batch exact top-k reduces each
+    partition to ≤ 3·|Q|·k rows before the rank window; the final
+    overlap join and rollup run on |dims|·|Q|·k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb_micro(t)
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0)
+    qpdf = _collect_query_side(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "xm"),
+        "embedding_matryoshka_eval",
+    )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(q_ids) == 0:
+        return emb.select(
+            F.lit(0).cast("bigint").alias("dims"),
+            F.lit(0).cast("bigint").alias("matches"),
+            F.lit(0).cast("bigint").alias("overlap_permille"),
+        ).limit(0)
+    q_mat = np.stack(qpdf["xm"].apply(list).to_numpy()).astype(np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def gen(batches):
+        b_qids, b_qmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["xm"].apply(list).to_numpy()).astype(np.int64)
+            out_dim, out_q, out_n, out_d = [], [], [], []
+            prev = 0
+            dot = np.zeros((len(b_qids), len(c_ids)), dtype=np.int64)
+            for dlim in MRL_DIMS:
+                dot = dot + b_qmat[:, prev:dlim] @ c_mat[:, prev:dlim].T
+                prev = dlim
+                k = min(TOP_K, dot.shape[1])
+                kth = -np.partition(-dot, k - 1, axis=1)[:, k - 1]
+                for qi in range(len(b_qids)):
+                    sel = np.nonzero(dot[qi] >= kth[qi])[0]
+                    order = sel[np.lexsort((c_ids[sel], -dot[qi, sel]))][:k]
+                    out_dim.extend([dlim] * len(order))
+                    out_q.extend([b_qids[qi]] * len(order))
+                    out_n.extend(c_ids[order])
+                    out_d.extend(dot[qi, order])
+            yield pd.DataFrame(
+                {
+                    "dims": pd.Series(out_dim, dtype="int64"),
+                    "q_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "dot": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    cand = corpus.select("vec_id", "xm").mapInPandas(
+        gen, "dims long, q_id long, neighbor_id long, dot long"
+    )
+    w = Window.partitionBy("dims", "q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("dims", "q_id", "neighbor_id")
+    )
+    base = top.filter(F.col("dims") == MRL_DIMS[-1]).select(
+        F.col("q_id").alias("b_q"), F.col("neighbor_id").alias("b_n")
+    )
+    n_q = len(q_ids)
+    return (
+        top.join(
+            F.broadcast(base),
+            (F.col("q_id") == F.col("b_q")) & (F.col("neighbor_id") == F.col("b_n")),
+        )
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .select(
+            "dims",
+            "matches",
+            F.expr(f"(matches * 1000) div {n_q * TOP_K}").alias("overlap_permille"),
+        )
+    )
+
+
 _DOT_D = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 ORACLES: dict[str, str] = {
@@ -1756,6 +1856,40 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, neighbor_id) AS rank
             FROM adc
         ) WHERE rank <= {TOP_K}
+    """,
+    "embedding_matryoshka_eval": f"""
+        WITH ex AS (
+            SELECT vec_id, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm
+            FROM embeddings, range(1, 65) r(i)
+        ), dlims AS (
+            SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS dlim
+        ), dots AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id, d.dlim,
+                   SUM(a.xm * b.xm)::BIGINT AS dot
+            FROM ex a JOIN ex b ON a.i = b.i, dlims d
+            WHERE a.vec_id % {QUERY_MOD} = 0 AND b.vec_id % {QUERY_MOD} <> 0
+              AND a.i <= d.dlim
+            GROUP BY 1, 2, 3
+        ), top AS (
+            SELECT q_id, n_id, dlim FROM (
+                SELECT q_id, n_id, dlim,
+                       row_number() OVER (PARTITION BY dlim, q_id
+                                          ORDER BY dot DESC, n_id) AS rn
+                FROM dots
+            ) WHERE rn <= {TOP_K}
+        ), base AS (
+            SELECT q_id, n_id FROM top WHERE dlim = {MRL_DIMS[-1]}
+        ), m AS (
+            SELECT t.dlim AS dims, COUNT(*) AS matches
+            FROM top t JOIN base b ON t.q_id = b.q_id AND t.n_id = b.n_id
+            GROUP BY t.dlim
+        ), nq AS (
+            SELECT COUNT(DISTINCT vec_id) AS n FROM embeddings
+            WHERE vec_id % {QUERY_MOD} = 0
+        )
+        SELECT dims, matches, (matches * 1000) // (nq.n * {TOP_K}) AS overlap_permille
+        FROM m, nq
     """,
     "ann_ivf_pq_topk": f"""
         WITH ex AS (
@@ -2081,6 +2215,7 @@ BUILDERS = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,

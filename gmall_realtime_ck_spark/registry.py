@@ -177,7 +177,8 @@ _PRIORITY_HEAD = [
     # sample_bloom_contamination, flow_bloom_contamination,
     # doc_perplexity_kneser_ney, sample_dsir_weights,
     # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins,
-    # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk.
+    # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk,
+    # embedding_matryoshka_eval.
 ]
 
 
