@@ -1675,6 +1675,86 @@ def ann_ivf_pq_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: sign-bit binarization: 64 dims → one int64 word (bitwise OR of
+#: per-dim bits so the sign bit never trips ANSI overflow checks)
+_BINARIZE_SPARK = (
+    "aggregate(sequence(1, 64), 0L, (acc, i) -> acc | "
+    "CASE WHEN element_at(embedding, i) >= cast(0 as float) "
+    "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+)
+
+
+def embedding_hamming_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Binary-quantized retrieval: each embedding collapses to its
+    64 sign bits (one int64 word — a 256× shrink) and queries rank
+    the corpus by Hamming distance on the codes, the coarse pass
+    binary-quantization vector indexes run before float rerank.
+    Deterministic and fully oracled: binarization is a bitwise OR
+    fold (JVM-side), Hamming is XOR + popcount — identical integers
+    on both engines; ties break to the lowest neighbor id.
+
+    Scale posture (cosine_topk contract): corpus words are a pure
+    map; the capped query words broadcast; per-batch exact top-k in
+    numpy (byte-table popcount over the XOR) reduces each partition
+    to ≤ |Q|·k rows before the single rank window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    words = emb.select("vec_id", F.expr(_BINARIZE_SPARK).alias("w"))
+    corpus = words.filter(F.col("vec_id") % QUERY_MOD != 0)
+    qpdf = _collect_query_side(
+        words.filter(F.col("vec_id") % QUERY_MOD == 0), "embedding_hamming_topk"
+    )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(q_ids) == 0:
+        return corpus.select(
+            F.col("vec_id").alias("q_id"),
+            F.lit(0).cast("bigint").alias("neighbor_id"),
+            F.lit(0).cast("bigint").alias("hamming"),
+            F.lit(0).cast("bigint").alias("rank"),
+        ).limit(0)
+    q_words = qpdf["w"].to_numpy(dtype=np.int64)
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_words, pop))
+
+    def gen(batches):
+        b_qids, b_qw, b_pop = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_w = pdf["w"].to_numpy(dtype=np.int64)
+            x = np.bitwise_xor(b_qw[:, None], c_w[None, :])  # |Q| × B int64
+            ham = b_pop[x.view(np.uint8).reshape(len(b_qids), len(c_ids), 8)].sum(axis=2)
+            k = min(TOP_K, ham.shape[1])
+            kth = np.partition(ham, k - 1, axis=1)[:, k - 1]
+            out_q, out_n, out_h = [], [], []
+            for qi in range(len(b_qids)):
+                sel = np.nonzero(ham[qi] <= kth[qi])[0]
+                order = sel[np.lexsort((c_ids[sel], ham[qi, sel]))][:k]
+                out_q.extend([b_qids[qi]] * len(order))
+                out_n.extend(c_ids[order])
+                out_h.extend(ham[qi, order])
+            yield pd.DataFrame(
+                {
+                    "q_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "hamming": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+    cand = corpus.mapInPandas(gen, "q_id long, neighbor_id long, hamming long")
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "hamming", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 #: Matryoshka evaluation prefixes (Kusupati et al. 2022): retrieval
 #: quality of dot-product search truncated to the first d dims
 MRL_DIMS = (16, 32, 64)
@@ -1855,6 +1935,27 @@ ORACLES: dict[str, str] = {
             SELECT q_id, neighbor_id, adc_d,
                    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, neighbor_id) AS rank
             FROM adc
+        ) WHERE rank <= {TOP_K}
+    """,
+    "embedding_hamming_topk": f"""
+        WITH words AS (
+            SELECT vec_id,
+                   bit_or(CASE WHEN embedding[i] < 0 THEN 0
+                          WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                          ELSE (1::BIGINT << (i - 1)::INT) END)::BIGINT AS w
+            FROM embeddings, range(1, 65) r(i)
+            GROUP BY vec_id
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(q.w, c.w))::BIGINT AS hamming
+            FROM words q JOIN words c
+              ON q.vec_id % {QUERY_MOD} = 0 AND c.vec_id % {QUERY_MOD} <> 0
+        )
+        SELECT q_id, neighbor_id, hamming, rank::BIGINT AS rank FROM (
+            SELECT q_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY hamming, neighbor_id) AS rank
+            FROM scored
         ) WHERE rank <= {TOP_K}
     """,
     "embedding_matryoshka_eval": f"""
@@ -2216,6 +2317,7 @@ BUILDERS = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
+    "embedding_hamming_topk": embedding_hamming_topk,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,

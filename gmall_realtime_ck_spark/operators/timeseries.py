@@ -503,7 +503,78 @@ def ts_series_similarity(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: CUSUM alarm threshold: |cumulative deviation| beyond this many
+#: multiples of the series mean trips the alarm
+CUSUM_H_FACTOR = 3
+
+
+def ts_cusum_changepoints(t: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM changepoint chart (Page 1954, V-mask form) over the
+    per-(type, day) event-count series: the running cumulative sum of
+    deviations from the series mean drifts near zero under a stable
+    rate and ramps linearly after a level shift — the classic
+    mean-shift detector a pipeline runs over its daily window
+    aggregates, complementing the EWMA chart's local smoothing with a
+    global drift signal. INTEGER-exact: deviations in milli-units
+    (ct·1000 − μ_milli with truncating-div mean), so the cumulative
+    sums and the |S| > 3·μ_milli alarm compare identical integers on
+    both engines.
+
+    Scale: aggregate-first — one keyed (type, day) count shuffle, then
+    one ordered window per type over the |types| × |days| AGGREGATE.
+    """
+    from .relational import date_str
+
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("(sum(ct) * 1000) div count(1)").alias("mu_milli")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    return (
+        joined.withColumn(
+            "cusum_milli", F.sum(F.col("ct") * 1000 - F.col("mu_milli")).over(wo)
+        )
+        .select(
+            "event_type",
+            date_str("day").alias("dt"),
+            "ct",
+            "cusum_milli",
+            (F.abs(F.col("cusum_milli")) > CUSUM_H_FACTOR * F.col("mu_milli"))
+            .cast("bigint")
+            .alias("alarm"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_cusum_changepoints": f"""
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, (SUM(ct) * 1000) // COUNT(*) AS mu_milli
+            FROM daily GROUP BY event_type
+        ), cum AS (
+            SELECT d.event_type, d.day, d.ct, s.mu_milli,
+                   SUM(d.ct * 1000 - s.mu_milli) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cusum_milli
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS dt, ct, cusum_milli,
+               (abs(cusum_milli) > {CUSUM_H_FACTOR} * mu_milli)::BIGINT AS alarm
+        FROM cum
+    """,
     "ts_series_similarity": """
         WITH daily AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS ct
@@ -713,4 +784,5 @@ BUILDERS = {
     "ts_seasonal_backtest": ts_seasonal_backtest,
     "ts_quantile_rollup": ts_quantile_rollup,
     "ts_series_similarity": ts_series_similarity,
+    "ts_cusum_changepoints": ts_cusum_changepoints,
 }

@@ -178,7 +178,8 @@ _PRIORITY_HEAD = [
     # doc_perplexity_kneser_ney, sample_dsir_weights,
     # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins,
     # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk,
-    # embedding_matryoshka_eval.
+    # embedding_matryoshka_eval, ts_cusum_changepoints,
+    # embedding_hamming_topk.
 ]
 
 
