@@ -523,22 +523,32 @@ def ts_cusum_changepoints(t: dict[str, DataFrame]) -> DataFrame:
     Scale: aggregate-first — one keyed (type, day) count shuffle, then
     one ordered window per type over the |types| × |days| AGGREGATE.
     """
-    from .relational import date_str
-
     daily = (
         t["events"]
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The chart algebra over pre-aggregated (type, day, ct) rows —
+    shared by the batch chart and the streaming twin (which maintains
+    ``daily`` continuously and re-runs this aggregate-level algebra
+    per poll). The stats side renames its key before joining back so
+    the equi-join resolves when both legs descend from the same
+    memory-table view."""
+    from .relational import date_str
+
     stats = daily.groupBy("event_type").agg(
         F.expr("(sum(ct) * 1000) div count(1)").alias("mu_milli")
-    )
+    ).withColumnRenamed("event_type", "s_type")
     wo = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = daily.join(F.broadcast(stats), "event_type")
+    joined = daily.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
     return (
         joined.withColumn(
             "cusum_milli", F.sum(F.col("ct") * 1000 - F.col("mu_milli")).over(wo)

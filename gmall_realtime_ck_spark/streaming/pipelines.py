@@ -360,6 +360,22 @@ def flow_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(ohlc_hourly(ev), "complete")
 
 
+def flow_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM changepoint chart as a live stream: per-(type, day)
+    counts are maintained continuously (one keyed complete-mode
+    aggregation — |types|×|days| state, not events) and each poll
+    re-runs the chart algebra (timeseries.cusum_from_daily) over the
+    aggregate, so drift alarms reflect CURRENT data. Final table
+    equals the batch chart ⇒ its oracle applies verbatim."""
+    from ..operators.timeseries import cusum_from_daily
+
+    ev = events_file_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    return cusum_from_daily(_run_to_memory(daily, "complete"))
+
+
 def flow_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static NON-EQUI join: each arriving event resolves its
     [lo, hi) value tier against the static 4-row band dimension — the
@@ -852,6 +868,7 @@ STREAM_BUILDERS = {
     "flow_perplexity_gate": flow_perplexity_gate,
     "flow_dsir_gate": flow_dsir_gate,
     "flow_frame_sample": flow_frame_sample,
+    "flow_cusum": flow_cusum,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -896,6 +913,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
         "flow_dsir_gate": SAMP["sample_dsir_weights"],
         "flow_frame_sample": XMOD["xmodal_frame_sample"],
+        "flow_cusum": TS["ts_cusum_changepoints"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],

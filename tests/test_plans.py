@@ -831,3 +831,14 @@ def test_ivf_pq_probe_join_is_keyed(tables):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInPandas" in p, p
+
+
+def test_hamming_and_matryoshka_corpus_single_pass(tables):
+    """Both binary-Hamming retrieval and the Matryoshka evaluation
+    scan the corpus once into MapInPandas with no cartesian/NLJ; the
+    only hash exchange is the final rank/rollup."""
+    for name in ("embedding_hamming_topk", "embedding_matryoshka_eval"):
+        p = plan_of(tables, name)
+        assert "MapInPandas" in p, (name, p)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
