@@ -320,7 +320,9 @@ def xmodal_media_stats(t: dict[str, DataFrame]) -> DataFrame:
     return media.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.expr("(sum(width) * 1000) div count(1)").alias("avg_width_milli"),
+        F.expr("cast((sum(width) * 1000) div count(1) as bigint)").alias(
+            "avg_width_milli"
+        ),
     )
 
 
@@ -382,7 +384,7 @@ ORACLES: dict[str, str] = {
                     WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
                COUNT(*) AS n,
                SUM(length(text))::BIGINT AS total_bytes,
-               (SUM(length(text) % 256) * 1000) // COUNT(*) AS avg_width_milli
+               ((SUM(length(text) % 256) * 1000) // COUNT(*))::BIGINT AS avg_width_milli
         FROM documents GROUP BY 1
     """,
 }
