@@ -271,7 +271,39 @@ def behavior_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: basket-lift support floor: pairs seen in fewer orders are noise
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 50
+
 ORACLES: dict[str, str] = {
+    "behavior_basket_lift": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), n AS (
+            SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets
+        ), item AS (
+            SELECT pk, COUNT(*) AS item_ct FROM baskets GROUP BY pk
+        ), pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_ct
+            FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        ), scored AS (
+            SELECT p.part_a, p.part_b, p.pair_ct,
+                   (p.pair_ct * n.n_orders * 1000000) // (ia.item_ct * ib.item_ct)
+                       AS lift_e6
+            FROM pairs p
+            JOIN item ia ON p.part_a = ia.pk
+            JOIN item ib ON p.part_b = ib.pk, n
+        )
+        SELECT part_a, part_b, pair_ct, lift_e6::BIGINT AS lift_e6,
+               rank::BIGINT AS rank
+        FROM (
+            SELECT part_a, part_b, pair_ct, lift_e6,
+                   row_number() OVER (ORDER BY lift_e6 DESC, part_a, part_b) AS rank
+            FROM scored
+        ) WHERE rank <= {BASKET_TOP_K}
+    """,
     "behavior_top_paths": f"""
         WITH paths AS (
             SELECT user_id, ts::DATE AS day,
@@ -378,10 +410,65 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def basket_lift_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket lift mining (the association-rules readout,
+    Agrawal & Srikant 1994 support/lift form): which part pairs
+    co-occur in orders more than independence predicts.
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over order baskets, emitted in
+    exact integer e6 units, min-support floored, global top-50 by
+    (lift DESC, pair) — deterministic total order.
+
+    Scale: baskets self-join ON o_orderkey — co-partitioned, keyed,
+    fan-out bounded by items-per-order squared (single-digit for
+    retail orders), never all-pairs across orders; item and pair
+    counts are keyed aggregates; the top-K is a TakeOrdered heap over
+    the support-floored pair table. Integer lift keeps exactness to
+    ~1e13 numerators — beyond that (1e10+ orders) the same query
+    swaps the e6 units for doubles.
+    """
+    li = t["lineitem"]
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = baskets.select("ok").distinct().count()  # one scalar job
+    item = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("item_ct"))
+    b2 = baskets.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    pairs = (
+        baskets.join(b2, "ok")
+        .filter(F.col("pk") < F.col("pk_b"))
+        .groupBy("pk", "pk_b")
+        .agg(F.count(F.lit(1)).alias("pair_ct"))
+        .filter(F.col("pair_ct") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("pk"), F.col("item_ct").alias("ct_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("item_ct").alias("ct_b"))
+    scored = (
+        pairs.join(ia, "pk")
+        .join(ib, "pk_b")
+        .select(
+            F.col("pk").alias("part_a"),
+            F.col("pk_b").alias("part_b"),
+            "pair_ct",
+            F.expr(f"(pair_ct * {n_orders}L * 1000000L) div (ct_a * ct_b)").alias(
+                "lift_e6"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift_e6"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BASKET_TOP_K)
+        .select("part_a", "part_b", "pair_ct", "lift_e6", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 BUILDERS = {
     "funnel_conversion": funnel_conversion,
     "user_rfm_segments": user_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
     "attr_last_touch": attr_last_touch,
     "behavior_top_paths": behavior_top_paths,
+    "behavior_basket_lift": basket_lift_pairs,
 }

@@ -227,6 +227,69 @@ def sample_video_frames(
     return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
+AUDIO_WIN_BYTES = 32
+AUDIO_HOP_BYTES = 16
+
+AUDIO_WIN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("n_win_bytes", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, win_bytes: int = AUDIO_WIN_BYTES, hop_bytes: int = AUDIO_HOP_BYTES
+) -> DataFrame:
+    """Overlapping-window audio analysis: each audio payload is framed
+    into windows of ``win_bytes`` advancing by ``hop_bytes`` (the
+    50%-overlap STFT framing convention), and each window reduces to a
+    deterministic energy feature (sum of squared byte values — the
+    seam where a real deployment plugs an FFT / mel filterbank).
+    Same Arrow fan-out shape as the video frame sampler: map-only,
+    windows materialize inside the batch, no shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            energies: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_wins = max(0, (len(data) - 1) // hop_bytes + 1) if data else 0
+                for wi in range(n_wins):
+                    chunk = data[wi * hop_bytes : wi * hop_bytes + win_bytes]
+                    mids.append(mid)
+                    idxs.append(wi)
+                    lens.append(len(chunk))
+                    energies.append(sum(b * b for b in chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "n_win_bytes": pd.Series(lens, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, AUDIO_WIN_SCHEMA)
+
+
+def xmodal_audio_windows(t: dict[str, DataFrame]) -> DataFrame:
+    """Declared audio-framing pipeline: metadata-only route (mime =
+    audio/*) prunes before payloads cross the Arrow boundary, then
+    :func:`audio_windows` fans each clip out to 50%-overlapping
+    32-byte windows with integer energies — DuckDB-oracled because
+    the fake energy is pure byte arithmetic over an ASCII corpus.
+    """
+    media = media_from_docs(t)
+    return audio_windows(media.filter(F.col("mime") == "audio/wav"))
+
+
 def media_from_docs(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic media table derived from ``documents``: the utf-8
     bytes of each text stand in for a payload, with typed metadata
@@ -331,6 +394,7 @@ BUILDERS = {
     "xmodal_exact_dedup": xmodal_exact_dedup,
     "xmodal_frame_sample": xmodal_frame_sample,
     "xmodal_media_stats": xmodal_media_stats,
+    "xmodal_audio_windows": xmodal_audio_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -378,6 +442,24 @@ ORACLES: dict[str, str] = {
                    string_split(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
                    c -> unicode(c)), 'sum')::BIGINT AS frame_sum
         FROM frames WHERE frame_idx % {FRAME_EVERY} = 0
+    """,
+    "xmodal_audio_windows": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text, length(text)::BIGINT AS n
+            FROM documents WHERE doc_id % 4 = 2
+        ), wins AS (
+            SELECT media_id,
+                   unnest(range(0, ((n - 1) // {AUDIO_HOP_BYTES} + 1)::BIGINT)) AS win_idx,
+                   text
+            FROM m WHERE n > 0
+        )
+        SELECT media_id, win_idx::BIGINT AS win_idx,
+               length(substring(text, win_idx * {AUDIO_HOP_BYTES} + 1, {AUDIO_WIN_BYTES}))::BIGINT
+                   AS n_win_bytes,
+               list_aggregate(list_transform(
+                   string_split(substring(text, win_idx * {AUDIO_HOP_BYTES} + 1, {AUDIO_WIN_BYTES}), ''),
+                   c -> unicode(c) * unicode(c)), 'sum')::BIGINT AS energy
+        FROM wins
     """,
     "xmodal_media_stats": """
         SELECT CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'

@@ -261,7 +261,60 @@ def t_closeness_from_class_counts(cls_sens: DataFrame) -> DataFrame:
     )
 
 
+#: deterministic pseudonymization pepper — in production this is a
+#: secret from a KMS; the operator's shape is identical
+PSEUDO_PEPPER = "pepper-v1"
+
+
+def pseudonymize_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic keyed pseudonymization (GDPR art. 4(5)): replace
+    every user id with a keyed-hash pseudonym (md5 over a pepper ‖ id
+    — production swaps in HMAC-SHA256 with a KMS secret, same shape)
+    and emit the per-pseudonym activity profile. Deterministic keyed
+    hashing preserves JOINABILITY across tables and days — the
+    property that makes pseudonymized analytics work at all — while
+    the audit columns prove the mapping stayed injective on this
+    corpus (n_users = 1 per pseudonym; a collision would surface
+    immediately as n_users > 1).
+
+    Scale: a pure-map hash over the scan + one keyed rollup; no
+    lookup table to distribute (that is the POINT of keyed hashing vs
+    tokenization — stateless, shuffle-free pseudonym assignment).
+    """
+    ev = t["events"]
+    pseudo = ev.select(
+        F.substring(
+            F.md5(F.concat(F.lit(PSEUDO_PEPPER + ":"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("pseudonym"),
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return (
+        pseudo.groupBy("pseudonym")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "privacy_pseudonymize": f"""
+        SELECT substring(md5('{PSEUDO_PEPPER}:' || user_id::VARCHAR), 1, 16) AS pseudonym,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types,
+               MIN(strftime(ts, '%Y-%m-%d')) AS first_day,
+               MAX(strftime(ts, '%Y-%m-%d')) AS last_day
+        FROM events
+        GROUP BY 1
+    """,
     "privacy_l_diversity": f"""
         SELECT event_type,
                strftime(ts, '%Y-%m-%d') AS day,
@@ -343,4 +396,5 @@ BUILDERS = {
     "privacy_k_anonymity": k_anonymity_audit,
     "privacy_l_diversity": l_diversity_audit,
     "privacy_t_closeness": t_closeness_audit,
+    "privacy_pseudonymize": pseudonymize_users,
 }

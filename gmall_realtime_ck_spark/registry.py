@@ -179,7 +179,8 @@ _PRIORITY_HEAD = [
     # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins,
     # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk,
     # embedding_matryoshka_eval, ts_cusum_changepoints,
-    # embedding_hamming_topk, flow_cusum.
+    # embedding_hamming_topk, flow_cusum, xmodal_audio_windows,
+    # privacy_pseudonymize, behavior_basket_lift.
 ]
 
 
