@@ -565,7 +565,61 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     )
 
 
+def ts_open_lines_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Interval-concurrency profile: how many order lines are OPEN
+    (ordered but not yet shipped) on each day — the gaps-and-islands
+    resource-concurrency readout (active sessions, in-flight
+    shipments, concurrent jobs) over the [o_orderdate, l_shipdate]
+    interval of every line.
+
+    Implemented with the DELTA trick, not interval unnest: each
+    interval emits (+1 at start, −1 the day after end), deltas
+    aggregate per day, and a running sum over the |days|-row AGGREGATE
+    reconstructs the concurrency. At 100 TB this is the difference
+    between 2·N delta rows and N·|interval| exploded rows — and the
+    only ordered window runs over ~thousands of days, never data.
+    Emits one row per delta day (days between changes carry the
+    previous value by construction).
+    """
+    from .relational import date_str
+
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.to_date("o_orderdate").alias("start_day"),
+        F.date_add(F.to_date("l_shipdate"), 1).alias("end_day1"),
+    )
+    deltas = iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("end_day1").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        date_str("day").alias("dt"),
+        F.col("delta").cast("bigint").alias("delta"),
+        F.sum("delta").over(w).cast("bigint").alias("open_lines"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_open_lines_daily": """
+        WITH iv AS (
+            SELECT o.o_orderdate::DATE AS start_day,
+                   l.l_shipdate::DATE + 1 AS end_day1
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), deltas AS (
+            SELECT start_day AS day, 1 AS d FROM iv
+            UNION ALL
+            SELECT end_day1 AS day, -1 AS d FROM iv
+        ), daily AS (
+            SELECT day, SUM(d) AS delta FROM deltas GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS dt, delta::BIGINT AS delta,
+               SUM(delta) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               )::BIGINT AS open_lines
+        FROM daily
+    """,
     "ts_cusum_changepoints": f"""
         WITH daily AS (
             SELECT event_type, ts::DATE AS day, COUNT(*) AS ct
@@ -795,4 +849,5 @@ BUILDERS = {
     "ts_quantile_rollup": ts_quantile_rollup,
     "ts_series_similarity": ts_series_similarity,
     "ts_cusum_changepoints": ts_cusum_changepoints,
+    "ts_open_lines_daily": ts_open_lines_daily,
 }

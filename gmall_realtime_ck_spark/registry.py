@@ -180,7 +180,8 @@ _PRIORITY_HEAD = [
     # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk,
     # embedding_matryoshka_eval, ts_cusum_changepoints,
     # embedding_hamming_topk, flow_cusum, xmodal_audio_windows,
-    # privacy_pseudonymize, behavior_basket_lift.
+    # privacy_pseudonymize, behavior_basket_lift, ts_open_lines_daily,
+    # flow_pseudonymize.
 ]
 
 

@@ -376,6 +376,48 @@ def flow_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_daily(_run_to_memory(daily, "complete"))
 
 
+def flow_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pseudonymization: the stateless keyed-hash pseudonym
+    map applied to the live event stream — pseudonyms are assigned per
+    row with NO lookup state (the point of keyed hashing). Streaming
+    aggregation cannot COUNT(DISTINCT), so the stream maintains the
+    finer (pseudonym, user, type, day) counts (one keyed complete-mode
+    aggregation) and the per-pseudonym profile — including the exact
+    distinct counts — derives per poll from that compressed table.
+    Final profile equals the batch operator ⇒ its oracle applies
+    verbatim.
+    """
+    from ..operators.privacy import PSEUDO_PEPPER
+
+    ev = events_file_stream(spark, sf_dir)
+    fine = (
+        ev.select(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(PSEUDO_PEPPER + ":"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                16,
+            ).alias("pseudonym"),
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("pseudonym", "user_id", "event_type", "day")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    counts = _run_to_memory(fine, "complete")
+    return counts.groupBy("pseudonym").agg(
+        F.sum("ct").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
 def flow_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static NON-EQUI join: each arriving event resolves its
     [lo, hi) value tier against the static 4-row band dimension — the
@@ -869,6 +911,7 @@ STREAM_BUILDERS = {
     "flow_dsir_gate": flow_dsir_gate,
     "flow_frame_sample": flow_frame_sample,
     "flow_cusum": flow_cusum,
+    "flow_pseudonymize": flow_pseudonymize,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -914,6 +957,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_dsir_gate": SAMP["sample_dsir_weights"],
         "flow_frame_sample": XMOD["xmodal_frame_sample"],
         "flow_cusum": TS["ts_cusum_changepoints"],
+        "flow_pseudonymize": PRIV["privacy_pseudonymize"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
