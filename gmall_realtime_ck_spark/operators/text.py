@@ -992,6 +992,49 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: RAG chunking geometry: token windows of CHUNK_TOKENS advancing by
+#: CHUNK_STRIDE (25% overlap keeps retrieval context at boundaries)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def corpus_chunk_sliding(t: dict[str, DataFrame]) -> DataFrame:
+    """RAG-prep document chunking: split every document into
+    overlapping token windows (64 tokens, stride 48) and emit each
+    chunk with its token count and content hash — the unit a
+    retrieval index embeds and a dedup pass runs over. Pure column
+    algebra: tokenize once, then per-chunk ``slice`` on the
+    materialized token array inside a transform over the chunk-start
+    sequence — no Python, no shuffle before the explode, and the
+    chunk hash makes downstream chunk-level exact dedup one keyed
+    shuffle.
+
+    Scale: fan-out is ceil(tokens/stride) rows per doc with
+    O(CHUNK_TOKENS) work each — linear in corpus tokens; everything
+    stays in whole-stage codegen.
+    """
+    docs = t["documents"]
+    tk0 = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    chunks = tk0.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tk), {CHUNK_STRIDE}), "
+                f"s -> struct(size(slice(tk, s, {CHUNK_TOKENS})) AS n, "
+                f"array_join(slice(tk, s, {CHUNK_TOKENS}), ' ') AS txt))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.n").cast("bigint").alias("n_tokens"),
+        F.md5("c.txt").alias("chunk_hash"),
+    )
+
+
 #: RAKE stopword delimiter set — phrase boundaries (Rose et al. 2010).
 RAKE_STOPWORDS = ("the", "a", "and", "or", "of", "in", "on", "to", "is", "for")
 RAKE_TOP_K = 20
@@ -1345,6 +1388,21 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "corpus_chunk_sliding": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), nz AS (
+            SELECT doc_id, tk FROM tk0 WHERE len(tk) > 0
+        ), st AS (
+            SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {CHUNK_STRIDE})) AS s
+            FROM nz
+        )
+        SELECT doc_id,
+               ((s - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+               len(tk[s:s + {CHUNK_TOKENS - 1}])::BIGINT AS n_tokens,
+               md5(array_to_string(tk[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+        FROM st
+    """,
     "doc_perplexity_kneser_ney": f"""
         WITH tk0 AS (
             SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
@@ -1493,6 +1551,7 @@ BUILDERS = {
     "text_rake_keyphrases": text_rake_keyphrases,
     "text_langid_ngram": text_langid_ngram,
     "corpus_heavy_tokens": corpus_heavy_tokens,
+    "corpus_chunk_sliding": corpus_chunk_sliding,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,

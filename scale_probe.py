@@ -43,6 +43,11 @@ QUERIES = [
     "simhash_pair_search",
     "embedding_neardup_scoped",
     "corpus_heavy_tokens",
+    # late-round-4 additions: vocab-keyed model fits + a literal-array
+    # membership screen — each should hold ~linear like the rest
+    "text_langid_ngram",
+    "doc_perplexity_kneser_ney",
+    "sample_bloom_contamination",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000
