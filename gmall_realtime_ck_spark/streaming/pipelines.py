@@ -792,6 +792,19 @@ def flow_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(sample_video_frames(vids), "append")
 
 
+def flow_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RAG chunking: the sliding-window chunker
+    (operators.text.corpus_chunk_sliding) applied unchanged to the
+    document stream — per-row, order-independent, append mode — the
+    ingest stage that feeds a retrieval index as shards land. Batch
+    oracle applies verbatim.
+    """
+    from ..operators.text import corpus_chunk_sliding
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(corpus_chunk_sliding({"documents": docs}), "append")
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -912,6 +925,7 @@ STREAM_BUILDERS = {
     "flow_frame_sample": flow_frame_sample,
     "flow_cusum": flow_cusum,
     "flow_pseudonymize": flow_pseudonymize,
+    "flow_chunking": flow_chunking,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -958,6 +972,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_frame_sample": XMOD["xmodal_frame_sample"],
         "flow_cusum": TS["ts_cusum_changepoints"],
         "flow_pseudonymize": PRIV["privacy_pseudonymize"],
+        "flow_chunking": TXT["corpus_chunk_sliding"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
