@@ -364,6 +364,70 @@ def score_bigram_nll(bg: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
+def doc_perplexity_heldout(t: dict[str, DataFrame]) -> DataFrame:
+    """Held-out LM evaluation — the methodologically honest version of
+    :func:`doc_perplexity_bigram`: the Laplace bigram model trains on
+    the doc_id %% 5 != 0 split and scores ONLY the held-out docs, so
+    the NLL measures generalization instead of memorization (the same
+    split discipline `text_langid_ngram` uses). Unseen bigrams are
+    not dropped: a LEFT join against the model backs off to the
+    Laplace floor — 1/(c(w1·)+V) for a known context, 1/V for a
+    context never seen in training — so every held-out bigram
+    contributes and OOV-heavy docs score high, as they should.
+
+    Scale: identical posture to the full-corpus scorer — vocab-sized
+    keyed model aggregates, scored stream joined on (lang, bigram),
+    plus one broadcast of the |langs|-row (ctx, vocab) tables for the
+    backoff.
+    """
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = bigram_lm_table(train)
+    # backoff tables: per-(lang, w1) context mass and per-lang vocab
+    tk_train = train.select(
+        "doc_id", "lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
+    )
+    bg_train = tk_train.select(
+        "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
+    )
+    ctx = (
+        bg_train.select("lang", F.expr("split_part(bigram, ' ', 1)").alias("w1"))
+        .groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("ctx_ct"))
+    )
+    vocab = (
+        tk_train.select("lang", F.explode("tk").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    bg_test = doc_bigrams(test).withColumn(
+        "w1", F.expr("split_part(bigram, ' ', 1)")
+    )
+    scored = (
+        bg_test.join(model, ["lang", "bigram"], "left")
+        .join(ctx, ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .withColumn(
+            "lp",
+            F.coalesce(
+                "logp",
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce("ctx_ct", F.lit(0)) + F.col("v")).cast("double")
+                ),
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("avg_nll_heldout"),
+        )
+    )
+
+
 #: Kneser-Ney absolute discount (the classic 0.75 default)
 KN_DISCOUNT = 0.75
 
@@ -1403,6 +1467,49 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(tk[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
         FROM st
     """,
+    "doc_perplexity_heldout": f"""
+        WITH tk_tr AS (
+            SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents WHERE doc_id % 5 <> 0
+        ), bg_tr AS (
+            SELECT lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk_tr
+        ), model AS (
+            SELECT lang, bigram, COUNT(*) AS bg_ct FROM bg_tr GROUP BY lang, bigram
+        ), ctx AS (
+            SELECT lang, split_part(bigram, ' ', 1) AS w1, COUNT(*) AS ctx_ct
+            FROM bg_tr GROUP BY 1, 2
+        ), vocab AS (
+            SELECT lang, COUNT(DISTINCT tok) AS v
+            FROM (SELECT lang, unnest(tk) AS tok FROM tk_tr) GROUP BY lang
+        ), sm AS (
+            SELECT m.lang, m.bigram,
+                   ln((m.bg_ct + 1)::DOUBLE / (c.ctx_ct + v.v)::DOUBLE) AS logp
+            FROM model m
+            JOIN ctx c ON m.lang = c.lang AND split_part(m.bigram, ' ', 1) = c.w1
+            JOIN vocab v ON m.lang = v.lang
+        ), bg_te AS (
+            SELECT doc_id, lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM (SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents WHERE doc_id % 5 = 0)
+        ), j AS (
+            SELECT b.doc_id,
+                   COALESCE(sm.logp,
+                            ln(1.0 / (COALESCE(c2.ctx_ct, 0) + v.v)::DOUBLE)) AS lp
+            FROM bg_te b
+            LEFT JOIN sm ON b.lang = sm.lang AND b.bigram = sm.bigram
+            LEFT JOIN ctx c2 ON b.lang = c2.lang
+                            AND split_part(b.bigram, ' ', 1) = c2.w1
+            JOIN vocab v ON b.lang = v.lang
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               round(-avg(lp), 6) AS avg_nll_heldout
+        FROM j GROUP BY doc_id
+    """,
     "doc_perplexity_kneser_ney": f"""
         WITH tk0 AS (
             SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
@@ -1545,6 +1652,7 @@ BUILDERS = {
     "text_bigram_topk": bigram_topk,
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "doc_perplexity_kneser_ney": doc_perplexity_kneser_ney,
+    "doc_perplexity_heldout": doc_perplexity_heldout,
     "corpus_drift_psi": corpus_drift_psi,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "corpus_inverted_index": corpus_inverted_index,
