@@ -189,12 +189,91 @@ def _mk_oracle() -> str:
     return sql
 
 
+HITS_ITERS = 2
+
+
+def graph_hits(t: dict[str, DataFrame]) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    customer→supplier trade graph — which customers concentrate
+    purchasing across the strongest suppliers, and which suppliers
+    aggregate demand from the strongest customers. Two unrolled
+    mutual-reinforcement iterations with L1 normalization (keeps the
+    update a plain SUM + scalar divide — no sqrt — so the unrolled
+    SQL oracle is exact modulo 1e-9 rounding).
+
+    Scale: the edge list materializes once (localCheckpoint, the
+    pagerank lesson); each iteration is two keyed join+aggregate
+    shuffles over edges; the normalizer is an O(1) driver scalar per
+    half-step (the rel_q22 pattern). Scores rounded to 9 decimals.
+    """
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = edges.select("c").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a_raw"))
+        z_a = float(a_raw.agg(F.sum("a_raw")).first()[0])
+        auth = a_raw.select("s", (F.col("a_raw") / F.lit(z_a)).alias("a"))
+        h_raw = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h_raw"))
+        z_h = float(h_raw.agg(F.sum("h_raw")).first()[0])
+        hub = h_raw.select("c", (F.col("h_raw") / F.lit(z_h)).alias("h"))
+    return hub.select(
+        F.col("c").alias("node"), F.lit("hub").alias("side"), F.round("h", 9).alias("score")
+    ).unionAll(
+        auth.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("node"),
+            F.lit("authority").alias("side"),
+            F.round("a", 9).alias("score"),
+        )
+    )
+
+
+def _hits_oracle() -> str:
+    off = PR_SUPP_OFFSET
+    sql = f"""
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), h0 AS (
+            SELECT DISTINCT c, 1.0 AS h FROM e
+        )"""
+    hub_cte = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        sql += f""", a{i}r AS (
+            SELECT e.s, SUM({hub_cte}.h) AS a_raw
+            FROM e JOIN {hub_cte} ON e.c = {hub_cte}.c GROUP BY e.s
+        ), a{i} AS (
+            SELECT s, a_raw / (SELECT SUM(a_raw) FROM a{i}r) AS a FROM a{i}r
+        ), h{i}r AS (
+            SELECT e.c, SUM(a{i}.a) AS h_raw
+            FROM e JOIN a{i} ON e.s = a{i}.s GROUP BY e.c
+        ), h{i} AS (
+            SELECT c, h_raw / (SELECT SUM(h_raw) FROM h{i}r) AS h FROM h{i}r
+        )"""
+        hub_cte = f"h{i}"
+    sql += f"""
+        SELECT c AS node, 'hub' AS side, round(h, 9) AS score FROM {hub_cte}
+        UNION ALL
+        SELECT s + {off} AS node, 'authority' AS side, round(a, 9) AS score
+        FROM a{HITS_ITERS}
+    """
+    return sql
+
+
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pr_oracle(),
     "graph_markov_stationary": _mk_oracle(),
+    "graph_hits": _hits_oracle(),
 }
 
 BUILDERS = {
     "graph_pagerank": graph_pagerank,
     "graph_markov_stationary": graph_markov_stationary,
+    "graph_hits": graph_hits,
 }
