@@ -540,6 +540,43 @@ def session_window_events(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def traffic_bounce_rate(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-day bounce rate — the canonical web-analytics KPI the
+    reference's traffic windows stop short of: sessionize each user's
+    events with the 30-minute inactivity gap (``session_window``,
+    same geometry as ``session_window_events``), call a
+    single-event session a bounce, and roll sessions/bounces/permille
+    up by session-start day. The oracle reproduces the sessionization
+    with the lag/cumsum islands idiom.
+
+    Scale: one keyed session aggregation over (user, ts) + one
+    |days|-row rollup; no windows over raw events beyond the keyed
+    session state.
+    """
+    ev = t["events"]
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("ev_ct"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "ev_ct",
+        )
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.sum((F.col("ev_ct") == 1).cast("bigint")).alias("bounces"),
+        )
+        .select(
+            "day",
+            "sessions",
+            "bounces",
+            F.expr("(bounces * 1000) div sessions").alias("bounce_permille"),
+        )
+    )
+
+
 def approx_uv_window(t: dict[str, DataFrame]) -> DataFrame:
     """A6 at scale — HyperLogLog distinct users per window
     (approx_count_distinct): the sketched path the reference's
@@ -2489,6 +2526,26 @@ ORACLES: dict[str, str] = {
         ORDER BY total_revenue_cents DESC, s_suppkey ASC
         LIMIT 5
     """,
+    "traffic_bounce_rate": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), g AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM e
+        ), s AS (
+            SELECT strftime(MIN(ts), '%Y-%m-%d') AS day, COUNT(*) AS ev_ct
+            FROM g GROUP BY user_id, sess_id
+        )
+        SELECT day, COUNT(*) AS sessions,
+               SUM((ev_ct = 1)::BIGINT)::BIGINT AS bounces,
+               (SUM((ev_ct = 1)::BIGINT) * 1000) // COUNT(*) AS bounce_permille
+        FROM s GROUP BY day
+    """,
     "session_window_events": """
         WITH e AS (
             SELECT user_id, ts, value,
@@ -2576,6 +2633,7 @@ BUILDERS = {
     "traffic_hour_heatmap": traffic_hour_heatmap,
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
+    "traffic_bounce_rate": traffic_bounce_rate,
     "approx_uv_window": approx_uv_window,
     "promo_revenue": promo_revenue,
     "best_supplier": best_supplier,
