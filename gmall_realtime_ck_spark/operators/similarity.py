@@ -1675,6 +1675,114 @@ def ann_ivf_pq_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: farthest-point seeding: number of centroids chosen (kept small so
+#: the unrolled SQL oracle stays k CTE levels deep)
+KPP_K = 5
+
+
+def embedding_kcenter_init(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic k-means seeding by greedy farthest-point
+    traversal (Gonzalez 1985 k-center — the deterministic variant of
+    k-means++'s D² sampling, same spread guarantee without RNG):
+    start from the lowest vec_id, then repeatedly pick the point
+    farthest from its nearest already-chosen centroid (ties to the
+    lowest id). Integer micro-unit distances end to end, so every
+    pick — including ties — matches the unrolled SQL oracle exactly.
+
+    Scale: each of the k−1 rounds is ONE map + argmin-aggregate pass
+    over the corpus — the chosen centroids (k × dims integers) inline
+    into the scan as literals, the per-point min-distance folds
+    JVM-side, and the arg-max collapses via a partial-aggregable
+    min(struct). k passes total; nothing but k rows ever collected.
+    """
+    emb = _emb_micro(t)
+    first = (
+        emb.select(F.min("vec_id").alias("v")).first()
+    )
+    if first is None or first["v"] is None:
+        return emb.select(
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("vec_id").alias("vec_id"),
+            F.lit(0).cast("bigint").alias("d_micro2"),
+        ).limit(0)
+    chosen_ids = [int(first["v"])]
+    chosen_vecs = [
+        list(
+            emb.filter(F.col("vec_id") == chosen_ids[0]).select("xm").first()["xm"]
+        )
+    ]
+    out = [(1, chosen_ids[0], 0)]
+    for step in range(2, KPP_K + 1):
+        arms = F.array(
+            *[
+                F.expr(
+                    "aggregate(zip_with(xm, array("
+                    + ",".join(f"{int(v)}L" for v in vec)
+                    + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+                )
+                for vec in chosen_vecs
+            ]
+        )
+        picked = (
+            emb.filter(~F.col("vec_id").isin(chosen_ids))
+            .select("vec_id", "xm", F.array_min(arms).alias("dmin"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("dmin")).alias("nd"),
+                        F.col("vec_id").alias("v"),
+                        F.col("xm").alias("xm"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("b.v").alias("v"),
+                (-F.col("b.nd")).alias("d"),
+                F.col("b.xm").alias("xm"),
+            )
+            .first()
+        )
+        chosen_ids.append(int(picked["v"]))
+        chosen_vecs.append(list(picked["xm"]))
+        out.append((step, int(picked["v"]), int(picked["d"])))
+    spark = emb.sparkSession
+    return spark.createDataFrame(out, "step long, vec_id long, d_micro2 long")
+
+
+def _kcenter_oracle() -> str:
+    sql = """
+        WITH ex AS (
+            SELECT vec_id, i,
+                   CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm
+            FROM embeddings, range(1, 65) r(i)
+        ), c1 AS (
+            SELECT MIN(vec_id) AS v FROM embeddings
+        )"""
+    prev_min = None
+    for step in range(2, KPP_K + 1):
+        p = step - 1
+        # distance of every point to centroid chosen at step p
+        sql += f""", dist{p} AS (
+            SELECT e.vec_id, SUM((e.xm - c.xm) * (e.xm - c.xm))::BIGINT AS d
+            FROM ex e JOIN ex c ON e.i = c.i AND c.vec_id = (SELECT v FROM c{p})
+            GROUP BY e.vec_id
+        ), mind{p} AS (
+            SELECT vec_id, {f"LEAST(m.d, dist{p}.d)" if prev_min else f"dist{p}.d"} AS d
+            FROM dist{p} {f"JOIN mind{p - 1} m USING (vec_id)" if prev_min else ""}
+        ), c{step} AS (
+            SELECT vec_id AS v, d FROM mind{p}
+            WHERE vec_id NOT IN ({", ".join(f"(SELECT v FROM c{j})" for j in range(1, step))})
+            ORDER BY d DESC, vec_id LIMIT 1
+        )"""
+        prev_min = True
+    picks = ["SELECT 1 AS step, (SELECT v FROM c1) AS vec_id, 0 AS d_micro2"]
+    for step in range(2, KPP_K + 1):
+        picks.append(
+            f"SELECT {step} AS step, v AS vec_id, d AS d_micro2 FROM c{step}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(picks)
+
+
 #: sign-bit binarization: 64 dims → one int64 word (bitwise OR of
 #: per-dim bits so the sign bit never trips ANSI overflow checks)
 _BINARIZE_SPARK = (
@@ -1937,6 +2045,7 @@ ORACLES: dict[str, str] = {
             FROM adc
         ) WHERE rank <= {TOP_K}
     """,
+    "embedding_kcenter_init": _kcenter_oracle(),
     "embedding_hamming_topk": f"""
         WITH words AS (
             SELECT vec_id,
@@ -2318,6 +2427,7 @@ BUILDERS = {
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_hamming_topk": embedding_hamming_topk,
+    "embedding_kcenter_init": embedding_kcenter_init,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,

@@ -182,7 +182,8 @@ _PRIORITY_HEAD = [
     # embedding_hamming_topk, flow_cusum, xmodal_audio_windows,
     # privacy_pseudonymize, behavior_basket_lift, ts_open_lines_daily,
     # flow_pseudonymize, corpus_chunk_sliding, flow_chunking,
-    # doc_perplexity_heldout, graph_hits, traffic_bounce_rate.
+    # doc_perplexity_heldout, graph_hits, traffic_bounce_rate,
+    # embedding_kcenter_init.
 ]
 
 

@@ -204,3 +204,14 @@ def test_kneser_ney_nll_positive_and_doc_parity(tables):
     lap = {r["doc_id"] for r in _run(tables, "doc_perplexity_bigram")}
     assert set(kn) == lap
     assert all(v > 0 for v in kn.values())
+
+
+def test_kcenter_distances_monotone_nonincreasing(tables):
+    """Greedy farthest-point selection distances can only shrink:
+    each new centroid's selection distance is <= the previous one's
+    (the 2-approximation argument's core invariant)."""
+    rows = sorted(_run(tables, "embedding_kcenter_init"))
+    assert len(rows) == 5
+    ds = [r["d_micro2"] for r in rows]
+    assert ds[0] == 0
+    assert all(b <= a for a, b in zip(ds[1:], ds[2:])), ds
