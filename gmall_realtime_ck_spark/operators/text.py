@@ -1056,6 +1056,89 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: count-min sketch geometry (Cormode & Muthukrishnan 2005)
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+CMS_PROBE_TOP = 50
+
+
+def corpus_countmin_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Count-min sketch frequency estimation over the token stream —
+    the bounded-memory, MERGEABLE counter that replaces vocab-sized
+    exact counts at 100 TB (each partition builds a D×W integer grid,
+    grids add elementwise). Built here as a keyed aggregate over
+    (row, bucket) cells (D·W = 1024 rows regardless of corpus size),
+    then probed for the top-50 exact-count tokens so the estimate sits
+    NEXT TO the truth: est ≥ true always (count-min only
+    overestimates), and the overflow column shows exactly what the
+    1024-cell budget costs on this vocabulary.
+
+    Everything md5-derived and integer — deterministic on both
+    engines, including the probe set's (count, token) tie-breaks.
+    """
+    docs = t["documents"]
+    toks = docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token"))
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            (
+                                F.expr(H28_SPARK.format(c=f"concat('{j}:', token)"))
+                                % CMS_WIDTH
+                            ).alias("bucket"),
+                        )
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_ct"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_ct"))
+    w = Window.orderBy(F.desc("true_ct"), F.asc("token"))
+    probes = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CMS_PROBE_TOP)
+        .select("token", "true_ct")
+    )
+    probe_cells = probes.select(
+        "token",
+        "true_ct",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.expr(H28_SPARK.format(c=f"concat('{j}:', token)"))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probe_cells.join(
+            F.broadcast(cells),
+            (F.col("p.row") == F.col("row")) & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("token", "true_ct")
+        .agg(F.min("cell_ct").alias("est_ct"))
+        .select(
+            "token",
+            "true_ct",
+            "est_ct",
+            (F.col("est_ct") - F.col("true_ct")).alias("overestimate"),
+        )
+    )
+
+
 #: RAG chunking geometry: token windows of CHUNK_TOKENS advancing by
 #: CHUNK_STRIDE (25% overlap keeps retrieval context at boundaries)
 CHUNK_TOKENS = 64
@@ -1452,6 +1535,33 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "corpus_countmin_tokens": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKS_D}) AS token FROM documents
+        ), cells AS (
+            SELECT j AS row,
+                   {H28_DUCK.format(c="(j || ':' || token)")} % {CMS_WIDTH} AS bucket,
+                   COUNT(*) AS cell_ct
+            FROM toks, range({CMS_DEPTH}) r(j)
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT token, COUNT(*) AS true_ct FROM toks GROUP BY token
+        ), probes AS (
+            SELECT token, true_ct FROM (
+                SELECT token, true_ct,
+                       row_number() OVER (ORDER BY true_ct DESC, token) AS rk
+                FROM exact
+            ) WHERE rk <= {CMS_PROBE_TOP}
+        ), pc AS (
+            SELECT p.token, p.true_ct, j AS row,
+                   {H28_DUCK.format(c="(j || ':' || p.token)")} % {CMS_WIDTH} AS bucket
+            FROM probes p, range({CMS_DEPTH}) r(j)
+        )
+        SELECT pc.token, pc.true_ct, MIN(c.cell_ct)::BIGINT AS est_ct,
+               (MIN(c.cell_ct) - pc.true_ct)::BIGINT AS overestimate
+        FROM pc JOIN cells c ON pc.row = c.row AND pc.bucket = c.bucket
+        GROUP BY pc.token, pc.true_ct
+    """,
     "corpus_chunk_sliding": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -1660,6 +1770,7 @@ BUILDERS = {
     "text_langid_ngram": text_langid_ngram,
     "corpus_heavy_tokens": corpus_heavy_tokens,
     "corpus_chunk_sliding": corpus_chunk_sliding,
+    "corpus_countmin_tokens": corpus_countmin_tokens,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,

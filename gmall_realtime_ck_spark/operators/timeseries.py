@@ -551,7 +551,8 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     joined = daily.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
     return (
         joined.withColumn(
-            "cusum_milli", F.sum(F.col("ct") * 1000 - F.col("mu_milli")).over(wo)
+            "cusum_milli",
+            F.sum(F.col("ct") * 1000 - F.col("mu_milli")).over(wo).cast("bigint"),
         )
         .select(
             "event_type",
@@ -635,7 +636,8 @@ ORACLES: dict[str, str] = {
                    ) AS cusum_milli
             FROM daily d JOIN stats s ON d.event_type = s.event_type
         )
-        SELECT event_type, strftime(day, '%Y-%m-%d') AS dt, ct, cusum_milli,
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS dt, ct,
+               cusum_milli::BIGINT AS cusum_milli,
                (abs(cusum_milli) > {CUSUM_H_FACTOR} * mu_milli)::BIGINT AS alarm
         FROM cum
     """,

@@ -215,3 +215,11 @@ def test_kcenter_distances_monotone_nonincreasing(tables):
     ds = [r["d_micro2"] for r in rows]
     assert ds[0] == 0
     assert all(b <= a for a, b in zip(ds[1:], ds[2:])), ds
+
+
+def test_countmin_never_underestimates(tables):
+    rows = _run(tables, "corpus_countmin_tokens")
+    assert rows
+    for r in rows:
+        assert r["est_ct"] >= r["true_ct"], r
+        assert r["overestimate"] == r["est_ct"] - r["true_ct"]
