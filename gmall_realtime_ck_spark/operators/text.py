@@ -1062,23 +1062,12 @@ CMS_DEPTH = 4
 CMS_PROBE_TOP = 50
 
 
-def corpus_countmin_tokens(t: dict[str, DataFrame]) -> DataFrame:
-    """Count-min sketch frequency estimation over the token stream —
-    the bounded-memory, MERGEABLE counter that replaces vocab-sized
-    exact counts at 100 TB (each partition builds a D×W integer grid,
-    grids add elementwise). Built here as a keyed aggregate over
-    (row, bucket) cells (D·W = 1024 rows regardless of corpus size),
-    then probed for the top-50 exact-count tokens so the estimate sits
-    NEXT TO the truth: est ≥ true always (count-min only
-    overestimates), and the overflow column shows exactly what the
-    1024-cell budget costs on this vocabulary.
-
-    Everything md5-derived and integer — deterministic on both
-    engines, including the probe set's (count, token) tie-breaks.
-    """
-    docs = t["documents"]
-    toks = docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token"))
-    cells = (
+def countmin_cells(toks: DataFrame) -> DataFrame:
+    """The D×W count-min grid as a keyed aggregate over (row, bucket)
+    cells — works on a batch token stream or a live one (the state is
+    D·W keys regardless of corpus size, which is why this sketch
+    streams well)."""
+    return (
         toks.select(
             F.explode(
                 F.array(
@@ -1098,13 +1087,11 @@ def corpus_countmin_tokens(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("c.row", "c.bucket")
         .agg(F.count(F.lit(1)).alias("cell_ct"))
     )
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_ct"))
-    w = Window.orderBy(F.desc("true_ct"), F.asc("token"))
-    probes = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= CMS_PROBE_TOP)
-        .select("token", "true_ct")
-    )
+
+
+def countmin_probe(cells: DataFrame, probes: DataFrame) -> DataFrame:
+    """Probe a count-min grid for (token, true_ct) rows: est = min
+    over the D cells each token hashes to; emits est next to truth."""
     probe_cells = probes.select(
         "token",
         "true_ct",
@@ -1137,6 +1124,33 @@ def corpus_countmin_tokens(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("est_ct") - F.col("true_ct")).alias("overestimate"),
         )
     )
+
+
+def corpus_countmin_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Count-min sketch frequency estimation over the token stream —
+    the bounded-memory, MERGEABLE counter that replaces vocab-sized
+    exact counts at 100 TB (each partition builds a D×W integer grid,
+    grids add elementwise). Built here as a keyed aggregate over
+    (row, bucket) cells (D·W = 1024 rows regardless of corpus size),
+    then probed for the top-50 exact-count tokens so the estimate sits
+    NEXT TO the truth: est ≥ true always (count-min only
+    overestimates), and the overflow column shows exactly what the
+    1024-cell budget costs on this vocabulary.
+
+    Everything md5-derived and integer — deterministic on both
+    engines, including the probe set's (count, token) tie-breaks.
+    """
+    docs = t["documents"]
+    toks = docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token"))
+    cells = countmin_cells(toks)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_ct"))
+    w = Window.orderBy(F.desc("true_ct"), F.asc("token"))
+    probes = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CMS_PROBE_TOP)
+        .select("token", "true_ct")
+    )
+    return countmin_probe(cells, probes)
 
 
 #: RAG chunking geometry: token windows of CHUNK_TOKENS advancing by

@@ -805,6 +805,42 @@ def flow_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(corpus_chunk_sliding({"documents": docs}), "append")
 
 
+def flow_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the D×W grid is maintained
+    continuously over the live token stream — 1024 keys of state
+    regardless of corpus size, THE reason this sketch streams where
+    exact vocab counts cannot — and each poll probes it for the
+    corpus's top exact-count tokens (probe set from the static side;
+    in production the heavy-hitters sketch nominates it). Final table
+    equals the batch operator ⇒ its oracle applies verbatim.
+    """
+    from pyspark.sql import Window
+
+    from ..catalog import load_tables
+    from ..operators.text import (
+        CMS_PROBE_TOP,
+        TOKENS_SPARK,
+        countmin_cells,
+        countmin_probe,
+    )
+
+    toks_stream = documents_file_stream(spark, sf_dir).select(
+        F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    cells = _run_to_memory(countmin_cells(toks_stream), "complete")
+    toks_static = load_tables(spark, sf_dir)["documents"].select(
+        F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    exact = toks_static.groupBy("token").agg(F.count(F.lit(1)).alias("true_ct"))
+    w = Window.orderBy(F.desc("true_ct"), F.asc("token"))
+    probes = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CMS_PROBE_TOP)
+        .select("token", "true_ct")
+    )
+    return countmin_probe(cells, probes)
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -926,6 +962,7 @@ STREAM_BUILDERS = {
     "flow_cusum": flow_cusum,
     "flow_pseudonymize": flow_pseudonymize,
     "flow_chunking": flow_chunking,
+    "flow_countmin": flow_countmin,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -973,6 +1010,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_cusum": TS["ts_cusum_changepoints"],
         "flow_pseudonymize": PRIV["privacy_pseudonymize"],
         "flow_chunking": TXT["corpus_chunk_sliding"],
+        "flow_countmin": TXT["corpus_countmin_tokens"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
