@@ -540,6 +540,77 @@ def session_window_events(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def win_wow_change(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week revenue change per order priority — the
+    trend-readout window every BI layer derives from its weekly
+    rollup: cents-exact weekly sums, then lag(1) within each priority
+    and the signed change in permille of the prior week (NULL-safe:
+    the first week has no prior and emits NULL change).
+
+    Scale: one keyed (priority, week) aggregate over orders, then a
+    lag window over the |priorities|×|weeks| AGGREGATE — never raw
+    rows. Integer permille keeps cross-engine exactness.
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"]
+    weekly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("week", F.col("o_orderdate").cast("timestamp")).alias("wk"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("wk")
+    prev = F.lag("rev_cents").over(w)
+    return weekly.select(
+        "o_orderpriority",
+        date_str("wk").alias("week_start"),
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.expr(
+            "CASE WHEN lag(rev_cents) OVER "
+            "(PARTITION BY o_orderpriority ORDER BY wk) IS NULL THEN NULL "
+            "ELSE ((rev_cents - lag(rev_cents) OVER "
+            "(PARTITION BY o_orderpriority ORDER BY wk)) * 1000) "
+            "div lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk) END"
+        ).alias("wow_permille"),
+    )
+
+
+def events_dwell_median(t: dict[str, DataFrame]) -> DataFrame:
+    """Median inter-event dwell time per event type: each user's
+    consecutive same-type events yield a dwell gap (seconds), and the
+    per-type exact median summarizes engagement cadence — the pacing
+    metric behind session-timeout and notification-frequency tuning.
+
+    Scale: ONE per-user ordered window over events computes the lag
+    gaps (keyed on user — the reference's keyed-state partitioning),
+    then a |types|-row exact-percentile aggregate; at 100 TB the
+    percentile swaps for percentile_approx with the same call shape.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            ).alias("dwell_us"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("cast(percentile(dwell_us, 0.5) as bigint)").alias("median_dwell_us"),
+    )
+
+
 def traffic_bounce_rate(t: dict[str, DataFrame]) -> DataFrame:
     """Per-day bounce rate — the canonical web-analytics KPI the
     reference's traffic windows stop short of: sessionize each user's
@@ -2526,6 +2597,38 @@ ORACLES: dict[str, str] = {
         ORDER BY total_revenue_cents DESC, s_suppkey ASC
         LIMIT 5
     """,
+    "win_wow_change": """
+        WITH weekly AS (
+            SELECT o_orderpriority,
+                   date_trunc('week', o_orderdate) AS wk,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority,
+               strftime(wk, '%Y-%m-%d') AS week_start,
+               rev_cents,
+               lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)
+                   AS prev_cents,
+               CASE WHEN lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk) IS NULL
+                    THEN NULL
+                    ELSE ((rev_cents - lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)) * 1000)
+                         // lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)
+               END AS wow_permille
+        FROM weekly
+    """,
+    "events_dwell_median": """
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   )) AS dwell_us
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_gaps,
+               CAST(quantile_cont(dwell_us, 0.5) AS BIGINT) AS median_dwell_us
+        FROM gaps WHERE dwell_us IS NOT NULL
+        GROUP BY event_type
+    """,
     "traffic_bounce_rate": """
         WITH e AS (
             SELECT user_id, ts,
@@ -2634,6 +2737,8 @@ BUILDERS = {
     "trade_left_outer_orders": trade_left_outer_orders,
     "session_window_events": session_window_events,
     "traffic_bounce_rate": traffic_bounce_rate,
+    "win_wow_change": win_wow_change,
+    "events_dwell_median": events_dwell_median,
     "approx_uv_window": approx_uv_window,
     "promo_revenue": promo_revenue,
     "best_supplier": best_supplier,

@@ -183,7 +183,8 @@ _PRIORITY_HEAD = [
     # privacy_pseudonymize, behavior_basket_lift, ts_open_lines_daily,
     # flow_pseudonymize, corpus_chunk_sliding, flow_chunking,
     # doc_perplexity_heldout, graph_hits, traffic_bounce_rate,
-    # embedding_kcenter_init, corpus_countmin_tokens, flow_countmin.
+    # embedding_kcenter_init, corpus_countmin_tokens, flow_countmin,
+    # win_wow_change, events_dwell_median.
 ]
 
 
