@@ -33,3 +33,38 @@ def test_build_corpus_end_to_end(spark, tmp_path):
         # payload columns intact, bookkeeping columns dropped
         assert "text" in df.columns and "keep" not in df.columns
     assert len(seen) == kept
+
+
+def test_chunk_dedup_bloom_compose(tables, spark):
+    """The RAG-prep chain composes: sliding chunks -> chunk-level
+    exact dedup on the emitted hashes -> every surviving chunk's
+    doc passes through the Bloom contamination screen. Asserts the
+    glue contracts: chunk hashes are md5-stable keys (dedup by them
+    is exact), and the screen covers every scored doc that has
+    chunks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.sampling import bloom_contamination
+    from gmall_realtime_ck_spark.operators.text import corpus_chunk_sliding
+
+    chunks = corpus_chunk_sliding(tables)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    deduped = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_chunks = chunks.count()
+    n_unique = deduped.count()
+    n_hashes = chunks.select("chunk_hash").distinct().count()
+    assert n_unique == n_hashes  # dedup-by-hash is exact
+    assert n_unique <= n_chunks
+    screened = bloom_contamination(tables)
+    chunk_docs = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    screened_docs = {r["doc_id"] for r in screened.collect()}
+    # the screen covers exactly the non-benchmark docs long enough to
+    # shingle — all of which also chunked (chunking needs ≥1 token,
+    # shingling ≥3)
+    assert screened_docs, "screen produced no rows"
+    assert screened_docs <= {d for d in chunk_docs if d >= 10}
