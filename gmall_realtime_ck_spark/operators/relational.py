@@ -2606,14 +2606,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_orderpriority,
                strftime(wk, '%Y-%m-%d') AS week_start,
-               rev_cents,
-               lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)
+               rev_cents::BIGINT AS rev_cents,
+               (lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk))::BIGINT
                    AS prev_cents,
-               CASE WHEN lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk) IS NULL
-                    THEN NULL
-                    ELSE ((rev_cents - lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)) * 1000)
-                         // lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)
-               END AS wow_permille
+               (CASE WHEN lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk) IS NULL
+                     THEN NULL
+                     ELSE ((rev_cents - lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)) * 1000)
+                          // lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY wk)
+               END)::BIGINT AS wow_permille
         FROM weekly
     """,
     "events_dwell_median": """
