@@ -197,14 +197,17 @@ def graph_hits(t: dict[str, DataFrame]) -> DataFrame:
     customer→supplier trade graph — which customers concentrate
     purchasing across the strongest suppliers, and which suppliers
     aggregate demand from the strongest customers. Two unrolled
-    mutual-reinforcement iterations with L1 normalization (keeps the
-    update a plain SUM + scalar divide — no sqrt — so the unrolled
-    SQL oracle is exact modulo 1e-9 rounding).
+    mutual-reinforcement iterations, L1-normalized ONCE at the end:
+    the update is a linear map, so intermediate normalizations cancel
+    out of the final L1-normalized scores — iterating on raw sums
+    saves a driver-scalar job per half-step with mathematically
+    identical output (no sqrt anywhere, so the unrolled SQL oracle is
+    exact modulo 1e-9 rounding).
 
     Scale: the edge list materializes once (localCheckpoint, the
     pagerank lesson); each iteration is two keyed join+aggregate
-    shuffles over edges; the normalizer is an O(1) driver scalar per
-    half-step (the rel_q22 pattern). Scores rounded to 9 decimals.
+    shuffles over edges; the two final normalizers are O(1) driver
+    scalars (the rel_q22 pattern). Scores rounded to 9 decimals.
     """
     orders = t["orders"].select("o_orderkey", "o_custkey")
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
@@ -216,20 +219,27 @@ def graph_hits(t: dict[str, DataFrame]) -> DataFrame:
     )
     hub = edges.select("c").distinct().withColumn("h", F.lit(1.0))
     auth = None
-    for _ in range(HITS_ITERS):
-        a_raw = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a_raw"))
-        z_a = float(a_raw.agg(F.sum("a_raw")).first()[0])
-        auth = a_raw.select("s", (F.col("a_raw") / F.lit(z_a)).alias("a"))
-        h_raw = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h_raw"))
-        z_h = float(h_raw.agg(F.sum("h_raw")).first()[0])
-        hub = h_raw.select("c", (F.col("h_raw") / F.lit(z_h)).alias("h"))
+    for i in range(HITS_ITERS):
+        auth = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        if i == HITS_ITERS - 1:
+            # materialize the chain ONCE at the last authority step so
+            # the final hub step, both normalizer scalars, and the
+            # returned projection all read the checkpoint instead of
+            # re-running every join+aggregate (measured 3× chain cost)
+            auth = auth.localCheckpoint()
+        hub = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    hub = hub.localCheckpoint()
+    z_a = float(auth.agg(F.sum("a")).first()[0])
+    z_h = float(hub.agg(F.sum("h")).first()[0])
     return hub.select(
-        F.col("c").alias("node"), F.lit("hub").alias("side"), F.round("h", 9).alias("score")
+        F.col("c").alias("node"),
+        F.lit("hub").alias("side"),
+        F.round(F.col("h") / F.lit(z_h), 9).alias("score"),
     ).unionAll(
         auth.select(
             (F.col("s") + PR_SUPP_OFFSET).alias("node"),
             F.lit("authority").alias("side"),
-            F.round("a", 9).alias("score"),
+            F.round(F.col("a") / F.lit(z_a), 9).alias("score"),
         )
     )
 
@@ -245,22 +255,24 @@ def _hits_oracle() -> str:
         )"""
     hub_cte = "h0"
     for i in range(1, HITS_ITERS + 1):
-        sql += f""", a{i}r AS (
-            SELECT e.s, SUM({hub_cte}.h) AS a_raw
+        sql += f""", a{i} AS (
+            SELECT e.s, SUM({hub_cte}.h) AS a
             FROM e JOIN {hub_cte} ON e.c = {hub_cte}.c GROUP BY e.s
-        ), a{i} AS (
-            SELECT s, a_raw / (SELECT SUM(a_raw) FROM a{i}r) AS a FROM a{i}r
-        ), h{i}r AS (
-            SELECT e.c, SUM(a{i}.a) AS h_raw
-            FROM e JOIN a{i} ON e.s = a{i}.s GROUP BY e.c
         ), h{i} AS (
-            SELECT c, h_raw / (SELECT SUM(h_raw) FROM h{i}r) AS h FROM h{i}r
+            SELECT e.c, SUM(a{i}.a) AS h
+            FROM e JOIN a{i} ON e.s = a{i}.s GROUP BY e.c
         )"""
         hub_cte = f"h{i}"
+    # intermediate L1 normalizations cancel out of the final
+    # normalized scores (the update is linear) — normalize once here,
+    # matching the Spark builder
     sql += f"""
-        SELECT c AS node, 'hub' AS side, round(h, 9) AS score FROM {hub_cte}
+        SELECT c AS node, 'hub' AS side,
+               round(h / (SELECT SUM(h) FROM {hub_cte}), 9) AS score
+        FROM {hub_cte}
         UNION ALL
-        SELECT s + {off} AS node, 'authority' AS side, round(a, 9) AS score
+        SELECT s + {off} AS node, 'authority' AS side,
+               round(a / (SELECT SUM(a) FROM a{HITS_ITERS}), 9) AS score
         FROM a{HITS_ITERS}
     """
     return sql
