@@ -427,9 +427,14 @@ def basket_lift_pairs(t: dict[str, DataFrame]) -> DataFrame:
     swaps the e6 units for doubles.
     """
     li = t["lineitem"]
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # the basket table feeds four consumers (n_orders scalar, item
+    # counts, both legs of the self-join) — materialize the
+    # scan+distinct once instead of re-running it per consumer
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_orders = baskets.select("ok").distinct().count()  # one scalar job
     item = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("item_ct"))
     b2 = baskets.select(F.col("ok"), F.col("pk").alias("pk_b"))
