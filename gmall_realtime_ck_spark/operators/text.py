@@ -1056,6 +1056,45 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_token_gini(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source Gini coefficient of the token-frequency
+    distribution — how head-heavy each source's vocabulary usage is
+    (natural prose sits high, templated/boilerplate text higher
+    still, uniform noise near 0): the corpus-composition diagnostic
+    read next to vocab size and TTR when balancing a mixture.
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σᵢ xᵢ) / (n·Σᵢ xᵢ) over counts ranked
+    ascending — all-integer in permille, so both engines agree
+    exactly (rank ties broken by token text: total order).
+
+    Scale: one keyed (source, token) count, then ONE ordered window
+    per source over the vocab-sized AGGREGATE, then a per-source
+    reduce. Raw tokens never see a window.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    w = Window.partitionBy("source").orderBy(F.asc("ct"), F.asc("token"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("ct").alias("n_tokens"),
+            F.sum(F.col("rk") * F.col("ct")).alias("s1"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "n_tokens",
+            F.expr(
+                "(1000 * (2 * s1 - (vocab + 1) * n_tokens)) div (vocab * n_tokens)"
+            ).alias("gini_permille"),
+        )
+    )
+
+
 #: count-min sketch geometry (Cormode & Muthukrishnan 2005)
 CMS_WIDTH = 256
 CMS_DEPTH = 4
@@ -1549,6 +1588,21 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "corpus_token_gini": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_D}) AS token FROM documents
+        ), counts AS (
+            SELECT source, token, COUNT(*) AS ct FROM toks GROUP BY source, token
+        ), ranked AS (
+            SELECT source, ct,
+                   row_number() OVER (PARTITION BY source ORDER BY ct, token) AS rk
+            FROM counts
+        )
+        SELECT source, COUNT(*) AS vocab, SUM(ct)::BIGINT AS n_tokens,
+               ((1000 * (2 * SUM(rk * ct) - (COUNT(*) + 1) * SUM(ct)))
+                // (COUNT(*) * SUM(ct)))::BIGINT AS gini_permille
+        FROM ranked GROUP BY source
+    """,
     "corpus_countmin_tokens": f"""
         WITH toks AS (
             SELECT unnest({_TOKS_D}) AS token FROM documents
@@ -1785,6 +1839,7 @@ BUILDERS = {
     "corpus_heavy_tokens": corpus_heavy_tokens,
     "corpus_chunk_sliding": corpus_chunk_sliding,
     "corpus_countmin_tokens": corpus_countmin_tokens,
+    "corpus_token_gini": corpus_token_gini,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,
