@@ -1075,6 +1075,14 @@ def corpus_token_gini(t: dict[str, DataFrame]) -> DataFrame:
         "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return gini_from_counts(counts)
+
+
+def gini_from_counts(counts: DataFrame) -> DataFrame:
+    """The rank-formula Gini algebra over pre-aggregated
+    (source, token, ct) rows — shared by the batch diagnostic and the
+    streaming twin (which maintains ``counts`` continuously and
+    re-runs this vocab-sized algebra per poll)."""
     w = Window.partitionBy("source").orderBy(F.asc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w))
     return (
@@ -1091,6 +1099,43 @@ def corpus_token_gini(t: dict[str, DataFrame]) -> DataFrame:
             F.expr(
                 "(1000 * (2 * s1 - (vocab + 1) * n_tokens)) div (vocab * n_tokens)"
             ).alias("gini_permille"),
+        )
+    )
+
+
+def text_zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf-law exponent fit per source: least-squares slope of
+    ln(frequency) on ln(rank) over the token rank-frequency table —
+    natural language sits near −1; templated or synthetic text
+    deviates, making the exponent a corpus-naturalness screen next to
+    the Gini readout. regr_slope/regr_r2 are partial-aggregatable, so
+    the fit is one more keyed pass over the vocab-sized aggregate
+    (ranks from one per-source window, ties by token for a total
+    order); rounded to 6 decimals for cross-engine agreement.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
+    ranked = counts.withColumn("rk", F.row_number().over(w)).select(
+        "source",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("ct").cast("double")).alias("y"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.expr("regr_slope(y, x)").alias("s"),
+            F.expr("regr_r2(y, x)").alias("r2"),
+        )
+        .select(
+            "source",
+            "vocab",
+            F.round("s", 6).alias("zipf_slope"),
+            F.round("r2", 6).alias("fit_r2"),
         )
     )
 
@@ -1588,6 +1633,22 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "text_zipf_fit": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_D}) AS token FROM documents
+        ), counts AS (
+            SELECT source, token, COUNT(*) AS ct FROM toks GROUP BY source, token
+        ), ranked AS (
+            SELECT source,
+                   ln(row_number() OVER (PARTITION BY source ORDER BY ct DESC, token)) AS x,
+                   ln(ct::DOUBLE) AS y
+            FROM counts
+        )
+        SELECT source, COUNT(*) AS vocab,
+               round(regr_slope(y, x), 6) AS zipf_slope,
+               round(regr_r2(y, x), 6) AS fit_r2
+        FROM ranked GROUP BY source
+    """,
     "corpus_token_gini": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_D}) AS token FROM documents
@@ -1840,6 +1901,7 @@ BUILDERS = {
     "corpus_chunk_sliding": corpus_chunk_sliding,
     "corpus_countmin_tokens": corpus_countmin_tokens,
     "corpus_token_gini": corpus_token_gini,
+    "text_zipf_fit": text_zipf_fit,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,

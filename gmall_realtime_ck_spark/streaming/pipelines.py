@@ -841,6 +841,28 @@ def flow_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_probe(cells, probes)
 
 
+def flow_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-inequality monitor: per-(source, token) counts
+    maintained continuously (one keyed complete-mode aggregation over
+    the exploded token stream — vocab-sized state per source) and the
+    rank-formula Gini algebra (text.gini_from_counts) re-runs per
+    poll, so the corpus-balance diagnostic reflects CURRENT shards.
+    Final table equals the batch diagnostic ⇒ its oracle applies
+    verbatim.
+    """
+    from ..operators.text import TOKENS_SPARK, gini_from_counts
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return gini_from_counts(_run_to_memory(counts, "complete"))
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -963,6 +985,7 @@ STREAM_BUILDERS = {
     "flow_pseudonymize": flow_pseudonymize,
     "flow_chunking": flow_chunking,
     "flow_countmin": flow_countmin,
+    "flow_token_gini": flow_token_gini,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -1011,6 +1034,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_pseudonymize": PRIV["privacy_pseudonymize"],
         "flow_chunking": TXT["corpus_chunk_sliding"],
         "flow_countmin": TXT["corpus_countmin_tokens"],
+        "flow_token_gini": TXT["corpus_token_gini"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
