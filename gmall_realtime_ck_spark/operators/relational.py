@@ -2684,7 +2684,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT day, COUNT(*) AS sessions,
                SUM((ev_ct = 1)::BIGINT)::BIGINT AS bounces,
-               (SUM((ev_ct = 1)::BIGINT) * 1000) // COUNT(*) AS bounce_permille
+               ((SUM((ev_ct = 1)::BIGINT) * 1000) // COUNT(*))::BIGINT AS bounce_permille
         FROM s GROUP BY day
     """,
     "session_window_events": """
