@@ -1118,6 +1118,13 @@ def text_zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
         "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return zipf_from_counts(counts)
+
+
+def zipf_from_counts(counts: DataFrame) -> DataFrame:
+    """The rank-frequency regression over pre-aggregated
+    (source, token, ct) rows — shared by the batch fit and the
+    streaming twin."""
     w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w)).select(
         "source",

@@ -173,6 +173,47 @@ def path_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def path_transition_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source-state Shannon entropy of the session transition
+    matrix — how predictable the next event is from each state
+    (H = −Σ p·ln p over the row's transition probabilities; 0 =
+    deterministic next step, ln(|states|) = uniform). The
+    information-theoretic readout on top of the Sankey counts, read
+    when deciding whether a journey stage is worth personalizing.
+
+    Scale: reuses the sessionized transition counts' shape (one
+    per-user lag window + one keyed (src, dst) count); the entropy is
+    arithmetic over the |states|²-row aggregate. Rounded to 6
+    decimals; identical ln/Σ form on both engines.
+    """
+    ev = t["events"].select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {PATH_GAP_MINUTES} MINUTES")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts") <= F.col("prev_ts") + gap))
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("ct"))
+    totals = counts.groupBy("src").agg(F.sum("ct").alias("tot")).withColumnRenamed(
+        "src", "s_src"
+    )
+    p = counts.join(F.broadcast(totals), F.col("src") == F.col("s_src")).select(
+        "src",
+        (F.col("ct").cast("double") / F.col("tot").cast("double")).alias("p"),
+        "tot",
+    )
+    return (
+        p.groupBy("src")
+        .agg(
+            F.max("tot").alias("n_steps"),
+            F.count(F.lit(1)).alias("n_dsts"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_nats"),
+        )
+    )
+
+
 def cohort_weekly_retention(t: dict[str, DataFrame]) -> DataFrame:
     """Weekly cohort retention triangle: users bucketed by first-seen
     week; for each (cohort_week, week_offset) the distinct users active
@@ -822,6 +863,29 @@ ORACLES: dict[str, str] = {
         WHERE prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTES
         GROUP BY src, dst
     """,
+    "path_transition_entropy": f"""
+        WITH steps AS (
+            SELECT lag(event_type) OVER w AS src,
+                   event_type AS dst,
+                   lag(ts) OVER w AS prev_ts,
+                   ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), counts AS (
+            SELECT src, dst, COUNT(*) AS ct FROM steps
+            WHERE prev_ts IS NOT NULL
+              AND ts <= prev_ts + INTERVAL {PATH_GAP_MINUTES} MINUTES
+            GROUP BY src, dst
+        ), totals AS (
+            SELECT src, SUM(ct) AS tot FROM counts GROUP BY src
+        ), p AS (
+            SELECT c.src, c.ct::DOUBLE / t.tot::DOUBLE AS p, t.tot
+            FROM counts c JOIN totals t ON c.src = t.src
+        )
+        SELECT src, MAX(tot)::BIGINT AS n_steps, COUNT(*) AS n_dsts,
+               round(-SUM(p * ln(p)), 6) AS entropy_nats
+        FROM p GROUP BY src
+    """,
     "cohort_weekly_retention": """
         WITH ev AS (
             SELECT user_id, date_trunc('week', ts) AS wk FROM events
@@ -852,4 +916,5 @@ BUILDERS = {
     "ts_series_similarity": ts_series_similarity,
     "ts_cusum_changepoints": ts_cusum_changepoints,
     "ts_open_lines_daily": ts_open_lines_daily,
+    "path_transition_entropy": path_transition_entropy,
 }

@@ -863,6 +863,25 @@ def flow_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_from_counts(_run_to_memory(counts, "complete"))
 
 
+def flow_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Zipf-exponent monitor: the same (source, token)
+    complete-mode count spine as flow_token_gini, with the
+    rank-frequency regression (text.zipf_from_counts) re-run per poll
+    — naturalness drift of arriving shards surfaces as the exponent
+    walking away from −1. Batch oracle applies verbatim."""
+    from ..operators.text import TOKENS_SPARK, zipf_from_counts
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return zipf_from_counts(_run_to_memory(counts, "complete"))
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -986,6 +1005,7 @@ STREAM_BUILDERS = {
     "flow_chunking": flow_chunking,
     "flow_countmin": flow_countmin,
     "flow_token_gini": flow_token_gini,
+    "flow_zipf": flow_zipf,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -1035,6 +1055,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_chunking": TXT["corpus_chunk_sliding"],
         "flow_countmin": TXT["corpus_countmin_tokens"],
         "flow_token_gini": TXT["corpus_token_gini"],
+        "flow_zipf": TXT["text_zipf_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
