@@ -361,9 +361,9 @@ ORACLES: dict[str, str] = {
             FROM orders GROUP BY 1, 2
         )
         SELECT file_month, file_day, n_rows,
-               (SUM(n_rows) OVER (PARTITION BY file_month ORDER BY file_day
+               ((SUM(n_rows) OVER (PARTITION BY file_month ORDER BY file_day
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_rows) // {COMPACT_TARGET_ROWS} AS bin_id
+                - n_rows) // {COMPACT_TARGET_ROWS})::BIGINT AS bin_id
         FROM files
     """,
 }
