@@ -1078,6 +1078,34 @@ def corpus_token_gini(t: dict[str, DataFrame]) -> DataFrame:
     return gini_from_counts(counts)
 
 
+def corpus_hapax_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Hapax legomenon share per source — the fraction (permille) of
+    each source's vocabulary seen exactly once, the classic lexical-
+    richness statistic read next to Gini/Zipf (high hapax share =
+    productive vocabulary or noisy OCR; near-zero = templated text).
+    Pure keyed aggregation over the vocab-sized count table — no
+    window at all.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("ct") == 1).cast("bigint")).alias("hapax"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            F.expr("(hapax * 1000) div vocab").alias("hapax_permille"),
+        )
+    )
+
+
 def gini_from_counts(counts: DataFrame) -> DataFrame:
     """The rank-formula Gini algebra over pre-aggregated
     (source, token, ct) rows — shared by the batch diagnostic and the
@@ -1640,6 +1668,17 @@ ORACLES: dict[str, str] = {
         FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
         GROUP BY bg.doc_id
     """,
+    "corpus_hapax_share": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_D}) AS token FROM documents
+        ), counts AS (
+            SELECT source, token, COUNT(*) AS ct FROM toks GROUP BY source, token
+        )
+        SELECT source, COUNT(*) AS vocab,
+               SUM((ct = 1)::BIGINT)::BIGINT AS hapax,
+               ((SUM((ct = 1)::BIGINT) * 1000) // COUNT(*))::BIGINT AS hapax_permille
+        FROM counts GROUP BY source
+    """,
     "text_zipf_fit": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_D}) AS token FROM documents
@@ -1909,6 +1948,7 @@ BUILDERS = {
     "corpus_countmin_tokens": corpus_countmin_tokens,
     "corpus_token_gini": corpus_token_gini,
     "text_zipf_fit": text_zipf_fit,
+    "corpus_hapax_share": corpus_hapax_share,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,
     "corpus_report": corpus_report,

@@ -186,7 +186,7 @@ _PRIORITY_HEAD = [
     # embedding_kcenter_init, corpus_countmin_tokens, flow_countmin,
     # win_wow_change, events_dwell_median; r6 overflow: corpus_token_gini,
     # text_zipf_fit, flow_token_gini, ship_latency_percentiles,
-    # flow_zipf, path_transition_entropy.
+    # flow_zipf, path_transition_entropy, corpus_hapax_share.
 ]
 
 
