@@ -101,92 +101,67 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-4 window (the driver verifies the first 50 positions of
-    # queries(); CORRECTNESS_r02/r03 confirm the cap is positional).
-    # Contents = the 48 declared queries that have never had a driver
-    # row across r1-r3 (computed from CORRECTNESS_r0{1,2,3}.json keys
-    # through the rename map in COVERAGE.md — the full cross-round
-    # ledger is in COVERAGE.md) + the r3 red row corpus_inverted_index
-    # (postings stringified this round, VERDICT r3 #1) + the new
-    # oracled exact two-sided ANN topk_two_sided_exact (VERDICT r3 #4).
-    # After this window every declared query has ≥1 green driver row
-    # across rounds 1-4. ---
-    "corpus_inverted_index",
-    "topk_two_sided_exact",
-    "approx_uv_sketch_rollup",
-    "behavior_top_paths",
-    "corpus_bpe_pair_counts",
-    "corpus_card_by_source",
-    "corpus_e2e_verdict",
-    "corpus_length_percentiles",
-    "diag_key_skew",
-    "embedding_label_outliers",
-    "embedding_pq_codes",
-    "events_unpivot_metrics",
-    "flow_backfill_ohlc",
-    "flow_gopher_rules",
-    "flow_histogram",
-    "flow_incremental_dedup",
-    "flow_k_anonymity",
-    "flow_lang_id",
-    "flow_percentiles",
-    "flow_token_count",
-    "flow_user_quota",
-    "flow_value_tiers",
-    "graph_markov_stationary",
-    "grouping_sets_traffic",
-    "join_star_denormalize",
-    "join_temporal_dim_version",
-    "lang_confusion_matrix",
-    "privacy_k_anonymity",
-    "quality_value_histogram",
-    "range_join_value_tiers",
-    "sample_dup_weights",
-    "sample_temperature_mixture",
-    "sample_weighted_priority",
-    "simhash_pair_search",
-    "sql_weekly_trade_report",
-    "table_scd2_history",
-    "table_user_quota",
-    "text_containment_pairs",
-    "text_incremental_dedup",
-    "text_incremental_neardup",
-    "text_levenshtein_pairs",
-    "text_ngram_novelty",
-    "text_novelty_decay",
-    "traffic_hour_heatmap",
-    "ts_autocorr_daily",
-    "ts_ewma_control",
-    "ts_seasonal_backtest",
-    "win_ntile_deciles",
-    "win_supplier_percentiles",
-    "xmodal_exact_dedup",
-    # (Rounds 1-3 window history now lives in COVERAGE.md's
-    # cross-round driver-row ledger; _PRIORITY_HEAD holds EXACTLY the
-    # current round's 50-slot window — test_priority_head_integrity
-    # pins length, uniqueness, and resolvability.)
-    # ROUND-5 rotation queue — new this round, local-gate green +
-    # verified at sf0.01 on a vanilla session, never driver-checked:
-    # embedding_sq8_codes, ann_label_precision, text_rake_keyphrases,
-    # privacy_l_diversity, flow_sq8_encode, ts_quantile_rollup,
-    # embedding_centroid_drift, text_langid_ngram, ts_series_similarity,
-    # source_minhash_jaccard, embedding_dim_stats, corpus_pmi_bigrams,
-    # embedding_pca_project, privacy_t_closeness, ann_rrf_fusion,
-    # flow_t_closeness, text_dedup_keep_best, xmodal_frame_sample,
-    # ann_pq_adc_topk, flow_anomaly_mad, flow_heavy_tokens,
-    # sample_bloom_contamination, flow_bloom_contamination,
-    # doc_perplexity_kneser_ney, sample_dsir_weights,
-    # flow_perplexity_gate, flow_dsir_gate, layout_compaction_bins,
-    # xmodal_media_stats, flow_frame_sample, ann_ivf_pq_topk,
-    # embedding_matryoshka_eval, ts_cusum_changepoints,
-    # embedding_hamming_topk, flow_cusum, xmodal_audio_windows,
-    # privacy_pseudonymize, behavior_basket_lift, ts_open_lines_daily,
-    # flow_pseudonymize, corpus_chunk_sliding, flow_chunking,
-    # doc_perplexity_heldout, graph_hits, traffic_bounce_rate,
-    # embedding_kcenter_init, corpus_countmin_tokens, flow_countmin,
-    # win_wow_change, events_dwell_median; r6 overflow: corpus_token_gini,
+    # --- Round-5 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r4). Contents =
+    # the 50 highest-priority names of the 57-query round-4 backlog
+    # (tools/gen_ledger.py::R5_QUEUE — operators added after the r4
+    # window froze, all local-gate green + sf0.01 vanilla-session
+    # pre-flighted, never driver-checked). The 7 spillovers are FROZEN
+    # as the head of the round-6 window: corpus_token_gini,
     # text_zipf_fit, flow_token_gini, ship_latency_percentiles,
     # flow_zipf, path_transition_entropy, corpus_hapax_share.
+    # After round 6 every declared query has >=1 green driver row.
+    # Round 1-4 window history: COVERAGE.md cross-round ledger. ---
+    "embedding_sq8_codes",
+    "ann_label_precision",
+    "text_rake_keyphrases",
+    "privacy_l_diversity",
+    "flow_sq8_encode",
+    "ts_quantile_rollup",
+    "embedding_centroid_drift",
+    "text_langid_ngram",
+    "ts_series_similarity",
+    "source_minhash_jaccard",
+    "embedding_dim_stats",
+    "corpus_pmi_bigrams",
+    "embedding_pca_project",
+    "privacy_t_closeness",
+    "ann_rrf_fusion",
+    "flow_t_closeness",
+    "text_dedup_keep_best",
+    "xmodal_frame_sample",
+    "ann_pq_adc_topk",
+    "flow_anomaly_mad",
+    "flow_heavy_tokens",
+    "sample_bloom_contamination",
+    "flow_bloom_contamination",
+    "doc_perplexity_kneser_ney",
+    "sample_dsir_weights",
+    "flow_perplexity_gate",
+    "flow_dsir_gate",
+    "layout_compaction_bins",
+    "xmodal_media_stats",
+    "flow_frame_sample",
+    "ann_ivf_pq_topk",
+    "embedding_matryoshka_eval",
+    "ts_cusum_changepoints",
+    "embedding_hamming_topk",
+    "flow_cusum",
+    "xmodal_audio_windows",
+    "privacy_pseudonymize",
+    "behavior_basket_lift",
+    "ts_open_lines_daily",
+    "flow_pseudonymize",
+    "corpus_chunk_sliding",
+    "flow_chunking",
+    "doc_perplexity_heldout",
+    "graph_hits",
+    "traffic_bounce_rate",
+    "embedding_kcenter_init",
+    "corpus_countmin_tokens",
+    "flow_countmin",
+    "win_wow_change",
+    "events_dwell_median",
 ]
 
 

@@ -9,7 +9,10 @@ and dashboards can assert on throughput instead of eyeballing.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
@@ -41,7 +44,13 @@ class ProgressRecorder(StreamingQueryListener):
             state = full.get("stateOperators") or []
             row["stateRows"] = sum(s.get("numRowsTotal", 0) for s in state)
         except Exception:
+            # Monitoring must never kill the query, but it must not go
+            # dark silently either (VERDICT r4 #5): record + log.
             row["stateRows"] = None
+            logger.warning(
+                "progress listener failed to parse stateOperators for "
+                "query %s batch %s", row["id"], row["batchId"], exc_info=True,
+            )
         self.progress.append(row)
 
     def onQueryIdle(self, event) -> None:
