@@ -48,7 +48,22 @@ QUERIES = [
     "text_langid_ngram",
     "doc_perplexity_kneser_ney",
     "sample_bloom_contamination",
+    # round-5 additions (VERDICT r4 #6): the newest join/iteration
+    # shapes. ann_ivf_pq_topk should hold ~linear (cell count grows
+    # with the corpus via the offset labels, per-cell size constant);
+    # graph_hits is two keyed join+agg shuffles per iteration over an
+    # edge list that grows linearly (copies are disconnected
+    # components). topk_two_sided_exact is the known exception: its
+    # query side grows with the corpus (every QUERY_MOD-th vector), so
+    # exact Q×C scoring is ARITHMETICALLY quadratic — the probe
+    # documents that lower bound; the scale path is the ANN variants.
+    "ann_ivf_pq_topk",
+    "graph_hits",
+    "topk_two_sided_exact",
 ]
+
+#: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
+STREAM_QUERIES = ["flow_left_outer"]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000
 
@@ -74,6 +89,22 @@ def synth(k: int) -> str:
         for c in range(k)
     )
     con.execute(f"COPY ({emb_sel}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
+    # graph/stream probes: copies get offset keys, so each copy is a
+    # disconnected component isomorphic to the original — node count
+    # grows with the data, per-node degree distribution is constant
+    # (the statistics-preserving construction, applied to graphs).
+    for tbl, keys in (
+        ("events", ("event_id", "user_id")),
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("lineitem", ("l_orderkey", "l_suppkey")),
+    ):
+        repl = ", ".join(f"{c} + {{off}} AS {c}" for c in keys)
+        sel = " UNION ALL ".join(
+            f"SELECT * REPLACE ({repl.format(off=c * ID_OFF)}) "
+            f"FROM read_parquet('{BASE}/{tbl}.parquet')"
+            for c in range(k)
+        )
+        con.execute(f"COPY ({sel}) TO '{out}/{tbl}.parquet' (FORMAT parquet)")
     con.close()
     return out
 
@@ -86,30 +117,31 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the Arrow/python-worker + codegen paths once, untimed
+    TBLS = ["documents", "embeddings", "events", "orders", "lineitem"]
     warm_dir = synth(1)
-    warm = {
-        "documents": spark.read.parquet(f"{warm_dir}/documents.parquet"),
-        "embeddings": spark.read.parquet(f"{warm_dir}/embeddings.parquet"),
-    }
+    warm = {t: spark.read.parquet(f"{warm_dir}/{t}.parquet") for t in TBLS}
     for q in QUERIES:
         registry.BUILDERS[q](warm).count()
+    for q in STREAM_QUERIES:
+        registry.STREAM_BUILDERS[q](spark, warm_dir).count()
 
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    all_q = QUERIES + STREAM_QUERIES
+    results: dict[str, dict[int, float]] = {q: {} for q in all_q}
     for k in SCALES:
         d = synth(k)
-        tables = {
-            "documents": spark.read.parquet(f"{d}/documents.parquet"),
-            "embeddings": spark.read.parquet(f"{d}/embeddings.parquet"),
-        }
-        for q in QUERIES:
+        tables = {t: spark.read.parquet(f"{d}/{t}.parquet") for t in TBLS}
+        for q in all_q:
             t0 = time.perf_counter()
-            n = registry.BUILDERS[q](tables).count()
+            if q in STREAM_QUERIES:
+                n = registry.STREAM_BUILDERS[q](spark, d).count()
+            else:
+                n = registry.BUILDERS[q](tables).count()
             dt = round(time.perf_counter() - t0, 3)
             results[q][k] = dt
             print(json.dumps({"query": q, "scale": k, "sec": dt, "rows": n}))
 
     summary = {}
-    for q in QUERIES:
+    for q in all_q:
         xs = [math.log(k) for k in SCALES]
         ys = [math.log(max(results[q][k], 1e-3)) for k in SCALES]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
