@@ -609,13 +609,21 @@ def neardup_drop_list(t: dict[str, DataFrame], threshold_permille: int = 300) ->
 
 
 def neardup_clusters(t: dict[str, DataFrame], threshold_permille: int = 300,
-                     max_iters: int = 5) -> DataFrame:
+                     max_iters: int = 64) -> DataFrame:
     """Transitive dedup clusters via iterative min-id label propagation
     over the verified near-dup graph: each doc's cluster id converges
     to the smallest doc_id reachable through near-dup edges. The
     iterative-algorithm pattern on DataFrames (each pass = one join +
     groupBy-min; localCheckpoint truncates the lineage so plans don't
-    grow). Declared rows-only: iteration count is data-dependent.
+    grow).
+
+    Hash-oracled since r5: the loop runs TO FIXPOINT (the break below;
+    max_iters=64 is a diameter backstop, near-dup components are
+    shallow), and the fixpoint of min-label propagation is exactly
+    connected components labeled by component-min doc_id — which a
+    DuckDB recursive CTE over the same LSH-verified edge set computes
+    in closed form. Iteration count no longer affects the result, only
+    the wall clock (≤ graph diameter + 1 passes).
     """
     pairs = (
         ngram_jaccard_pairs(t)
@@ -1013,7 +1021,7 @@ BUILDERS = {
     "simhash_docs": simhash_docs,
     "text_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "text_neardup_drop_list": neardup_drop_list,
-    "text_neardup_clusters": neardup_clusters,  # rows-only: iterative
+    "text_neardup_clusters": neardup_clusters,
     "text_incremental_dedup": incremental_dedup,
     "text_containment_pairs": containment_pairs,
     "text_levenshtein_pairs": levenshtein_pairs,
@@ -1023,6 +1031,37 @@ BUILDERS = {
     "text_novelty_decay": novelty_decay_curve,
     "source_minhash_jaccard": source_minhash_jaccard,
 }
+
+# Fixpoint of min-label propagation == connected components labeled by
+# component-min doc_id; DuckDB computes the transitive closure with a
+# recursive CTE over the SAME LSH-banded, >=300 permille-verified edges.
+ORACLES["text_neardup_clusters"] = _MINHASH_CTE.replace("WITH", "WITH RECURSIVE", 1) + f"""
+        , sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_ct
+            FROM pairs p
+            JOIN sh ta ON p.doc_a = ta.doc_id
+            JOIN sh tb ON p.doc_b = tb.doc_id AND ta.s = tb.s
+            GROUP BY p.doc_a, p.doc_b
+        ), verified AS (
+            SELECT p.doc_a, p.doc_b
+            FROM pairs p
+            JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+            JOIN sizes na ON p.doc_a = na.doc_id
+            JOIN sizes nb ON p.doc_b = nb.doc_id
+            WHERE (inter_ct * 1000) // (na.n + nb.n - inter_ct) >= 300
+        ), e AS (
+            SELECT doc_a, doc_b FROM verified
+            UNION ALL
+            SELECT doc_b, doc_a FROM verified
+        ), reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.doc_a, reach.r FROM e JOIN reach ON reach.doc_id = e.doc_b
+        )
+        SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
 
 ORACLES["source_minhash_jaccard"] = f"""
         WITH tk0 AS (

@@ -1639,6 +1639,53 @@ ORACLES: dict[str, str] = {
         JOIN all_b a ON d.bucket = a.bucket, g
         GROUP BY d.source
     """,
+    "text_ccnet_buckets": f"""
+        WITH tk0 AS (
+            SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
+        ), bg AS (
+            SELECT doc_id, lang,
+                   unnest(CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+                          ELSE [] END) AS bigram
+            FROM tk0
+        ), model AS (
+            SELECT lang, bigram, COUNT(*) AS bg_ct FROM bg GROUP BY lang, bigram
+        ), ctx AS (
+            SELECT lang, split_part(bigram, ' ', 1) AS w1, SUM(bg_ct) AS ctx_ct
+            FROM model GROUP BY lang, w1
+        ), vocab AS (
+            SELECT lang, COUNT(DISTINCT tok) AS v
+            FROM (SELECT lang, unnest(tk) AS tok FROM tk0) GROUP BY lang
+        ), scored AS (
+            SELECT m.lang, m.bigram,
+                   ln((m.bg_ct + 1)::DOUBLE / (c.ctx_ct + v.v)::DOUBLE) AS logp
+            FROM model m
+            JOIN ctx c ON m.lang = c.lang AND split_part(m.bigram, ' ', 1) = c.w1
+            JOIN vocab v ON m.lang = v.lang
+        ), nll AS (
+            SELECT bg.doc_id, round(-avg(s.logp), 6) AS avg_nll
+            FROM bg JOIN scored s ON bg.lang = s.lang AND bg.bigram = s.bigram
+            GROUP BY bg.doc_id
+        ), ranked AS (
+            SELECT n.doc_id, d.lang, n.avg_nll,
+                   ntile(3) OVER (PARTITION BY d.lang ORDER BY n.avg_nll, n.doc_id) AS bucket
+            FROM nll n JOIN documents d ON n.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, avg_nll, bucket::BIGINT AS bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+        FROM ranked
+    """,
+    "corpus_tokenizer_fertility": f"""
+        WITH c AS (
+            SELECT lang, source,
+                   len({_TOKS_D}) AS ws,
+                   len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe
+            FROM documents
+        )
+        SELECT lang, source, SUM(ws)::BIGINT AS n_words, SUM(bpe)::BIGINT AS n_subtokens,
+               ((SUM(bpe) * 1000) // SUM(ws))::BIGINT AS fertility_permille
+        FROM c GROUP BY lang, source
+    """,
     "doc_perplexity_bigram": f"""
         WITH tk0 AS (
             SELECT doc_id, lang, {_TOKS_D} AS tk FROM documents
@@ -1925,8 +1972,77 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def text_ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al., LREC
+    2020 §4.4): per language, rank documents by LM perplexity and split
+    into terciles — "head" (lowest perplexity, cleanest) feeds
+    pretraining first, "tail" is dropped or downweighted. Scoring
+    reuses the corpus-trained Laplace bigram LM
+    (:func:`doc_perplexity_bigram`), so the whole pipeline stays
+    bit-reproducible; the tercile is ``ntile(3)`` per language ordered
+    by (avg_nll, doc_id) — identical semantics in Spark and DuckDB.
+
+    Scale: the model fit is vocab-sized keyed aggregation; scoring is
+    one keyed join; the ntile window sorts each language partition —
+    CCNet itself computes cutoffs from a sample for exactly this
+    reason, so at 100 TB swap the window for sampled per-lang
+    percentile cutoffs broadcast to a map-only bucketer (the
+    stream-static gate shape flow_perplexity_gate already uses); the
+    rank-exact form here is what makes the output hash-verifiable.
+    """
+    docs = t["documents"]
+    scored = score_bigram_nll(doc_bigrams(docs), bigram_lm_table(docs))
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+    ).withColumn(
+        "bucket_label",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket").cast("int")),
+    )
+
+
+def corpus_tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
+    """Tokenizer fertility — subword tokens emitted per whitespace word,
+    the standard multilingual-tokenizer efficiency diagnostic (high
+    fertility ⇒ the tokenizer fragments that language and its docs pay
+    more sequence length per word). Per (lang, source): total BPE-ish
+    tokens, total whitespace words, integer-permille fertility ratio.
+    Map-only token counting + one keyed aggregation.
+    """
+    docs = t["documents"]
+    counted = docs.select(
+        "lang",
+        "source",
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("bpe"),
+    )
+    return (
+        counted.groupBy("lang", "source")
+        .agg(
+            F.sum("ws").alias("n_words"),
+            F.sum("bpe").alias("n_subtokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_words",
+            "n_subtokens",
+            F.expr("(n_subtokens * 1000) DIV n_words").alias("fertility_permille"),
+        )
+    )
+
+
 BUILDERS = {
     "doc_gopher_rules": rules_gopher_quality,
+    "text_ccnet_buckets": text_ccnet_buckets,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "traffic_keyword_count": traffic_keyword_count,
     "doc_token_count": doc_token_count,
     "text_quality_score": text_quality_score,
