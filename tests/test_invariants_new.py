@@ -223,3 +223,75 @@ def test_countmin_never_underestimates(tables):
     for r in rows:
         assert r["est_ct"] >= r["true_ct"], r
         assert r["overestimate"] == r["est_ct"] - r["true_ct"]
+
+
+def test_ccnet_buckets_are_balanced_terciles(tables):
+    """ntile(3) law: within each language the three buckets differ in
+    size by at most one, every scored doc lands in exactly one bucket,
+    and bucket order follows perplexity order (max NLL in head <= min
+    NLL in tail)."""
+    from collections import defaultdict
+
+    rows = _run(tables, "text_ccnet_buckets")
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            assert r["bucket"] in (1, 2, 3)
+            assert r["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[r["bucket"]]
+            sizes[r["bucket"]] += 1
+        present = [sizes[b] for b in (1, 2, 3) if sizes[b]]
+        assert max(present) - min(present) <= 1, (lang, dict(sizes))
+        head_nll = [r["avg_nll"] for r in rs if r["bucket"] == 1]
+        tail_nll = [r["avg_nll"] for r in rs if r["bucket"] == 3]
+        if head_nll and tail_nll:
+            assert max(head_nll) <= min(tail_nll), lang
+
+
+def test_ccnet_covers_every_scored_doc(tables):
+    """The bucketing partitions exactly the perplexity-scored doc set
+    (docs with >= 2 tokens) — nothing dropped, nothing invented."""
+    scored = {r["doc_id"] for r in _run(tables, "doc_perplexity_bigram")}
+    bucketed = [r["doc_id"] for r in _run(tables, "text_ccnet_buckets")]
+    assert len(bucketed) == len(set(bucketed))
+    assert set(bucketed) == scored
+
+
+def test_tokenizer_fertility_bounds(tables):
+    """The BPE-ish regex splits at least as finely as whitespace
+    tokenization on alphanumeric text (every ws token is >= 1 subtoken),
+    so fertility >= 1000 permille; totals are positive."""
+    rows = _run(tables, "corpus_tokenizer_fertility")
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0 and r["n_subtokens"] > 0
+        assert r["n_subtokens"] >= r["n_words"], r
+        assert r["fertility_permille"] >= 1000, r
+
+
+def test_neardup_clusters_closure_and_canonical_min(tables):
+    """Connected-components laws on the fixpoint labels: the cluster id
+    is a member of its own cluster (canonical representative), every
+    verified near-dup edge joins two docs with the SAME label, and the
+    label is the minimum doc_id of the cluster."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with module style)
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in _run(tables, "text_neardup_clusters")}
+    clusters = defaultdict(set)
+    for d, c in labels.items():
+        clusters[c].add(d)
+    for c, members in clusters.items():
+        assert c in members, f"cluster id {c} not a member of its own cluster"
+        assert c == min(members), f"label {c} is not the component min {min(members)}"
+    pairs = (
+        registry.BUILDERS["text_ngram_jaccard_pairs"](tables)
+        .filter("jaccard_permille >= 300")
+        .collect()
+    )
+    for p in pairs:
+        assert labels[p["doc_a"]] == labels[p["doc_b"]], (p["doc_a"], p["doc_b"])
