@@ -142,3 +142,27 @@ def test_no_orphan_oracles():
     declared = set(registry.BUILDERS) | set(registry.STREAM_BUILDERS) | registry.BENCH_ONLY
     orphans = sorted(set(registry.ORACLES) - declared)
     assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_ledger_queue_names_resolve():
+    """tools/gen_ledger.py's rotation queues must reference declared
+    queries only — a typo there silently prints a dead ledger row and,
+    worse, next round's window rotation would burn a driver slot on a
+    name that resolves to nothing (the same failure mode
+    test_priority_head_integrity pins for the live window)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_ledger",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "gen_ledger.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    declared = set(registry.BUILDERS) | set(registry.STREAM_BUILDERS)
+    for qname, q in (("R5_QUEUE", mod.R5_QUEUE), ("R6_HEAD", mod.R6_HEAD), ("R6_QUEUE", mod.R6_QUEUE)):
+        missing = sorted(q - declared)
+        assert not missing, f"{qname} names not declared: {missing}"
+    # the frozen r6 head must be exactly the R5_QUEUE names NOT in the
+    # current 50-slot window — the spillover contract from VERDICT r4 #1
+    assert mod.R6_HEAD == mod.R5_QUEUE - set(registry._PRIORITY_HEAD)
