@@ -389,9 +389,92 @@ def xmodal_media_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def xmodal_phash_neardup(t: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual-hash-style NEAR-dup search over media payloads — the
+    binary-column sibling of ``simhash_pair_search`` (exact payload
+    dedup catches only identical bytes; re-encoded/trimmed crawls need
+    a locality-sensitive fingerprint). Fingerprint: a 60-bit SimHash
+    over the payload's byte 4-grams — the codec-free stand-in for
+    pHash (with a real codec the gram stream is replaced by DCT/low-
+    frequency coefficients from the decode seam in this module; the
+    banding/verify algebra below is unchanged, which is the point).
+    Candidates share one of 4 exact 15-bit bands (pigeonhole — lossless
+    for Hamming radius ≤ 3, high-recall beyond), verified by popcount
+    of the XOR. Integer-exact end to end.
+
+    Scale: fingerprints are 8 bytes/media regardless of payload size,
+    built in ONE pass over the gram stream (60 map-side partial
+    aggregates, no bit explode); the self-join keys on (band, 15-bit
+    value) — never all-pairs (plan-asserted by the global sweep).
+    Only media with ≥ 4 payload bytes carry a fingerprint.
+    """
+    from .dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_PAIR_HAMMING_MAX,
+    )
+    from .text import H60_SPARK
+
+    k = 4
+    media = media_from_docs(t)
+    s = media.select("media_id", F.expr("decode(payload, 'utf-8')").alias("s"))
+    grams = s.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN char_length(s) >= {k} THEN "
+                f"transform(sequence(1, char_length(s) - {k - 1}), i -> substring(s, i, {k})) "
+                f"ELSE array() END"
+            )
+        ).alias("g"),
+    ).withColumn("h", F.expr(H60_SPARK.format(c="g")))
+    vote_aggs = [
+        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    combine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    ph = (
+        grams.groupBy("media_id").agg(*vote_aggs).select("media_id", F.expr(combine).alias("phash"))
+    ).localCheckpoint()
+    bands = []
+    for b in range(SIMHASH_BANDS):
+        key = F.expr(f"(phash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}")
+        bands.append(ph.select(F.lit(b).alias("band"), key.alias("bkey"), "media_id", "phash"))
+    buckets = bands[0]
+    for bb in bands[1:]:
+        buckets = buckets.unionAll(bb)
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_PAIR_HAMMING_MAX)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 BUILDERS = {
     "xmodal_media_features": xmodal_media_features,
     "xmodal_exact_dedup": xmodal_exact_dedup,
+    "xmodal_phash_neardup": xmodal_phash_neardup,
     "xmodal_frame_sample": xmodal_frame_sample,
     "xmodal_media_stats": xmodal_media_stats,
     "xmodal_audio_windows": xmodal_audio_windows,
@@ -485,3 +568,41 @@ def make_fake_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
         w, h = (rng.choice([64, 128, 256]), rng.choice([64, 128, 256]))
         rows.append((i, mime, w, h, len(payload), payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+from .dedup import (  # noqa: E402  (oracle constants shared with the text simhash)
+    SIMHASH_BAND_BITS as _SB_BITS,
+    SIMHASH_BANDS as _SB_N,
+    SIMHASH_BITS as _S_BITS,
+    SIMHASH_PAIR_HAMMING_MAX as _S_HMAX,
+)
+from .text import H60_DUCK as _H60_D  # noqa: E402
+
+ORACLES["xmodal_phash_neardup"] = f"""
+        WITH grams AS (
+            SELECT doc_id AS media_id,
+                   unnest(list_transform(range(1, length(text) - 2),
+                                         i -> substring(text, i, 4))) AS g
+            FROM documents WHERE length(text) >= 4
+        ), hashed AS (
+            SELECT media_id, {_H60_D.format(c="g")} AS h FROM grams
+        ), bits AS (
+            SELECT media_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hashed, range({_S_BITS}) r(j)
+            GROUP BY media_id, j
+        ), ph AS (
+            SELECT media_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS phash
+            FROM bits GROUP BY media_id
+        ), buckets AS (
+            SELECT b AS band, (phash >> (b * {_SB_BITS})) & {(1 << _SB_BITS) - 1} AS bkey,
+                   media_id, phash
+            FROM ph, range({_SB_N}) r(b)
+        ), cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                   a.phash AS ph_a, b.phash AS ph_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+        )
+        SELECT media_a, media_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_S_HMAX}
+    """

@@ -301,6 +301,47 @@ def dsir_score(feat: DataFrame, ratios: DataFrame) -> DataFrame:
     )
 
 
+def contaminated_spans(t: dict[str, DataFrame]) -> DataFrame:
+    """Longest contaminated RUN — the span-level decontamination
+    diagnostic (GPT-3 appendix C / PaLM treat a long contiguous
+    benchmark overlap as an eval leak even when the doc's overall
+    overlap fraction is low; :func:`benchmark_contamination` measures
+    only the fraction). Positional 3-gram shingles (posexplode, NOT
+    distinct — runs are positional), benchmark membership via a
+    broadcast join on the shingle, then gaps-and-islands
+    (pos − row_number over hit positions) to find each doc's longest
+    consecutive hit run.
+
+    Scale: the benchmark shingle set broadcasts (eval suites are tiny
+    by construction); the corpus side is one keyed window per doc over
+    HIT positions only — state is O(contaminated positions), never
+    O(corpus shingles); everything else is map + keyed agg.
+    """
+    docs = t["documents"]
+    tk = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = tk.select(
+        "doc_id", F.posexplode(F.expr(shingles_from_tokens("tk", 3))).alias("pos", "s")
+    )
+    bench = F.broadcast(sh.filter(F.col("doc_id") < 10).select("s").distinct())
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        corpus.join(bench, "s")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("runlen"))
+        .groupBy("doc_id")
+        .agg(F.max("runlen").alias("mx"), F.sum("runlen").alias("nh"))
+    )
+    return totals.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("nh", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("mx", F.lit(0)).cast("bigint").alias("max_contaminated_run"),
+    )
+
+
 def repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
     """Doc-internal repetition: 1000 × (1 − distinct/total 3-gram
     shingles) — the boilerplate/looping-text quality signal (Gopher
@@ -809,6 +850,34 @@ ORACLES: dict[str, str] = {
                (bench_hits * 1000) // n_shingles AS contamination_permille
         FROM scored
     """,
+    "sample_contaminated_spans": f"""
+        WITH tk0 AS (
+            SELECT doc_id, {_TOKS_D} AS tk FROM documents
+        ), sh0 AS (
+            SELECT doc_id, {_SH3_D} AS sh FROM tk0
+        ), pos AS (
+            SELECT doc_id, unnest(sh) AS s, unnest(range(1, len(sh) + 1)) AS pos
+            FROM sh0
+        ), bench AS (
+            SELECT DISTINCT s FROM pos WHERE doc_id < 10
+        ), corpus AS (
+            SELECT * FROM pos WHERE doc_id >= 10
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+        ), hits AS (
+            SELECT c.doc_id, c.pos,
+                   c.pos - row_number() OVER (PARTITION BY c.doc_id ORDER BY c.pos) AS grp
+            FROM corpus c JOIN bench b ON c.s = b.s
+        ), runs AS (
+            SELECT doc_id, grp, COUNT(*) AS runlen FROM hits GROUP BY doc_id, grp
+        ), agg AS (
+            SELECT doc_id, MAX(runlen) AS mx, SUM(runlen) AS nh FROM runs GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_shingles,
+               coalesce(a.nh, 0)::BIGINT AS n_hits,
+               coalesce(a.mx, 0)::BIGINT AS max_contaminated_run
+        FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
     "sample_bloom_contamination": f"""
         WITH tk0 AS (
             SELECT doc_id, {_TOKS_D} AS tk FROM documents
@@ -983,6 +1052,7 @@ BUILDERS = {
     "corpus_train_test_split": corpus_train_test_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,
+    "sample_contaminated_spans": contaminated_spans,
     "sample_bloom_contamination": bloom_contamination,
     "sample_dsir_weights": dsir_weights,
     "repetition_ratio": repetition_ratio,

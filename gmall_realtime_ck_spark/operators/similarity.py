@@ -2406,6 +2406,96 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def embedding_recall_at_k(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the IVF-PQ index against the EXACT integer-L2 ground
+    truth on the same corpus split — the eval every vector store runs
+    after (re)building an index to pick nlist/nprobe/subspaces (FAISS
+    benchmarks report exactly this curve). Both legs are deterministic
+    and integer-exact, so recall itself is hash-verifiable — unusual
+    and valuable: index-quality regressions show up as value changes,
+    not statistical drift.
+
+    Ground truth: full-vector micro-unit squared-L2 top-k, computed
+    with the chunked two-sided shape (:func:`topk_two_sided_exact`):
+    corpus chunks via a static hash, queries replicated per chunk,
+    per-chunk local top-k, global window — exact Q×C scoring without
+    collecting either side (the chunking never changes the RESULT, so
+    the all-pairs SQL oracle stays valid). The approximate leg is
+    :func:`ann_ivf_pq_topk` unchanged. recall_e4 = hits·10⁴ / k.
+
+    Scale: the exact leg is the designed Q×C arithmetic bound
+    (SCALE.md documents it on topk_two_sided_exact) — production runs
+    this eval on a SAMPLED query set, which this operator models with
+    the QUERY_MOD subset.
+    """
+    emb = _emb_micro(t)
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0).select(
+        "vec_id",
+        "xm",
+        F.pmod(F.xxhash64("vec_id"), F.lit(TWO_SIDED_CHUNKS)).alias("chunk"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("xm").alias("qm"),
+        F.explode(F.sequence(F.lit(0), F.lit(TWO_SIDED_CHUNKS - 1))).alias("q_chunk"),
+    )
+    scored = corpus.join(queries, F.col("chunk") == F.col("q_chunk")).withColumn(
+        "d",
+        F.expr("aggregate(zip_with(qm, xm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"),
+    )
+    local_w = Window.partitionBy("q_id", "chunk").orderBy(F.asc("d"), F.asc("vec_id"))
+    local_top = scored.withColumn("lr", F.row_number().over(local_w)).filter(
+        F.col("lr") <= TOP_K
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    gt = (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    approx = ann_ivf_pq_topk(t).select("q_id", "neighbor_id")
+    hits = gt.join(approx, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        gt.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(h, 0) * 10000 DIV {TOP_K}").cast("bigint").alias("recall_e4"),
+        )
+    )
+
+
+ORACLES["embedding_recall_at_k"] = f"""
+        WITH ex AS (
+            SELECT vec_id, i, CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xm
+            FROM embeddings, range(1, 65) r(i)
+        ), dd AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   SUM((q.xm - c.xm) * (q.xm - c.xm))::BIGINT AS d
+            FROM ex q JOIN ex c USING (i)
+            WHERE q.vec_id % {QUERY_MOD} = 0 AND c.vec_id % {QUERY_MOD} <> 0
+            GROUP BY q.vec_id, c.vec_id
+        ), gt AS (
+            SELECT q_id, neighbor_id FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor_id) AS rn
+                FROM dd
+            ) WHERE rn <= {TOP_K}
+        ), hits AS (
+            SELECT gt.q_id, COUNT(*) AS h
+            FROM gt JOIN ({ORACLES["ann_ivf_pq_topk"]}) ap
+              ON gt.q_id = ap.q_id AND gt.neighbor_id = ap.neighbor_id
+            GROUP BY gt.q_id
+        )
+        SELECT q.q_id, coalesce(h, 0)::BIGINT AS hits,
+               (coalesce(h, 0) * 10000 // {TOP_K})::BIGINT AS recall_e4
+        FROM (SELECT DISTINCT q_id FROM gt) q LEFT JOIN hits ON q.q_id = hits.q_id
+    """
+
 BUILDERS = {
     "cosine_topk": cosine_topk,
     "cosine_topk_pandas": cosine_topk_pandas,
@@ -2432,4 +2522,5 @@ BUILDERS = {
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_project": embedding_pca_project,
     "ann_rrf_fusion": ann_rrf_fusion,
+    "embedding_recall_at_k": embedding_recall_at_k,
 }

@@ -714,6 +714,39 @@ def flow_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility as a live monitor: per-(lang, source) word
+    and subtoken totals maintained as ONE keyed complete-mode
+    aggregation over the arriving document shards, with the permille
+    ratio computed at poll time — the dashboard a multilingual ingest
+    keeps to catch a tokenizer fragmenting a new language/source mix.
+    Counting is per-row and order-independent, so the final table
+    equals the batch rollup and the corpus_tokenizer_fertility oracle
+    applies verbatim. State is O(lang × source) — dozens of rows.
+    """
+    from ..operators.text import BPE_RE, TOKENS_SPARK
+
+    docs = documents_file_stream(spark, sf_dir)
+    counted = docs.select(
+        "lang",
+        "source",
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("bpe"),
+    )
+    agg = counted.groupBy("lang", "source").agg(
+        F.sum("ws").alias("n_words"), F.sum("bpe").alias("n_subtokens")
+    )
+    return _run_to_memory(agg, "complete").select(
+        "lang",
+        "source",
+        "n_words",
+        "n_subtokens",
+        F.expr("(n_subtokens * 1000) DIV n_words").alias("fertility_permille"),
+    )
+
+
 def flow_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static Bloom contamination screen: the benchmark Bloom
     filter builds ONCE from the static corpus (bounded word-table
@@ -1033,6 +1066,7 @@ STREAM_BUILDERS = {
     "flow_user_quota": flow_user_quota,
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
+    "flow_tokenizer_fertility": flow_tokenizer_fertility,
     "flow_bloom_contamination": flow_bloom_contamination,
     "flow_perplexity_gate": flow_perplexity_gate,
     "flow_dsir_gate": flow_dsir_gate,
@@ -1108,6 +1142,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
+        "flow_tokenizer_fertility": TXT["corpus_tokenizer_fertility"],
         "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
         "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
         "flow_dsir_gate": SAMP["sample_dsir_weights"],

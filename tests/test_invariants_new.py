@@ -295,3 +295,59 @@ def test_neardup_clusters_closure_and_canonical_min(tables):
     )
     for p in pairs:
         assert labels[p["doc_a"]] == labels[p["doc_b"]], (p["doc_a"], p["doc_b"])
+
+
+def test_contaminated_spans_bounds(tables):
+    """Gaps-and-islands laws: the longest run is bounded by the hit
+    count, hits by the shingle count; agreement with the fraction
+    screen's per-doc totals (same 3-gram geometry, positional here vs
+    distinct there: positional hits >= distinct hits only when shingles
+    repeat, but a doc with zero distinct hits must have zero runs)."""
+    spans = {r["doc_id"]: r for r in _run(tables, "sample_contaminated_spans")}
+    assert spans
+    for r in spans.values():
+        assert 0 <= r["max_contaminated_run"] <= r["n_hits"] <= r["n_shingles"]
+    frac = {r["doc_id"]: r for r in _run(tables, "sample_contamination")}
+    for d, r in frac.items():
+        if r["bench_hits"] == 0 and d in spans:
+            assert spans[d]["n_hits"] == 0, d
+
+
+def test_phash_neardup_laws(tables):
+    """Banded Hamming pair search laws: ordered pairs, hamming within
+    the declared radius, and exact payload duplicates (same bytes ⇒
+    same fingerprint) appear with hamming 0."""
+    from gmall_realtime_ck_spark.operators.dedup import SIMHASH_PAIR_HAMMING_MAX
+
+    pairs = _run(tables, "xmodal_phash_neardup")
+    assert pairs
+    seen = set()
+    for p in pairs:
+        assert p["media_a"] < p["media_b"]
+        assert 0 <= p["hamming"] <= SIMHASH_PAIR_HAMMING_MAX
+        assert (p["media_a"], p["media_b"]) not in seen
+        seen.add((p["media_a"], p["media_b"]))
+    dup_pairs = {}
+    for r in _run(tables, "xmodal_exact_dedup"):
+        dup_pairs.setdefault(r["h"], []).append(r["media_id"])
+    ham = {(p["media_a"], p["media_b"]): p["hamming"] for p in pairs}
+    for ids in dup_pairs.values():
+        ids = sorted(ids)
+        for other in ids[1:]:
+            # identical payloads: identical fingerprint -> every band
+            # collides -> pair MUST be reported, at distance zero
+            assert ham.get((ids[0], other)) == 0, (ids[0], other)
+
+
+def test_recall_at_k_bounds_and_self_consistency(tables):
+    """recall@k laws: one row per query of the IVF-PQ run, hits within
+    [0, k], recall_e4 = hits * 10000 / k exactly."""
+    from gmall_realtime_ck_spark.operators.similarity import TOP_K
+
+    rows = _run(tables, "embedding_recall_at_k")
+    assert rows
+    q_ivf = {r["q_id"] for r in _run(tables, "ann_ivf_pq_topk")}
+    assert {r["q_id"] for r in rows} == q_ivf
+    for r in rows:
+        assert 0 <= r["hits"] <= TOP_K
+        assert r["recall_e4"] == r["hits"] * 10000 // TOP_K
