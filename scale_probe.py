@@ -12,13 +12,16 @@ Scale-up construction (statistics-preserving, not dup-injecting):
 naively concatenating the corpus K× would make every document an exact
 near-duplicate of its K-1 copies — candidate pairs would grow O(K²) BY
 CONSTRUCTION and measure the data, not the algorithm. Instead each copy
-k gets (a) offset doc_ids/vec_ids, (b) every token prefixed with `c{k}`
-so cross-copy shingle/minhash/simhash similarity is zero while
-WITHIN-copy near-dup structure is isomorphic to the original, and
-(c) offset embedding labels so cluster sizes stay constant and cluster
-count grows with the corpus (exactly how IVF cell counts scale in
-production). Result: a K× corpus with the same per-unit duplicate rate,
-so measured growth is the operator's, not the generator's.
+k gets (a) offset doc_ids/vec_ids, (b) a per-copy SUBSTITUTION CIPHER
+over [a-z0-9] (alphabet rotated by k) so every token — and every
+character n-gram, which a prefix scheme would NOT disjoin — maps 1:1
+to a copy-unique twin: cross-copy shingle/minhash/simhash/byte-gram
+similarity is zero while WITHIN-copy near-dup structure is exactly
+isomorphic to the original, and (c) offset embedding labels so cluster
+sizes stay constant and cluster count grows with the corpus (exactly
+how IVF cell counts scale in production). Result: a K× corpus with the
+same per-unit duplicate rate, so measured growth is the operator's,
+not the generator's.
 
 Outputs one JSON line per (query, scale) and a final summary with
 fitted exponents. Scratch parquet lives under ./scale_data (gitignored).
@@ -60,6 +63,17 @@ QUERIES = [
     "ann_ivf_pq_topk",
     "graph_hits",
     "topk_two_sided_exact",
+    # round-5 late additions: both banded/bounded by design —
+    # contaminated spans is map + broadcast-join + hit-only windows;
+    # phash near-dup is the simhash posture on byte 4-grams. The gram
+    # operators are WHY the copy transform below is a substitution
+    # cipher, not a token prefix: a prefix leaves interior character
+    # grams identical across copies, so every copy-twin pair would
+    # collide in fingerprint space and pair count would grow O(K²) BY
+    # CONSTRUCTION — the exact generator artifact the docstring warns
+    # about, just at gram rather than token granularity.
+    "sample_contaminated_spans",
+    "xmodal_phash_neardup",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -74,9 +88,15 @@ def synth(k: int) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rot(c: int) -> str:
+        s = (c * 7) % len(alpha) or 1  # coprime stride; never identity for c>0
+        return alpha[s:] + alpha[:s]
+
     docs_sel = " UNION ALL ".join(
         f"""SELECT doc_id + {c * ID_OFF} AS doc_id,
-               {'text' if c == 0 else f"array_to_string(list_transform(string_split(text, ' '), t -> 'c{c}' || t), ' ')"} AS text,
+               {'text' if c == 0 else f"translate(text, '{alpha}', '{rot(c)}')"} AS text,
                lang, source, n_chars
             FROM read_parquet('{BASE}/documents.parquet')"""
         for c in range(k)
