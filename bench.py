@@ -58,21 +58,39 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def timed(name, run, tag=""):
-        t0 = time.perf_counter()
-        try:
-            n = run().count()
-        except Exception as exc:  # one bad query must not sink the whole bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            return
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s{tag}", file=sys.stderr)
+    # Min-of-N timing (default 2): every round's cross-round comparison
+    # has been polluted by one-shot cold-path noise (identical-code
+    # swings of 0.2→3.9 s documented in COVERAGE.md; r4's flow_daily_uv
+    # and graph_pagerank "regressions" both vanished on a warm re-time).
+    # The min over two executions is the standard way to report the
+    # code's cost rather than the JVM's mood; set SPARK_GRAFT_BENCH_RUNS=1
+    # to reproduce the old single-shot behavior.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    def timed(name, run, tag="", runs=None):
+        best, rows = None, 0
+        for _ in range(runs or n_runs):
+            t0 = time.perf_counter()
+            try:
+                rows = run().count()
+            except Exception as exc:  # one bad query must not sink the whole bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                return
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {rows} rows in {timings[name]:.3f}s{tag}", file=sys.stderr)
 
     for name in sorted(registry.BUILDERS):
         timed(name, lambda: registry.BUILDERS[name](tables))
+    # streaming runs stay single-shot: their cost IS the fixed
+    # state-store/commit overhead (re-running doubles the most
+    # expensive third of the bench for no extra signal), and each run
+    # re-executes the full bounded pipeline anyway — there is no
+    # cold/warm asymmetry to strip.
     for name in sorted(registry.STREAM_BUILDERS):
-        timed(name, lambda: registry.STREAM_BUILDERS[name](spark, sf_dir), " (streaming)")
+        timed(name, lambda: registry.STREAM_BUILDERS[name](spark, sf_dir), " (streaming)", runs=1)
 
     total = round(sum(timings.values()), 3)
     # Full record first (queries lead, headline keys LAST so a tail
