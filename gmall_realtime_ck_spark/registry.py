@@ -110,7 +110,14 @@ _PRIORITY_HEAD = [
     # as the head of the round-6 window: corpus_token_gini,
     # text_zipf_fit, flow_token_gini, ship_latency_percentiles,
     # flow_zipf, path_transition_entropy, corpus_hapax_share.
-    # After round 6 every declared query has >=1 green driver row.
+    # Behind them queue the 6 post-window round-5 additions
+    # (tools/gen_ledger.py::R6_QUEUE): text_ccnet_buckets,
+    # corpus_tokenizer_fertility, sample_contaminated_spans,
+    # flow_tokenizer_fertility, xmodal_phash_neardup,
+    # embedding_recall_at_k — 13 names total, well inside the 50-slot
+    # round-6 window, so after round 6 every declared query has >=1
+    # green driver row. All 13 are preflighted green at sf0.01
+    # (tools/preflight.py, vanilla session).
     # Round 1-4 window history: COVERAGE.md cross-round ledger. ---
     "embedding_sq8_codes",
     "ann_label_precision",
