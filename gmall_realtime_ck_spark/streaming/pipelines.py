@@ -792,6 +792,76 @@ def flow_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(score_bigram_nll(bg_stream, model), "complete")
 
 
+def flow_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static CCNet bucketing of arriving shards: the Laplace
+    bigram LM fits ONCE on the static corpus (flow_perplexity_gate's
+    model leg), every arriving document scores against it
+    stream-static with the per-doc NLL rollup in complete mode, and
+    the head/middle/tail tercile is assigned at poll time by the same
+    per-language ntile window over the collected score table (the
+    post-stream ranking step — flow_funnel's collect-then-aggregate
+    pattern). Model and corpus coincide with the batch operator's, so
+    the text_ccnet_buckets oracle applies verbatim; in production the
+    poll-time window is replaced by sampled percentile cutoffs
+    broadcast into the map (the batch docstring's 100 TB note).
+    """
+    from pyspark.sql import Window
+
+    from ..catalog import load_tables
+    from ..operators.text import bigram_lm_table, doc_bigrams, score_bigram_nll
+
+    docs_static = load_tables(spark, sf_dir)["documents"]
+    model = bigram_lm_table(docs_static)
+    stream = documents_file_stream(spark, sf_dir)
+    bg_stream = doc_bigrams(stream)
+    scored = _run_to_memory(score_bigram_nll(bg_stream, model), "complete")
+    ranked = scored.join(docs_static.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+    ).withColumn(
+        "bucket_label",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket").cast("int"),
+        ),
+    )
+
+
+def flow_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-internal repetition screening on the live ingest: the
+    Gopher boilerplate signal (1000 × (1 − distinct/total 3-gram
+    shingles)) computed per arriving document; each doc's score is
+    independent of every other, so the final table equals the batch
+    screen and the repetition_ratio oracle applies verbatim.
+
+    Stream-legal twist: the batch operator counts distinct shingles
+    via explode + countDistinct, which streaming forbids — but a
+    document's shingles all live in ITS OWN row, so the whole screen
+    collapses to a per-row map (``size`` / ``size∘array_distinct`` on
+    the shingle array): no shuffle, no state, append mode. The batch
+    rollup keys on doc_id anyway, so the values are identical.
+    """
+    from ..operators.sampling import TOKENS_SPARK, shingles_from_tokens
+
+    docs = documents_file_stream(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.expr(shingles_from_tokens(TOKENS_SPARK.format(c="text"), 3)).alias("sha")
+    ).filter(F.size("sha") >= 1)
+    out = sh.select(
+        "doc_id",
+        F.size("sha").cast("bigint").alias("total_shingles"),
+        F.size(F.array_distinct("sha")).cast("bigint").alias("distinct_shingles"),
+    ).withColumn(
+        "repetition_permille",
+        F.expr("((total_shingles - distinct_shingles) * 1000) DIV total_shingles"),
+    )
+    return _run_to_memory(out, "append")
+
+
 def flow_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static DSIR gate: the per-feature log importance ratio
     table fits ONCE on the static corpus (≤ DSIR_DIM rows, broadcast)
@@ -1067,6 +1137,8 @@ STREAM_BUILDERS = {
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
     "flow_tokenizer_fertility": flow_tokenizer_fertility,
+    "flow_ccnet_gate": flow_ccnet_gate,
+    "flow_repetition": flow_repetition,
     "flow_bloom_contamination": flow_bloom_contamination,
     "flow_perplexity_gate": flow_perplexity_gate,
     "flow_dsir_gate": flow_dsir_gate,
@@ -1143,6 +1215,8 @@ def stream_oracles() -> dict[str, str]:
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_tokenizer_fertility": TXT["corpus_tokenizer_fertility"],
+        "flow_ccnet_gate": TXT["text_ccnet_buckets"],
+        "flow_repetition": SAMP["repetition_ratio"],
         "flow_bloom_contamination": SAMP["sample_bloom_contamination"],
         "flow_perplexity_gate": TXT["doc_perplexity_bigram"],
         "flow_dsir_gate": SAMP["sample_dsir_weights"],
