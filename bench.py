@@ -42,7 +42,9 @@ def main() -> int:
     # alphabetically-first timed queries don't absorb one-time process
     # costs (JIT, janino compile, Python worker pool spin-up) — measured
     # up to tens of seconds on a cold JVM, pure noise for per-query
-    # comparisons. Each query is still timed on a single execution.
+    # comparisons. (Batch queries are additionally timed min-of-N —
+    # see n_runs below — but this warmup still matters: it keeps the
+    # FIRST of those runs from absorbing process-wide one-time costs.)
     for warm_name in (
         "q1_pricing_summary",   # scan + codegen agg
         "win_running_gmv",      # window function path
@@ -76,9 +78,12 @@ def main() -> int:
             except Exception as exc:  # one bad query must not sink the whole bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-                return
+                break  # keep an earlier successful run's timing, if any
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        if best is None:
+            return  # every run errored
+        errors.pop(name, None)  # at least one run succeeded — it counts
         timings[name] = round(best, 3)
         print(f"# {name}: {rows} rows in {timings[name]:.3f}s{tag}", file=sys.stderr)
 

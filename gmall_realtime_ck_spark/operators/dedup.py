@@ -663,10 +663,18 @@ def neardup_clusters(t: dict[str, DataFrame], threshold_permille: int = 300,
             .count()
             == 0
         ):
-            labels = new_labels
-            break
+            return new_labels
         labels = new_labels
-    return labels
+    # The hash oracle (recursive-CTE connected components) assumes the
+    # FIXPOINT was reached; returning partially propagated labels here
+    # would surface as an inexplicable red driver row. Fail loudly —
+    # a component with min-label eccentricity > max_iters needs the
+    # backstop raised (or a doubling-style CC algorithm), not silence.
+    raise RuntimeError(
+        f"neardup_clusters did not converge within max_iters={max_iters}; "
+        "labels are not a fixpoint and would diverge from the "
+        "connected-components oracle"
+    )
 
 
 # ---------------------------------------------------------------------------

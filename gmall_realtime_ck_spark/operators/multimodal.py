@@ -22,6 +22,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import (
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_PAIR_HAMMING_MAX,
+)
+from .text import H60_DUCK, H60_SPARK
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -408,14 +416,6 @@ def xmodal_phash_neardup(t: dict[str, DataFrame]) -> DataFrame:
     value) — never all-pairs (plan-asserted by the global sweep).
     Only media with ≥ 4 payload bytes carry a fingerprint.
     """
-    from .dedup import (
-        SIMHASH_BAND_BITS,
-        SIMHASH_BANDS,
-        SIMHASH_BITS,
-        SIMHASH_PAIR_HAMMING_MAX,
-    )
-    from .text import H60_SPARK
-
     k = 4
     media = media_from_docs(t)
     s = media.select("media_id", F.expr("decode(payload, 'utf-8')").alias("s"))
@@ -570,14 +570,6 @@ def make_fake_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-from .dedup import (  # noqa: E402  (oracle constants shared with the text simhash)
-    SIMHASH_BAND_BITS as _SB_BITS,
-    SIMHASH_BANDS as _SB_N,
-    SIMHASH_BITS as _S_BITS,
-    SIMHASH_PAIR_HAMMING_MAX as _S_HMAX,
-)
-from .text import H60_DUCK as _H60_D  # noqa: E402
-
 ORACLES["xmodal_phash_neardup"] = f"""
         WITH grams AS (
             SELECT doc_id AS media_id,
@@ -585,18 +577,18 @@ ORACLES["xmodal_phash_neardup"] = f"""
                                          i -> substring(text, i, 4))) AS g
             FROM documents WHERE length(text) >= 4
         ), hashed AS (
-            SELECT media_id, {_H60_D.format(c="g")} AS h FROM grams
+            SELECT media_id, {H60_DUCK.format(c="g")} AS h FROM grams
         ), bits AS (
             SELECT media_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-            FROM hashed, range({_S_BITS}) r(j)
+            FROM hashed, range({SIMHASH_BITS}) r(j)
             GROUP BY media_id, j
         ), ph AS (
             SELECT media_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS phash
             FROM bits GROUP BY media_id
         ), buckets AS (
-            SELECT b AS band, (phash >> (b * {_SB_BITS})) & {(1 << _SB_BITS) - 1} AS bkey,
+            SELECT b AS band, (phash >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS bkey,
                    media_id, phash
-            FROM ph, range({_SB_N}) r(b)
+            FROM ph, range({SIMHASH_BANDS}) r(b)
         ), cand AS (
             SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
                    a.phash AS ph_a, b.phash AS ph_b
@@ -604,5 +596,5 @@ ORACLES["xmodal_phash_neardup"] = f"""
               ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
         )
         SELECT media_a, media_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
-        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_S_HMAX}
+        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {SIMHASH_PAIR_HAMMING_MAX}
     """

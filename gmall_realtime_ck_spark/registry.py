@@ -110,13 +110,15 @@ _PRIORITY_HEAD = [
     # as the head of the round-6 window: corpus_token_gini,
     # text_zipf_fit, flow_token_gini, ship_latency_percentiles,
     # flow_zipf, path_transition_entropy, corpus_hapax_share.
-    # Behind them queue the 6 post-window round-5 additions
-    # (tools/gen_ledger.py::R6_QUEUE): text_ccnet_buckets,
-    # corpus_tokenizer_fertility, sample_contaminated_spans,
-    # flow_tokenizer_fertility, xmodal_phash_neardup,
-    # embedding_recall_at_k — 13 names total, well inside the 50-slot
-    # round-6 window, so after round 6 every declared query has >=1
-    # green driver row. All 13 are preflighted green at sf0.01
+    # Behind them queue the post-window round-5 additions — the
+    # authoritative list is tools/gen_ledger.py::R6_QUEUE (pinned to
+    # declared names by test_ledger_queue_names_resolve; 8 names as of
+    # end of round 5): text_ccnet_buckets, corpus_tokenizer_fertility,
+    # sample_contaminated_spans, flow_tokenizer_fertility,
+    # xmodal_phash_neardup, embedding_recall_at_k, flow_ccnet_gate,
+    # flow_repetition. 15 names total, well inside the 50-slot round-6
+    # window, so after round 6 every declared query has >=1 green
+    # driver row. All are preflighted green at sf0.01
     # (tools/preflight.py, vanilla session).
     # Round 1-4 window history: COVERAGE.md cross-round ledger. ---
     "embedding_sq8_codes",

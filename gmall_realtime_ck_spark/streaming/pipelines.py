@@ -11,6 +11,7 @@ mirroring how each reference app is Kafka-in/Kafka-or-OLAP-out
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -1063,7 +1064,14 @@ def flow_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(d)
-    return keyword_pipeline_stream(spark, d, size="1 hour")
+    try:
+        # the memory-sink result is fully materialized by the bounded
+        # run, so the staged topic files can be deleted immediately —
+        # at sf0.1+ they are tens of MB per invocation and bench/tests
+        # call this repeatedly
+        return keyword_pipeline_stream(spark, d, size="1 hour")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def flow_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,11 +82,22 @@ ID_OFF = 10_000_000
 LABEL_OFF = 100_000
 
 
+#: bump when synth()'s construction changes — stale dirs from an older
+#: scheme would silently reintroduce the very generator artifacts the
+#: current scheme exists to avoid (the prefix→cipher change is exactly
+#: such a case), so the cache is keyed on this marker.
+SCHEME = "cipher-v2-events"
+
+
 def synth(k: int) -> str:
     out = os.path.join(SCRATCH, f"x{k}")
+    marker = os.path.join(out, f".scheme-{SCHEME}")
     if os.path.isdir(out):
-        return out
+        if os.path.exists(marker):
+            return out
+        shutil.rmtree(out)  # stale scheme — regenerate
     os.makedirs(out, exist_ok=True)
+    open(marker, "w").close()
     con = duckdb.connect()
     alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
 

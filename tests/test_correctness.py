@@ -26,26 +26,15 @@ def _normalize(rows, columns):
     str(x), passed it. Reject non-scalar cells outright so the local
     gate is at least as strict as the driver for every value it can
     see (the schema-level lint in test_oracle_schema.py catches the
-    empty-result case too).
-    """
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, (list, tuple, dict, set, bytearray)) or type(v).__name__ == "Row":
-                raise AssertionError(
-                    f"non-scalar value in column {columns[i]!r}: {type(v).__name__} — "
-                    "the driver canonicalizer cannot hash list/struct/map cells; "
-                    "stringify (array_join / to_json) in BOTH engines"
-                )
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return [columns[i] for i in order], out
+    empty-result case too). The canonical form itself lives in
+    gmall_realtime_ck_spark.canon, SHARED with tools/preflight.py so
+    the two local gates can never drift apart (r5 review finding)."""
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    try:
+        return canonicalize(rows, columns)
+    except TypeError as exc:
+        raise AssertionError(str(exc)) from None
 
 
 @pytest.mark.parametrize("name", ORACLED)

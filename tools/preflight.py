@@ -38,29 +38,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _canon(rows: list[tuple], columns: list[str], name: str):
-    """Driver-shaped canonical form: columns sorted by name, scalar
-    cells only, floats rounded, rows sorted; returns (schema, hash)."""
+    """Driver-shaped canonical form, delegating to the ONE shared
+    canonicalizer (gmall_realtime_ck_spark.canon — also used by the
+    pytest gate, so the two local gates cannot drift); returns
+    (schema, hash). Hashing goes through the pandas string repr to
+    catch NaN/None and dtype divergence the tuple compare can mask."""
     import pandas as pd
 
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    cols = [columns[i] for i in order]
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, (list, tuple, dict, set, bytes, bytearray)) or type(v).__name__ == "Row":
-                raise TypeError(
-                    f"{name}: non-scalar cell in column {columns[i]!r} "
-                    f"({type(v).__name__}) — the driver canonicalizer rejects this"
-                )
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    # Hash through pandas string repr — catches NaN/None and dtype
-    # divergence the tuple compare can mask.
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    cols, out = canonicalize(rows, columns)
     df = pd.DataFrame(out, columns=cols)
     payload = df.astype(str).to_csv(index=False).encode()
     return cols, hashlib.sha256(payload).hexdigest()
