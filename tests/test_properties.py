@@ -343,3 +343,82 @@ def test_ntile_deciles_are_balanced(spark, spends):
     sizes = [r["n_customers"] for r in out]
     assert sum(sizes) == len(spends)
     assert max(sizes) - min(sizes) <= 1
+
+
+# ---------------------------------------------------------------------------
+# canon.canonicalize — the ONE driver-shaped canonicalizer behind both
+# local gates (pytest + preflight); pure Python, so hypothesis can hit
+# it hard without a SparkSession
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=12),
+    st.booleans(),
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=5).flatmap(
+        lambda ncols: st.tuples(
+            st.lists(
+                st.text(
+                    alphabet="abcdefghij_", min_size=1, max_size=8
+                ),
+                min_size=ncols,
+                max_size=ncols,
+                unique=True,
+            ),
+            st.lists(
+                st.lists(_cell, min_size=ncols, max_size=ncols).map(tuple),
+                max_size=30,
+            ),
+        )
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_canonicalize_invariant_under_row_and_column_permutation(data, rnd):
+    """The driver compare is order-insensitive: permuting the rows AND
+    consistently permuting the columns of a result must yield the
+    identical canonical form — the property the whole oracle-hash gate
+    rests on."""
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    columns, rows = data
+    base = canonicalize(rows, columns)
+
+    shuffled_rows = list(rows)
+    rnd.shuffle(shuffled_rows)
+    perm = list(range(len(columns)))
+    rnd.shuffle(perm)
+    perm_cols = [columns[i] for i in perm]
+    perm_rows = [tuple(r[i] for i in perm) for r in shuffled_rows]
+
+    assert canonicalize(perm_rows, perm_cols) == base
+
+
+@given(st.sampled_from([[1, 2], (1,), {"k": 1}, {1, 2}, b"\x00", bytearray(b"x")]))
+@settings(max_examples=6, deadline=None)
+def test_canonicalize_rejects_every_nonscalar_kind(bad):
+    """bytes/bytearray/list/tuple/dict/set cells must ALL raise — the
+    r3 incident class (driver red, local green) and its binary cousin."""
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    with pytest.raises(TypeError):
+        canonicalize([(1, bad)], ["a", "b"])
+
+
+def test_canonicalize_float_rounding_and_none_sort():
+    """round(9) unifies float noise below the driver's tolerance, and
+    None sorts after every real value (None-aware key) instead of
+    raising on the str comparison."""
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    a = canonicalize([(0.1 + 0.2,)], ["x"])
+    b = canonicalize([(0.3 + 1e-15,)], ["x"])
+    assert a == b
+    cols, rows = canonicalize([(None,), (5,), (1,)], ["x"])
+    assert rows == [(1,), (5,), (None,)]
