@@ -633,7 +633,10 @@ def events_dwell_median(t: dict[str, DataFrame]) -> DataFrame:
     )
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.expr("cast(percentile(dwell_us, 0.5) as bigint)").alias("median_dwell_us"),
+        # explicit floor: with an even gap count the interpolated median
+        # lands on x.5, where Spark's double->bigint cast TRUNCATES but
+        # DuckDB's ROUNDS - found as a real off-by-one at sf0.1 (r5)
+        F.expr("cast(floor(percentile(dwell_us, 0.5)) as bigint)").alias("median_dwell_us"),
     )
 
 
@@ -2663,7 +2666,7 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT event_type, COUNT(*) AS n_gaps,
-               CAST(quantile_cont(dwell_us, 0.5) AS BIGINT) AS median_dwell_us
+               CAST(floor(quantile_cont(dwell_us, 0.5)) AS BIGINT) AS median_dwell_us
         FROM gaps WHERE dwell_us IS NOT NULL
         GROUP BY event_type
     """,
