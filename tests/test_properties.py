@@ -422,3 +422,43 @@ def test_canonicalize_float_rounding_and_none_sort():
     assert a == b
     cols, rows = canonicalize([(None,), (5,), (1,)], ["x"])
     assert rows == [(1,), (5,), (None,)]
+
+
+@given(
+    st.lists(st.booleans(), min_size=0, max_size=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_islands_idiom_matches_python_reference(hits):
+    """Triangulate the gaps-and-islands longest-run idiom that both
+    engines use for sample_contaminated_spans: Spark and DuckDB verify
+    each other through the oracle gate, but they implement the SAME
+    pos − row_number() trick — a shared misconception would pass both.
+    A naive pure-Python scan is the independent third implementation.
+    """
+    import duckdb
+
+    expected = 0
+    run = 0
+    for h in hits:
+        run = run + 1 if h else 0
+        expected = max(expected, run)
+
+    con = duckdb.connect()
+    rows = [(i + 1, h) for i, h in enumerate(hits)]
+    if rows:
+        con.execute("CREATE TABLE t(pos BIGINT, hit BOOLEAN)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    else:
+        con.execute("CREATE TABLE t(pos BIGINT, hit BOOLEAN)")
+    got = con.sql(
+        """
+        WITH h AS (
+            SELECT pos, pos - row_number() OVER (ORDER BY pos) AS grp
+            FROM t WHERE hit
+        ), runs AS (
+            SELECT grp, COUNT(*) AS runlen FROM h GROUP BY grp
+        )
+        SELECT coalesce(MAX(runlen), 0) FROM runs
+        """
+    ).fetchone()[0]
+    assert got == expected, (hits, got, expected)
