@@ -101,76 +101,81 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-5 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r4). Contents =
-    # the 50 highest-priority names of the 57-query round-4 backlog
-    # (tools/gen_ledger.py::R5_QUEUE — operators added after the r4
-    # window froze, all local-gate green + sf0.01 vanilla-session
-    # pre-flighted, never driver-checked). The 7 spillovers are FROZEN
-    # as the head of the round-6 window: corpus_token_gini,
-    # text_zipf_fit, flow_token_gini, ship_latency_percentiles,
-    # flow_zipf, path_transition_entropy, corpus_hapax_share.
-    # Behind them queue the post-window round-5 additions — the
-    # authoritative list is tools/gen_ledger.py::R6_QUEUE (pinned to
-    # declared names by test_ledger_queue_names_resolve; 8 names as of
-    # end of round 5): text_ccnet_buckets, corpus_tokenizer_fertility,
-    # sample_contaminated_spans, flow_tokenizer_fertility,
-    # xmodal_phash_neardup, embedding_recall_at_k, flow_ccnet_gate,
-    # flow_repetition. 15 names total, well inside the 50-slot round-6
-    # window, so after round 6 every declared query has >=1 green
-    # driver row. All are preflighted green at sf0.01
-    # (tools/preflight.py, vanilla session).
-    # Round 1-4 window history: COVERAGE.md cross-round ledger. ---
-    "embedding_sq8_codes",
-    "ann_label_precision",
-    "text_rake_keyphrases",
-    "privacy_l_diversity",
-    "flow_sq8_encode",
-    "ts_quantile_rollup",
-    "embedding_centroid_drift",
-    "text_langid_ngram",
-    "ts_series_similarity",
-    "source_minhash_jaccard",
-    "embedding_dim_stats",
-    "corpus_pmi_bigrams",
-    "embedding_pca_project",
-    "privacy_t_closeness",
-    "ann_rrf_fusion",
-    "flow_t_closeness",
-    "text_dedup_keep_best",
-    "xmodal_frame_sample",
-    "ann_pq_adc_topk",
-    "flow_anomaly_mad",
-    "flow_heavy_tokens",
-    "sample_bloom_contamination",
-    "flow_bloom_contamination",
-    "doc_perplexity_kneser_ney",
-    "sample_dsir_weights",
-    "flow_perplexity_gate",
-    "flow_dsir_gate",
-    "layout_compaction_bins",
-    "xmodal_media_stats",
-    "flow_frame_sample",
-    "ann_ivf_pq_topk",
-    "embedding_matryoshka_eval",
-    "ts_cusum_changepoints",
-    "embedding_hamming_topk",
-    "flow_cusum",
-    "xmodal_audio_windows",
-    "privacy_pseudonymize",
-    "behavior_basket_lift",
-    "ts_open_lines_daily",
-    "flow_pseudonymize",
-    "corpus_chunk_sliding",
-    "flow_chunking",
-    "doc_perplexity_heldout",
-    "graph_hits",
-    "traffic_bounce_rate",
-    "embedding_kcenter_init",
-    "corpus_countmin_tokens",
-    "flow_countmin",
-    "win_wow_change",
-    "events_dwell_median",
+    # --- Round-6 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r5). Composition,
+    # per the r5 verdict's rotation plan:
+    #   (a) the 7 FROZEN r5 spillovers (tools/gen_ledger.py::R6_HEAD),
+    #   (b) the 8 post-r5-window additions (tools/gen_ledger.py::R6_QUEUE),
+    #   (c) flow_keyword_pipeline + text_neardup_clusters — both gained
+    #       real hash oracles in r5 but their only driver rows are the
+    #       old rows-only checks from r1–r3; this round the driver
+    #       executes the new oracles,
+    #   (d) 33 re-certification slots: §2-core gmall flagships and other
+    #       queries whose latest green driver row dates to round 1, so
+    #       the core surface gets fresh rows against five rounds of
+    #       refactors (r5 verdict item #2).
+    # After this round every declared query has >=1 green driver row
+    # except the 5 permanently-rows-only-by-design names
+    # (approx_uv_window, approx_uv_sketch_rollup, cosine_topk_ivf,
+    # topk_two_sided_ann, flow_dedup_first) and the 4 r1-era map-only
+    # text ops deferred to the r7 head (tools/gen_ledger.py::R7_HEAD:
+    # repetition_ratio, text_bigram_topk, text_feature_hashing,
+    # source_overlap — lowest-risk re-certs, bumped by the 17 mandatory
+    # names). Round 1-5 window history: COVERAGE.md cross-round ledger.
+    # --- (a) frozen r5 spillovers ---
+    "corpus_token_gini",
+    "text_zipf_fit",
+    "flow_token_gini",
+    "ship_latency_percentiles",
+    "flow_zipf",
+    "path_transition_entropy",
+    "corpus_hapax_share",
+    # --- (b) post-r5-window additions ---
+    "text_ccnet_buckets",
+    "corpus_tokenizer_fertility",
+    "sample_contaminated_spans",
+    "flow_tokenizer_fertility",
+    "xmodal_phash_neardup",
+    "embedding_recall_at_k",
+    "flow_ccnet_gate",
+    "flow_repetition",
+    # --- (c) r5 oracle upgrades, driver has only rows-only rows ---
+    "flow_keyword_pipeline",
+    "text_neardup_clusters",
+    # --- (d) re-certification: latest green row = r1 ---
+    "trade_cdc_projection",
+    "trade_status_filter",
+    "trade_conditional_delta",
+    "trade_interval_join",
+    "trade_left_outer_orders",
+    "trade_lookup_join_dim",
+    "trade_cart_add_uu",
+    "trade_gmv_rollup",
+    "traffic_log_split",
+    "traffic_new_visitor_repair",
+    "traffic_daily_uv",
+    "traffic_keyword_count",
+    "traffic_event_pivot",
+    "table_config_routed_split",
+    "table_dedup_first_per_key",
+    "returning_users",
+    "serving_gmv",
+    "serving_topk_channel",
+    "session_window_events",
+    "retention_monthly_churn",
+    "stratified_sample",
+    "sample_contamination",
+    "sequence_pack_assign",
+    "sim_label_centroids",
+    "simhash_docs",
+    "text_dedup_exact",
+    "text_doc_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_pii_redaction",
+    "text_neardup_drop_list",
+    "text_ngram_jaccard_pairs",
+    "text_clean_manifest",
 ]
 
 

@@ -89,6 +89,11 @@ def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8)
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # The memory sink holds results driver-side; the checkpoint is
+        # only needed while the bounded query runs. Without this, every
+        # bench/test invocation leaks a ckpt_* dir in /tmp (same leak
+        # class as flow_keyword_pipeline's staged topic dir, fixed r5).
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -149,9 +149,20 @@ def test_ledger_queue_names_resolve():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     declared = set(registry.BUILDERS) | set(registry.STREAM_BUILDERS)
-    for qname, q in (("R5_QUEUE", mod.R5_QUEUE), ("R6_HEAD", mod.R6_HEAD), ("R6_QUEUE", mod.R6_QUEUE)):
+    for qname, q in (
+        ("R5_QUEUE", mod.R5_QUEUE),
+        ("R6_HEAD", mod.R6_HEAD),
+        ("R6_QUEUE", mod.R6_QUEUE),
+        ("R7_HEAD", mod.R7_HEAD),
+    ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"
-    # the frozen r6 head must be exactly the R5_QUEUE names NOT in the
-    # current 50-slot window — the spillover contract from VERDICT r4 #1
-    assert mod.R6_HEAD == mod.R5_QUEUE - set(registry._PRIORITY_HEAD)
+    # Round-6 rotation contract (VERDICT r5 #1): every mandatory name —
+    # the 7 frozen spillovers, the 8 post-r5 additions, and the 2
+    # oracle upgrades — sits inside the 50-slot window, and the 4
+    # deferred r1-era re-certs (R7_HEAD) stay out of it so they head
+    # the round-7 window.
+    head = set(registry._PRIORITY_HEAD)
+    mandatory = mod.R6_HEAD | mod.R6_QUEUE | {"flow_keyword_pipeline", "text_neardup_clusters"}
+    assert mandatory <= head, sorted(mandatory - head)
+    assert not (mod.R7_HEAD & head), sorted(mod.R7_HEAD & head)
