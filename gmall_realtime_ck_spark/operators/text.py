@@ -1106,6 +1106,89 @@ def corpus_hapax_share(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def text_readability(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document readability scoring (Flesch reading-ease and
+    Flesch–Kincaid grade, Kincaid et al. 1975) — the classic
+    surface-form quality signal a training-data pipeline reads next to
+    the Gopher rules and perplexity gates (very low reading-ease =
+    run-on boilerplate/legalese; negative FK on token soup). Syllables
+    use the standard vowel-group approximation (runs of [aeiou]), and
+    sentences are [.!?]+ runs (floored at 1), so the whole operator is
+    three JVM-side regexp counts + integer milli-point arithmetic —
+    map-only, no shuffle, identical in DuckDB.
+
+    flesch_e3  = 206835 − (1015·words) div sentences
+                        − (84600·syllables) div words
+    fk_grade_e3 = (390·words) div sentences
+                  + (11800·syllables) div words − 15590
+    """
+    docs = t["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("n_words"),
+        F.expr("GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div GREATEST(n_words, 1)"
+        ).alias("flesch_e3"),
+        F.expr(
+            "(390 * n_words) div n_sentences"
+            " + (11800 * n_syllables) div GREATEST(n_words, 1) - 15590"
+        ).alias("fk_grade_e3"),
+    )
+
+
+def corpus_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source Simpson diversity index of the token distribution —
+    the probability (ppm) that two tokens drawn without replacement
+    differ: D = 1 − Σ nᵢ(nᵢ−1) / N(N−1). The complement of the
+    repeat-rate, read next to Gini (inequality) and hapax share
+    (tail mass) when balancing a corpus mixture: templated sources
+    score low, diverse prose high. All-integer (ppm) so both engines
+    agree exactly.
+
+    Scale: one keyed (source, token) count with map-side partial
+    aggregation, then a per-source reduce over the vocab-sized
+    aggregate — raw tokens are never windowed or collected. The ppm
+    product stays in int64 up to N(N−1) ≈ 9·10¹²  (≈3M tokens per
+    source); past that, production swaps the two ratio columns to
+    DECIMAL(38,0) — the aggregation shape is unchanged.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("ct").alias("n_tokens"),
+            F.sum(F.col("ct") * (F.col("ct") - 1)).alias("repeat_pairs"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens >= 2 THEN"
+                " 1000000 - (repeat_pairs * 1000000) div (n_tokens * (n_tokens - 1))"
+                " ELSE 0 END"
+            ).alias("simpson_ppm"),
+        )
+    )
+
+
 def gini_from_counts(counts: DataFrame) -> DataFrame:
     """The rank-formula Gini algebra over pre-aggregated
     (source, token, ct) rows — shared by the batch diagnostic and the
@@ -1381,6 +1464,40 @@ def text_rake_keyphrases(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_readability": f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK.format(c="text")})::BIGINT AS n_words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               (206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // GREATEST(n_words, 1))::BIGINT AS flesch_e3,
+               ((390 * n_words) // n_sentences
+                + (11800 * n_syllables) // GREATEST(n_words, 1) - 15590)::BIGINT AS fk_grade_e3
+        FROM counts
+    """,
+    "corpus_simpson_diversity": f"""
+        WITH toks AS (
+            SELECT source, unnest({TOKENS_DUCK.format(c="text")}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT source, token, COUNT(*)::BIGINT AS ct
+            FROM toks GROUP BY source, token
+        ), agg AS (
+            SELECT source, COUNT(*)::BIGINT AS vocab,
+                   SUM(ct)::BIGINT AS n_tokens,
+                   SUM(ct * (ct - 1))::BIGINT AS repeat_pairs
+            FROM counts GROUP BY source
+        )
+        SELECT source, vocab, n_tokens,
+               (CASE WHEN n_tokens >= 2 THEN
+                    1000000 - (repeat_pairs * 1000000) // (n_tokens * (n_tokens - 1))
+                ELSE 0 END)::BIGINT AS simpson_ppm
+        FROM agg
+    """,
     "text_langid_ngram": f"""
         WITH tri AS (
             SELECT doc_id, lang, substr(lower(text), CAST(i AS INT), 3) AS g
@@ -2063,6 +2180,8 @@ BUILDERS = {
     "corpus_chunk_sliding": corpus_chunk_sliding,
     "corpus_countmin_tokens": corpus_countmin_tokens,
     "corpus_token_gini": corpus_token_gini,
+    "text_readability": text_readability,
+    "corpus_simpson_diversity": corpus_simpson_diversity,
     "text_zipf_fit": text_zipf_fit,
     "corpus_hapax_share": corpus_hapax_share,
     "doc_quality_classifier": doc_quality_classifier,

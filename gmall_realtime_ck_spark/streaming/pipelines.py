@@ -678,6 +678,18 @@ def flow_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(text_lang_id({"documents": docs}), "append")
 
 
+def flow_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch / FK grade) on the document stream —
+    the per-shard surface-form gate read next to flow_gopher_rules and
+    flow_quality_filter in the streaming admission pipeline. Map-only
+    batch transform applied unchanged (per-row, order-independent) ⇒
+    the text_readability batch oracle applies verbatim."""
+    from ..operators.text import text_readability
+
+    docs = documents_file_stream(spark, sf_dir)
+    return _run_to_memory(text_readability({"documents": docs}), "append")
+
+
 def flow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting on the document stream — the running budget meter
     (whitespace + BPE-ish counts) a corpus build tracks as shards land.
@@ -1171,6 +1183,7 @@ STREAM_BUILDERS = {
     "flow_pii_redaction": flow_pii_redaction,
     "flow_gopher_rules": flow_gopher_rules,
     "flow_lang_id": flow_lang_id,
+    "flow_readability": flow_readability,
     "flow_token_count": flow_token_count,
     "flow_quality_filter": flow_quality_filter,
     "flow_user_register": flow_user_register,
@@ -1247,6 +1260,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_pii_redaction": PRIV["text_pii_redaction"],
         "flow_gopher_rules": TXT["doc_gopher_rules"],
         "flow_lang_id": TXT["text_lang_id"],
+        "flow_readability": TXT["text_readability"],
         "flow_token_count": TXT["doc_token_count"],
         "flow_quality_filter": TXT["text_quality_score"],
         "flow_window_counts": REL["agg_tumbling_typed"],

@@ -351,3 +351,62 @@ def test_recall_at_k_bounds_and_self_consistency(tables):
     for r in rows:
         assert 0 <= r["hits"] <= TOP_K
         assert r["recall_e4"] == r["hits"] * 10000 // TOP_K
+
+
+def test_readability_exact_on_known_doc(spark):
+    """Hand-computed Flesch / FK-grade on a fixed sentence pins the
+    milli-point algebra (word, sentence and vowel-group counts are
+    enumerable by eye, so a regression in any regexp or the DIV
+    arithmetic flips an exact integer)."""
+    from gmall_realtime_ck_spark.operators.text import text_readability
+
+    # tokens: [the, cat, sat, 2, times] = 5 words; sentences: '.' and
+    # '!' runs = 2; vowel groups: the(1) cat(1) sat(1) times(2) = 5
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. 2 times!", "en", "s1", 21)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    row = text_readability({"documents": docs}).collect()[0]
+    assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (5, 2, 5)
+    assert row["flesch_e3"] == 206835 - (1015 * 5) // 2 - (84600 * 5) // 5
+    assert row["fk_grade_e3"] == (390 * 5) // 2 + (11800 * 5) // 5 - 15590
+
+
+def test_readability_algebra_consistency(tables):
+    """On the real corpus every row must satisfy the published formulas
+    exactly (and an empty doc must not divide by zero: sentences >= 1)."""
+    rows = _run(tables, "text_readability")
+    assert rows
+    for r in rows:
+        assert r["n_sentences"] >= 1
+        w, s, y = r["n_words"], r["n_sentences"], r["n_syllables"]
+        assert r["flesch_e3"] == 206835 - (1015 * w) // s - (84600 * y) // max(w, 1)
+        assert r["fk_grade_e3"] == (390 * w) // s + (11800 * y) // max(w, 1) - 15590
+
+
+def test_simpson_diversity_triangulates_pure_python(tables):
+    """Third implementation: recount Simpson's D per source in plain
+    Python with the same tokenizer regex — the Spark aggregation and
+    the DuckDB oracle must both match this (the gaps-and-islands
+    triangulation pattern from r5, applied to the diversity index)."""
+    import re as _re
+    from collections import Counter
+
+    docs = tables["documents"].select("source", "text").collect()
+    counts: dict[str, Counter] = {}
+    for r in docs:
+        toks = [x for x in _re.split(r"[^a-z0-9]+", r["text"].lower()) if x]
+        counts.setdefault(r["source"], Counter()).update(toks)
+    expect = {}
+    for src, c in counts.items():
+        n = sum(c.values())
+        pairs = sum(ct * (ct - 1) for ct in c.values())
+        d = 1000000 - (pairs * 1000000) // (n * (n - 1)) if n >= 2 else 0
+        expect[src] = (len(c), n, d)
+    got = {
+        r["source"]: (r["vocab"], r["n_tokens"], r["simpson_ppm"])
+        for r in _run(tables, "corpus_simpson_diversity")
+    }
+    assert got == expect
+    for vocab, n_tokens, ppm in got.values():
+        assert 0 <= ppm <= 1000000 and vocab <= n_tokens
