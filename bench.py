@@ -69,18 +69,36 @@ def main() -> int:
     # to reproduce the old single-shot behavior.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
-    def timed(name, run, tag="", runs=None):
+    def timed(name, run, tag="", runs=None, materialize="noop"):
+        # Batch queries are timed to a NOOP-SINK WRITE, not count():
+        # Catalyst collapses count() over an unfiltered projection to a
+        # file-metadata count, so every map-only query (token counts,
+        # quality/readability scores, PII redaction, CDC projections …)
+        # was timed at ~0.1 s while its regexp/JSON work never ran —
+        # caught by the round-6 scale probe, where text_readability's
+        # count()-timed cost FELL as the data grew 10×. The noop DSv2
+        # sink evaluates every row at the executors and discards them
+        # (no driver collect), which is the honest per-query cost.
+        # Streaming results are already-materialized memory tables (the
+        # real work happens inside the builder), so count() is exact
+        # there and avoids rescanning the sink table.
         best, rows = None, 0
-        for _ in range(runs or n_runs):
+        for i in range(runs or n_runs):
             t0 = time.perf_counter()
             try:
-                rows = run().count()
+                df = run()
+                if materialize == "noop":
+                    df.write.mode("overwrite").format("noop").save()
+                else:
+                    rows = df.count()
             except Exception as exc:  # one bad query must not sink the whole bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 break  # keep an earlier successful run's timing, if any
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if materialize == "noop" and i == 0:
+                rows = df.count()  # untimed, diagnostic only
         if best is None:
             return  # every run errored
         errors.pop(name, None)  # at least one run succeeded — it counts
@@ -95,7 +113,13 @@ def main() -> int:
     # re-executes the full bounded pipeline anyway — there is no
     # cold/warm asymmetry to strip.
     for name in sorted(registry.STREAM_BUILDERS):
-        timed(name, lambda: registry.STREAM_BUILDERS[name](spark, sf_dir), " (streaming)", runs=1)
+        timed(
+            name,
+            lambda: registry.STREAM_BUILDERS[name](spark, sf_dir),
+            " (streaming)",
+            runs=1,
+            materialize="count",
+        )
 
     total = round(sum(timings.values()), 3)
     # Full record first (queries lead, headline keys LAST so a tail

@@ -74,6 +74,11 @@ QUERIES = [
     # about, just at gram rather than token granularity.
     "sample_contaminated_spans",
     "xmodal_phash_neardup",
+    # round-6 additions: readability is three regexp counts (map-only,
+    # should be ~linear in bytes); Simpson is the gini/hapax posture —
+    # keyed (source, token) count then a per-source reduce.
+    "text_readability",
+    "corpus_simpson_diversity",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
