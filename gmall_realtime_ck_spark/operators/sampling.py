@@ -44,6 +44,39 @@ def corpus_train_test_split(t: dict[str, DataFrame]) -> DataFrame:
     return docs.select("doc_id", bucket.cast("bigint").alias("bucket"), split.alias("split"))
 
 
+def corpus_leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Leakage-safe train/val/test split: the deterministic md5-bucket
+    split applied at the NEAR-DUP CLUSTER level — the bucket is keyed
+    on the cluster's canonical min doc_id, so every document of a
+    transitive near-dup cluster lands on the same side and a test/val
+    document can never have a train-side near-duplicate. The
+    split-time answer to eval leakage (Dodge et al. 2021 documented it
+    across benchmarks; GPT-3's appendix runs post-hoc decontamination
+    instead) — here it is structurally impossible rather than filtered
+    after the fact. Singleton docs get their own bucket, so overall
+    proportions still track TEST_PCT/VAL_PCT.
+
+    Scale: the cost IS neardup_clusters (banded LSH candidates +
+    fixpoint min-label CC — SCALE.md measures exponent ~0.54); the
+    split adds one map-side hash over the label table, no new shuffle.
+    """
+    from .dedup import neardup_clusters
+
+    labels = neardup_clusters(t)
+    bucket = F.expr(H28_SPARK.format(c="cast(cluster_id as string)")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TEST_PCT, "test")
+        .when(bucket < TEST_PCT + VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        bucket.cast("bigint").alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def doc_winnowing(t: dict[str, DataFrame]) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: the min shingle-hash in
     each sliding window of WINNOW_W consecutive shingles, deduplicated
@@ -1036,6 +1069,20 @@ ORACLES["corpus_card_by_source"] = f"""
     GROUP BY d.source
 """
 
+# Composition: the verified CC oracle (recursive CTE) as a subquery,
+# then the train_test_split bucket algebra keyed on cluster_id.
+ORACLES["corpus_leakage_safe_split"] = f"""
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < {TEST_PCT} THEN 'test'
+                WHEN bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id, cluster_id,
+               ({H28_DUCK.format(c="cluster_id::VARCHAR")} % {SPLIT_BUCKETS})::BIGINT AS bucket
+        FROM ({_DEDUP_ORACLES["text_neardup_clusters"]}) cc
+    ) b
+"""
+
 ORACLES["lang_confusion_matrix"] = f"""
     SELECT lang_label, lang_pred, COUNT(*) AS n_docs
     FROM ({_TEXT_ORACLES["text_lang_id"]})
@@ -1050,6 +1097,7 @@ BUILDERS = {
     "sample_dup_weights": sample_dup_weights,
     "sample_temperature_mixture": sample_temperature_mixture,
     "corpus_train_test_split": corpus_train_test_split,
+    "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "doc_winnowing": doc_winnowing,
     "sample_contamination": benchmark_contamination,
     "sample_contaminated_spans": contaminated_spans,

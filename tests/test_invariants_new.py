@@ -410,3 +410,32 @@ def test_simpson_diversity_triangulates_pure_python(tables):
     assert got == expect
     for vocab, n_tokens, ppm in got.values():
         assert 0 <= ppm <= 1000000 and vocab <= n_tokens
+
+
+def test_leakage_safe_split_keeps_clusters_together(tables):
+    """The law that IS the operator: (a) all docs sharing a cluster_id
+    share bucket and split — so no verified near-dup pair can straddle
+    train/test; (b) the assignment agrees with the md5 bucket algebra
+    on the cluster id; (c) every document is assigned exactly once."""
+    from gmall_realtime_ck_spark.operators.sampling import (
+        SPLIT_BUCKETS,
+        TEST_PCT,
+        VAL_PCT,
+    )
+
+    rows = _run(tables, "corpus_leakage_safe_split")
+    n_docs = tables["documents"].count()
+    assert len(rows) == n_docs and len({r["doc_id"] for r in rows}) == n_docs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add((r["bucket"], r["split"]))
+        want = (
+            "test" if r["bucket"] < TEST_PCT
+            else "val" if r["bucket"] < TEST_PCT + VAL_PCT
+            else "train"
+        )
+        assert 0 <= r["bucket"] < SPLIT_BUCKETS and r["split"] == want
+    assert all(len(v) == 1 for v in by_cluster.values())
+    # and the clusters are the near-dup fixpoint, not something weaker
+    cc = {(r["doc_id"], r["cluster_id"]) for r in _run(tables, "text_neardup_clusters")}
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == cc
