@@ -18,7 +18,7 @@ Reference parity notes cite /root/reference files as ``file:line``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -815,6 +815,138 @@ def approx_uv_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_est"))
     )
     return weekly.select(date_str("wk").alias("week"), "uv_est")
+
+
+#: KMV sketch size. Relative error ≈ 1/√(K−1) ≈ 12.6%; counts ≤ K are
+#: exact (the sketch holds the whole distinct set).
+KMV_K = 64
+#: 44-bit md5-derived hash: small enough that (K−1)·2⁴⁴ stays in int64,
+#: large enough that birthday collisions are negligible at these
+#: cardinalities (both engines hash identically, so any collision is
+#: shared and determinism is unaffected).
+_H44_SPARK = "cast(conv(substring(md5(cast(user_id as string)), 1, 11), 16, 10) as bigint)"
+_H44_DUCK = "('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT"
+_KMV_SPACE = 1 << 44
+
+
+def _kmv_estimate(per_key: DataFrame, key) -> DataFrame:
+    """The KMV estimator algebra over (key, h) distinct-hash rows:
+    rank hashes ascending per key; estimate = (K−1)·2⁴⁴ div h₍K₎, or
+    the exact distinct count when it does not reach K. Shared by the
+    daily sketch and the weekly merge (KMV's defining property: the K
+    smallest of a union of per-part K-smallest sets equal the K
+    smallest of the union — so rollup ≡ direct sketch, exactly)."""
+    w = Window.partitionBy(key).orderBy("h")
+    ranked = per_key.select(
+        key,
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("n_hashes"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= KMV_K)
+        .groupBy(key)
+        .agg(
+            F.max("n_hashes").alias("n_hashes"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("mk"),
+        )
+        .select(
+            key,
+            "n_hashes",
+            F.expr(
+                f"CASE WHEN n_hashes <= {KMV_K} THEN n_hashes"
+                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div mk END"
+            ).alias("uv_kmv"),
+        )
+    )
+
+
+def approx_uv_kmv(t: dict[str, DataFrame]) -> DataFrame:
+    """A6 at scale, DETERMINISTICALLY — per-day distinct users via a
+    K-minimum-values sketch (Bar-Yossef et al. 2002) built from the
+    md5 hash both engines share: unlike the HLL pair above (engine-
+    specific registers ⇒ rows-only), every intermediate here is exact
+    integer algebra, so the approximate count itself is hash-oracled
+    against DuckDB. est = (K−1)·2⁴⁴ div h₍K₎ over the K smallest
+    distinct user hashes; days with ≤ K distinct users are exact.
+
+    Scale: one keyed distinct (day, hash) shuffle, then a per-day rank
+    window that keeps K rows — at extreme per-day cardinality the sort
+    is the cost, and the mitigation is the same partial trick HLL
+    uses: pre-aggregate per (day, hash-prefix) partitions map-side and
+    merge, which this algebra permits because min-sets compose.
+    """
+    ev = (
+        t["events"]
+        .select(F.to_date("ts").alias("d"), F.expr(_H44_SPARK).alias("h"))
+        .distinct()
+    )
+    out = _kmv_estimate(ev, "d")
+    return out.select(date_str(F.col("d")).alias("day"), "n_hashes", "uv_kmv")
+
+
+def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """The re-aggregatable KMV rollup — the deterministic, hash-oracled
+    sibling of approx_uv_sketch_rollup: per-day K-smallest hash sets
+    (the stored sketch, K rows/day) merge to per-week UV by distinct-
+    union + re-rank. KMV merge is EXACT (any hash among the week's K
+    smallest is necessarily among its day's K smallest), so the rolled
+    estimate equals sketching the week directly — pinned by a test law
+    and by this very oracle, which DuckDB computes through the same
+    two-level composition.
+    """
+    ev = (
+        t["events"]
+        .select(F.to_date("ts").alias("d"), F.expr(_H44_SPARK).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("d").orderBy("h")
+    ranked = ev.select(
+        "d",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("d")).alias("n_day"),
+    )
+    # The stored per-day sketch: K smallest hashes + a truncation flag.
+    # The flag is what makes the merge LOSSLESS in the exactness
+    # decision: a merged set of size ≤ K is exact only if NO day was
+    # truncated (a truncated day's unseen hashes could lie anywhere
+    # above its h_K); with the flag, rollup ≡ direct is a theorem for
+    # every cardinality pattern, not just the common ones.
+    daily_sketch = ranked.filter(F.col("rk") <= KMV_K).select(
+        F.date_trunc("week", F.col("d")).alias("wk"),
+        "h",
+        (F.col("n_day") > KMV_K).cast("int").alias("day_full"),
+    )
+    flags = daily_sketch.groupBy("wk").agg(F.max("day_full").alias("any_full"))
+    merged = daily_sketch.select("wk", "h").distinct()
+    w2 = Window.partitionBy("wk").orderBy("h")
+    r2 = merged.select(
+        "wk",
+        "h",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("wk")).alias("n_merged"),
+    )
+    out = (
+        r2.filter(F.col("rk") <= KMV_K)
+        .groupBy("wk")
+        .agg(
+            F.max("n_merged").alias("n_hashes"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("mk"),
+        )
+        .join(flags, "wk")
+        .select(
+            "wk",
+            "n_hashes",
+            F.expr(
+                f"CASE WHEN n_hashes <= {KMV_K} AND any_full = 0 THEN n_hashes"
+                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div mk END"
+            ).alias("uv_kmv"),
+        )
+    )
+    return out.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"), "n_hashes", "uv_kmv"
+    )
 
 
 def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
@@ -1987,7 +2119,54 @@ _CDC_OPS_SQL = """
             FROM base WHERE key % 7 = 0
         )"""
 
+#: shared CTE for the KMV oracles: per-day distinct user hashes, ranked
+_KMV_CTE = f"""
+        WITH h AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, {_H44_DUCK} AS h
+            FROM events
+        ), ranked AS (
+            SELECT d, h,
+                   row_number() OVER (PARTITION BY d ORDER BY h) AS rk,
+                   COUNT(*) OVER (PARTITION BY d) AS n
+            FROM h
+        )
+"""
+_KMV_EST = (
+    f"(CASE WHEN MAX(n) <= {KMV_K} THEN MAX(n)"
+    f" ELSE {KMV_K - 1} * {_KMV_SPACE} // MAX(CASE WHEN rk = {KMV_K} THEN h END)"
+    f" END)::BIGINT AS uv_kmv"
+)
+
 ORACLES: dict[str, str] = {
+    "approx_uv_kmv": _KMV_CTE + f"""
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               MAX(n)::BIGINT AS n_hashes, {_KMV_EST}
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY d
+    """,
+    "approx_uv_kmv_rollup": _KMV_CTE + f"""
+        , sk0 AS (
+            SELECT date_trunc('week', d) AS wk, h,
+                   (n > {KMV_K})::INT AS day_full
+            FROM ranked WHERE rk <= {KMV_K}
+        ), flags AS (
+            SELECT wk, MAX(day_full) AS any_full FROM sk0 GROUP BY wk
+        ), sk AS (
+            SELECT DISTINCT wk, h FROM sk0
+        ), r2 AS (
+            SELECT wk, h,
+                   row_number() OVER (PARTITION BY wk ORDER BY h) AS rk,
+                   COUNT(*) OVER (PARTITION BY wk) AS n
+            FROM sk
+        )
+        SELECT strftime(r2.wk, '%Y-%m-%d') AS week,
+               MAX(n)::BIGINT AS n_hashes,
+               (CASE WHEN MAX(n) <= {KMV_K} AND MAX(any_full) = 0 THEN MAX(n)
+                     ELSE {KMV_K - 1} * {_KMV_SPACE}
+                          // MAX(CASE WHEN rk = {KMV_K} THEN h END)
+                END)::BIGINT AS uv_kmv
+        FROM r2 JOIN flags ON r2.wk = flags.wk
+        WHERE rk <= {KMV_K} GROUP BY r2.wk
+    """,
     "traffic_hour_heatmap": """
         SELECT (strftime(ts, '%w')::BIGINT + 1) AS dow,
                hour(ts)::BIGINT AS hod,
@@ -2772,6 +2951,8 @@ BUILDERS = {
     "win_supplier_percentiles": win_supplier_percentiles,
     "grouping_sets_traffic": grouping_sets_traffic,
     "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
+    "approx_uv_kmv": approx_uv_kmv,
+    "approx_uv_kmv_rollup": approx_uv_kmv_rollup,
     "join_star_denormalize": join_star_denormalize,
     "sql_weekly_trade_report": sql_weekly_trade_report,
     "traffic_hour_heatmap": traffic_hour_heatmap,

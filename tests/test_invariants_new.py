@@ -439,3 +439,67 @@ def test_leakage_safe_split_keeps_clusters_together(tables):
     # and the clusters are the near-dup fixpoint, not something weaker
     cc = {(r["doc_id"], r["cluster_id"]) for r in _run(tables, "text_neardup_clusters")}
     assert {(r["doc_id"], r["cluster_id"]) for r in rows} == cc
+
+
+def test_kmv_exact_below_k_and_bounded_above(tables):
+    """KMV laws on the daily sketch: days with ≤ K distinct hashes are
+    EXACT (the sketch holds the whole set); estimator days stay within
+    4/√(K−1) relative error of the true distinct-hash count (≈4σ for
+    the Bar-Yossef estimator — deterministic here, so a violation is a
+    formula bug, not bad luck)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import _H44_SPARK, KMV_K
+
+    exact = {
+        r["day"]: r["n"]
+        for r in tables["events"]
+        .select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+                F.expr(_H44_SPARK).alias("h"))
+        .groupBy("day")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    rows = _run(tables, "approx_uv_kmv")
+    assert {r["day"] for r in rows} == set(exact)
+    tol = 4.0 / (KMV_K - 1) ** 0.5
+    for r in rows:
+        assert r["n_hashes"] == exact[r["day"]]
+        if r["n_hashes"] <= KMV_K:
+            assert r["uv_kmv"] == r["n_hashes"], r
+        else:
+            assert abs(r["uv_kmv"] - r["n_hashes"]) <= tol * r["n_hashes"], r
+
+
+def test_kmv_rollup_equals_direct_weekly_sketch(tables):
+    """KMV's defining mergeability law: the weekly estimate from
+    merged DAILY sketches must equal sketching the week's raw hashes
+    directly — any hash among the week's K smallest is necessarily
+    among its day's K smallest, so the merge loses nothing."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        _H44_SPARK,
+        _kmv_estimate,
+    )
+
+    direct = (
+        tables["events"]
+        .select(F.date_trunc("week", F.to_date("ts")).alias("wk"),
+                F.expr(_H44_SPARK).alias("h"))
+        .distinct()
+    )
+    want = {
+        (r["week"], r["n_hashes"], r["uv_kmv"])
+        for r in _kmv_estimate(direct, "wk")
+        .select(F.date_format("wk", "yyyy-MM-dd").alias("week"), "n_hashes", "uv_kmv")
+        .collect()
+    }
+    got = {
+        (r["week"], r["n_hashes"], r["uv_kmv"])
+        for r in _run(tables, "approx_uv_kmv_rollup")
+    }
+    # n_hashes differs by design: the rollup only sees merged sketch
+    # rows (≤ K per day), so compare (week, uv_kmv) — the estimates
+    # must agree exactly.
+    assert {(w, e) for w, _, e in got} == {(w, e) for w, _, e in want}
