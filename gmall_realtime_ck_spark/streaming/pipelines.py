@@ -739,6 +739,31 @@ def flow_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic KMV UV sketch over the event stream: the
+    distinct (day, user-hash) set is maintained as streaming
+    dropDuplicates state and each poll runs the integer estimator
+    algebra over the distinct table — the md5-deterministic sibling of
+    the engine-specific HLL path, live. The drained set equals the
+    batch distinct, so the ``approx_uv_kmv`` oracle applies verbatim.
+
+    State note: dropDuplicates state here is O(distinct (day, hash));
+    the production twin bounds it to exactly K longs per day by
+    keeping the running K-smallest set in applyInPandasWithState
+    (KMV's insert is a compare-against-max), plus an event-time
+    watermark to expire closed days — same poll-time algebra.
+    """
+    from ..operators.relational import _H44_SPARK, _kmv_estimate, date_str
+
+    ev = events_file_stream(spark, sf_dir)
+    dh = ev.select(
+        F.to_date("ts").alias("d"), F.expr(_H44_SPARK).alias("h")
+    ).dropDuplicates(["d", "h"])
+    tbl = _run_to_memory(dh, "append")
+    out = _kmv_estimate(tbl, "d")
+    return out.select(date_str(F.col("d")).alias("day"), "n_hashes", "uv_kmv")
+
+
 def flow_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility as a live monitor: per-(lang, source) word
     and subtoken totals maintained as ONE keyed complete-mode
@@ -1168,6 +1193,7 @@ STREAM_BUILDERS = {
     "flow_user_quota": flow_user_quota,
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
+    "flow_kmv": flow_kmv,
     "flow_tokenizer_fertility": flow_tokenizer_fertility,
     "flow_ccnet_gate": flow_ccnet_gate,
     "flow_repetition": flow_repetition,
@@ -1247,6 +1273,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_k_anonymity": PRIV["privacy_k_anonymity"],
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
+        "flow_kmv": REL["approx_uv_kmv"],
         "flow_tokenizer_fertility": TXT["corpus_tokenizer_fertility"],
         "flow_ccnet_gate": TXT["text_ccnet_buckets"],
         "flow_repetition": SAMP["repetition_ratio"],
