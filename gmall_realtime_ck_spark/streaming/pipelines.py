@@ -10,6 +10,7 @@ mirroring how each reference app is Kafka-in/Kafka-or-OLAP-out
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -23,10 +24,32 @@ from ..operators.relational import cents, ts_str
 from ..session import configure_runtime
 
 
+# Staged source dirs and default checkpoints must outlive any stream
+# started in this process (a builder can be re-invoked at any time), so
+# they are removed at interpreter exit rather than per-run — without
+# this, repeated bench/test invocations accumulated thousands of
+# streamsrc_* symlink dirs and orphan foreach-batch ckpt_* dirs in /tmp.
+_PROCESS_TEMP_DIRS: list[str] = []
+
+
+def _cleanup_process_temp_dirs() -> None:
+    for d in _PROCESS_TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_process_temp_dirs)
+
+
+def _process_tempdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PROCESS_TEMP_DIRS.append(d)
+    return d
+
+
 def _as_stream_dir(file_path: str) -> str:
     """The file stream source requires a DIRECTORY; the driver tables
     are single parquet files. Stage a symlink dir (no data copied)."""
-    d = tempfile.mkdtemp(prefix="streamsrc_")
+    d = _process_tempdir("streamsrc_")
     os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
     return d
 
@@ -1339,9 +1362,12 @@ def foreach_batch_pipeline(
     with checkpointing: the engine's equivalent of each reference app's
     main() (BaseApp.java:33-68; exactly-once via checkpoint + idempotent
     writer replaces Flink's 2PC, FlinkSinkUtil.java:34-39).
-    ``writer(batch_df, batch_id)`` is any sinks.* batch writer.
+    ``writer(batch_df, batch_id)`` is any sinks.* batch writer. A
+    caller-supplied ``checkpoint`` is durable (exactly-once across
+    restarts); the default is a throwaway for bounded runs/tests and
+    is removed at process exit.
     """
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = checkpoint or _process_tempdir("ckpt_")
 
     def _apply(batch_df: DataFrame, batch_id: int):
         writer(transform(batch_df), batch_id)
