@@ -913,11 +913,16 @@ def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
     # truncated (a truncated day's unseen hashes could lie anywhere
     # above its h_K); with the flag, rollup ≡ direct is a theorem for
     # every cardinality pattern, not just the common ones.
+    # localCheckpoint: flags and the merged set both consume the daily
+    # sketch; without it Spark recomputes the events scan + distinct +
+    # rank window twice (plan-audited: 8 exchanges → 4). The sketch is
+    # ≤ K rows per day — exactly the artifact a production pipeline
+    # would persist as the stored daily sketch table.
     daily_sketch = ranked.filter(F.col("rk") <= KMV_K).select(
         F.date_trunc("week", F.col("d")).alias("wk"),
         "h",
         (F.col("n_day") > KMV_K).cast("int").alias("day_full"),
-    )
+    ).localCheckpoint()
     flags = daily_sketch.groupBy("wk").agg(F.max("day_full").alias("any_full"))
     merged = daily_sketch.select("wk", "h").distinct()
     w2 = Window.partitionBy("wk").orderBy("h")
