@@ -101,81 +101,77 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-6 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r5). Composition,
-    # per the r5 verdict's rotation plan:
-    #   (a) the 7 FROZEN r5 spillovers (tools/gen_ledger.py::R6_HEAD),
-    #   (b) the 8 post-r5-window additions (tools/gen_ledger.py::R6_QUEUE),
-    #   (c) flow_keyword_pipeline + text_neardup_clusters — both gained
-    #       real hash oracles in r5 but their only driver rows are the
-    #       old rows-only checks from r1–r3; this round the driver
-    #       executes the new oracles,
-    #   (d) 33 re-certification slots: §2-core gmall flagships and other
-    #       queries whose latest green driver row dates to round 1, so
-    #       the core surface gets fresh rows against five rounds of
-    #       refactors (r5 verdict item #2).
-    # After this round every declared query has >=1 green driver row
+    # --- Round-7 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r6). Composition,
+    # per the r6 verdict's rotation plan (#1):
+    #   (a) the 4 R7_HEAD r1-era re-certs deferred from the r6 window
+    #       (tools/gen_ledger.py::R7_HEAD) — their only green rows are
+    #       r1-era under pre-rename names,
+    #   (b) the 7 R7_QUEUE post-r6-freeze additions
+    #       (tools/gen_ledger.py::R7_QUEUE) — never driver-checked
+    #       (all 7 preflighted green on a vanilla session, r6 verdict),
+    #   (c) 39 re-certification slots: the stalest surviving green rows —
+    #       every one's latest driver hash row dates to round 2
+    #       (computed from CORRECTNESS_r0{1..6}.json; alphabetical
+    #       tie-break within the r2 cohort).
+    # After this round every declared query's latest green row is r3+
     # except the 5 permanently-rows-only-by-design names
     # (approx_uv_window, approx_uv_sketch_rollup, cosine_topk_ivf,
-    # topk_two_sided_ann, flow_dedup_first) and the 4 r1-era map-only
-    # text ops deferred to the r7 head (tools/gen_ledger.py::R7_HEAD:
-    # repetition_ratio, text_bigram_topk, text_feature_hashing,
-    # source_overlap — lowest-risk re-certs, bumped by the 17 mandatory
-    # names). Round 1-5 window history: COVERAGE.md cross-round ledger.
-    # --- (a) frozen r5 spillovers ---
-    "corpus_token_gini",
-    "text_zipf_fit",
-    "flow_token_gini",
-    "ship_latency_percentiles",
-    "flow_zipf",
-    "path_transition_entropy",
-    "corpus_hapax_share",
-    # --- (b) post-r5-window additions ---
-    "text_ccnet_buckets",
-    "corpus_tokenizer_fertility",
-    "sample_contaminated_spans",
-    "flow_tokenizer_fertility",
-    "xmodal_phash_neardup",
-    "embedding_recall_at_k",
-    "flow_ccnet_gate",
-    "flow_repetition",
-    # --- (c) r5 oracle upgrades, driver has only rows-only rows ---
-    "flow_keyword_pipeline",
-    "text_neardup_clusters",
-    # --- (d) re-certification: latest green row = r1 ---
-    "trade_cdc_projection",
-    "trade_status_filter",
-    "trade_conditional_delta",
-    "trade_interval_join",
-    "trade_left_outer_orders",
-    "trade_lookup_join_dim",
-    "trade_cart_add_uu",
-    "trade_gmv_rollup",
-    "traffic_log_split",
-    "traffic_new_visitor_repair",
-    "traffic_daily_uv",
-    "traffic_keyword_count",
-    "traffic_event_pivot",
-    "table_config_routed_split",
-    "table_dedup_first_per_key",
-    "returning_users",
-    "serving_gmv",
-    "serving_topk_channel",
-    "session_window_events",
-    "retention_monthly_churn",
-    "stratified_sample",
-    "sample_contamination",
-    "sequence_pack_assign",
-    "sim_label_centroids",
-    "simhash_docs",
-    "text_dedup_exact",
-    "text_doc_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_pii_redaction",
-    "text_neardup_drop_list",
-    "text_ngram_jaccard_pairs",
-    "text_clean_manifest",
+    # topk_two_sided_ann, flow_dedup_first). Window history: COVERAGE.md
+    # cross-round ledger.
+    # --- (a) R7_HEAD: deferred r1-era re-certs ---
+    "repetition_ratio",
+    "text_bigram_topk",
+    "text_feature_hashing",
+    "source_overlap",
+    # --- (b) R7_QUEUE: post-r6-freeze additions, never driver-checked ---
+    "text_readability",
+    "corpus_simpson_diversity",
+    "flow_readability",
+    "corpus_leakage_safe_split",
+    "approx_uv_kmv",
+    "approx_uv_kmv_rollup",
+    "flow_kmv",
+    # --- (c) re-certification: latest green row = r2 (stalest cohort) ---
+    "agg_forecast_revenue",
+    "agg_global_uv",
+    "agg_sliding_counts",
+    "agg_tumbling_typed",
+    "asof_view_before_purchase",
+    "best_parts_per_region",
+    "best_supplier",
+    "corpus_report",
+    "corpus_tfidf_top_terms",
+    "corpus_train_test_split",
+    "corpus_vocab_stats",
+    "cosine_topk",
+    "customers_top_returned",
+    "datetime_functions",
+    "doc_gopher_rules",
+    "doc_token_count",
+    "doc_winnowing",
+    "dwd_refund_pay_success",
+    "dwd_trade_order_refund",
+    "dws_trade_order_window",
+    "dws_user_register_window",
+    "embedding_semdedup",
+    "event_value_percentiles",
+    "flow_pii_redaction",
+    "flow_quality_filter",
+    "join_anti_silent_customers",
+    "join_market_share",
+    "join_nation_traffic",
+    "join_semi_returned_orders",
+    "promo_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "rel_q02_min_cost_supplier",
+    "rel_q11_value_share",
+    "rel_q13_orders_histogram",
+    "rel_q16_supplier_variety",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
 ]
 
 

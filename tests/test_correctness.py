@@ -158,12 +158,15 @@ def test_ledger_queue_names_resolve():
     ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-6 rotation contract (VERDICT r5 #1): every mandatory name —
-    # the 7 frozen spillovers, the 8 post-r5 additions, and the 2
-    # oracle upgrades — sits inside the 50-slot window, and the 4
-    # deferred r1-era re-certs (R7_HEAD) stay out of it so they head
-    # the round-7 window.
+    # Round-7 rotation contract (VERDICT r6 #1): every mandatory name —
+    # the 4 deferred r1-era re-certs (R7_HEAD) and the 7 post-r6-freeze
+    # additions (R7_QUEUE) — sits inside the 50-slot window, the window
+    # is exactly 50 names, and the already-re-certified r6 window names
+    # have rotated out to free the slots.
     head = set(registry._PRIORITY_HEAD)
-    mandatory = mod.R6_HEAD | mod.R6_QUEUE | {"flow_keyword_pipeline", "text_neardup_clusters"}
+    assert len(registry._PRIORITY_HEAD) == 50
+    assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
+    mandatory = mod.R7_HEAD | mod.R7_QUEUE
     assert mandatory <= head, sorted(mandatory - head)
-    assert not (mod.R7_HEAD & head), sorted(mod.R7_HEAD & head)
+    assert not (mod.R6_HEAD & head), sorted(mod.R6_HEAD & head)
+    assert not (mod.R6_QUEUE & head), sorted(mod.R6_QUEUE & head)
