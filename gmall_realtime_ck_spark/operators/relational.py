@@ -853,9 +853,13 @@ def _kmv_estimate(per_key: DataFrame, key) -> DataFrame:
         .select(
             key,
             "n_hashes",
+            # greatest(mk,1): an md5 prefix of 11 zero hex chars hashes
+            # to 0 (~2⁻⁴⁴/user) and would divide by zero; the guard
+            # makes the algebra total in both engines (same clamp in
+            # the DuckDB oracles).
             F.expr(
                 f"CASE WHEN n_hashes <= {KMV_K} THEN n_hashes"
-                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div mk END"
+                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div greatest(mk, 1) END"
             ).alias("uv_kmv"),
         )
     )
@@ -945,7 +949,7 @@ def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
             "n_hashes",
             F.expr(
                 f"CASE WHEN n_hashes <= {KMV_K} AND any_full = 0 THEN n_hashes"
-                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div mk END"
+                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div greatest(mk, 1) END"
             ).alias("uv_kmv"),
         )
     )
@@ -2138,9 +2142,22 @@ _KMV_CTE = f"""
 """
 _KMV_EST = (
     f"(CASE WHEN MAX(n) <= {KMV_K} THEN MAX(n)"
-    f" ELSE {KMV_K - 1} * {_KMV_SPACE} // MAX(CASE WHEN rk = {KMV_K} THEN h END)"
+    f" ELSE {KMV_K - 1} * {_KMV_SPACE}"
+    f" // GREATEST(MAX(CASE WHEN rk = {KMV_K} THEN h END), 1)"
     f" END)::BIGINT AS uv_kmv"
 )
+
+#: Oracle for the bounded-state streaming twin (``flow_kmv``): same
+#: per-day KMV estimator, but the stream's state is the sketch itself
+#: (≤ K longs/day), so the exposed size column is the SKETCH size
+#: min(n, K) — the full distinct count above K is precisely what
+#: bounded state cannot know; uv_kmv is unchanged.
+KMV_FLOW_ORACLE = _KMV_CTE + f"""
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               LEAST(MAX(n), {KMV_K})::BIGINT AS sketch_size,
+               {_KMV_EST}
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY d
+"""
 
 ORACLES: dict[str, str] = {
     "approx_uv_kmv": _KMV_CTE + f"""
@@ -2167,7 +2184,7 @@ ORACLES: dict[str, str] = {
                MAX(n)::BIGINT AS n_hashes,
                (CASE WHEN MAX(n) <= {KMV_K} AND MAX(any_full) = 0 THEN MAX(n)
                      ELSE {KMV_K - 1} * {_KMV_SPACE}
-                          // MAX(CASE WHEN rk = {KMV_K} THEN h END)
+                          // GREATEST(MAX(CASE WHEN rk = {KMV_K} THEN h END), 1)
                 END)::BIGINT AS uv_kmv
         FROM r2 JOIN flags ON r2.wk = flags.wk
         WHERE rk <= {KMV_K} GROUP BY r2.wk

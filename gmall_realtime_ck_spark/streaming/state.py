@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DateType,
     LongType,
     StringType,
     StructField,
@@ -414,4 +415,85 @@ def admit_first_per_hash(docs: DataFrame) -> DataFrame:
 
     return docs.groupBy("h").applyInPandasWithState(
         fn, _ADMIT_OUT, _ADMIT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_KMV_STATE = StructType(
+    [StructField("hashes", StringType()), StructField("saturated", LongType())]
+)
+_KMV_OUT = StructType(
+    [
+        StructField("d", DateType()),
+        StructField("sketch_size", LongType()),
+        StructField("saturated", LongType()),
+        StructField("mk", LongType()),
+    ]
+)
+
+
+def kmv_sketch_stream(dh: DataFrame, k: int, grace_ms: int = 24 * 3600 * 1000) -> DataFrame:
+    """Bounded-state KMV distinct-count sketch, live (Bar-Yossef et al.
+    2002): per event-day, state is exactly the running K-smallest set
+    of distinct user hashes (≤ K longs) plus one saturation flag — the
+    production form of ``flow_kmv`` whose naive twin kept the full
+    distinct (day, hash) set in dropDuplicates state. KMV's insert is
+    a compare-against-max, and the K smallest of a union equal the K
+    smallest regardless of arrival order, so each micro-batch merges
+    vectorized (numpy unique over state ∪ batch) instead of row-at-a-
+    time; an evicted hash can never re-enter (the set max only
+    decreases), so the retained set is always the true K-smallest of
+    everything seen.
+
+    ``saturated`` records whether any arrival was ever evicted or
+    rejected: 0 ⇒ the set IS the day's full distinct-hash set (exact
+    count), 1 ⇒ estimate via (K−1)·2⁴⁴ div max(set). Each update emits
+    one row per touched day; ``sketch_size``/``saturated`` are
+    monotone non-decreasing and ``mk`` (the K-th smallest, null until
+    the set fills) monotone non-increasing, so a poll-time
+    max/max/min per day reads the current sketch.
+
+    Input must carry a watermarked event-time column: state for a day
+    is expired via EventTimeTimeout once the watermark passes day-end
+    + ``grace_ms`` — closed days cost nothing forever after, keeping
+    total state O(open days × K) longs.
+    """
+    import numpy as np
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (d,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in _KMV_OUT.fields})
+            return
+        if state.exists:
+            hs, sat = state.get
+            cur = (
+                np.array(hs.split(","), dtype="int64") if hs else np.array([], dtype="int64")
+            )
+            sat = int(sat)
+        else:
+            cur, sat = np.array([], dtype="int64"), 0
+        for pdf in pdf_iter:
+            batch = pdf["h"].to_numpy(dtype="int64")
+            merged = np.unique(np.concatenate([cur, batch]))
+            if len(merged) > k:
+                sat = 1
+                merged = merged[:k]
+            cur = merged
+        state.update((",".join(map(str, cur.tolist())), sat))
+        day_end_ms = (
+            int(pd.Timestamp(d).value // 1_000_000) + 24 * 3600 * 1000 + grace_ms
+        )
+        state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                "d": [d],
+                "sketch_size": [len(cur)],
+                "saturated": [sat],
+                "mk": [int(cur[-1]) if len(cur) == k else None],
+            }
+        )
+
+    return dh.groupBy("d").applyInPandasWithState(
+        fn, _KMV_OUT, _KMV_STATE, "update", GroupStateTimeout.EventTimeTimeout
     )
