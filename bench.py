@@ -98,7 +98,10 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             if materialize == "noop" and i == 0:
-                rows = df.count()  # untimed, diagnostic only
+                try:
+                    rows = df.count()  # untimed, diagnostic only
+                except Exception:
+                    rows = -1  # diagnostics must not sink a timed query
         if best is None:
             return  # every run errored
         errors.pop(name, None)  # at least one run succeeded — it counts

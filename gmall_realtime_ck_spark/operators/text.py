@@ -1160,9 +1160,11 @@ def corpus_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
     Scale: one keyed (source, token) count with map-side partial
     aggregation, then a per-source reduce over the vocab-sized
     aggregate — raw tokens are never windowed or collected. The ppm
-    product stays in int64 up to N(N−1) ≈ 9·10¹²  (≈3M tokens per
-    source); past that, production swaps the two ratio columns to
-    DECIMAL(38,0) — the aggregation shape is unchanged.
+    ratio runs in 128-bit integer algebra (Spark DECIMAL(38,0) `div`,
+    DuckDB HUGEINT `//` — both exact integral division) so
+    repeat_pairs·10⁶ cannot wrap int64 at ≈3M tokens/source; the
+    per-source counters themselves stay int64 (safe to ~9·10¹⁸
+    tokens).
     """
     docs = t["documents"]
     toks = docs.select(
@@ -1182,7 +1184,8 @@ def corpus_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
             "n_tokens",
             F.expr(
                 "CASE WHEN n_tokens >= 2 THEN"
-                " 1000000 - (repeat_pairs * 1000000) div (n_tokens * (n_tokens - 1))"
+                " 1000000 - (cast(repeat_pairs as decimal(38,0)) * 1000000)"
+                " div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1))"
                 " ELSE 0 END"
             ).alias("simpson_ppm"),
         )
@@ -1494,7 +1497,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT source, vocab, n_tokens,
                (CASE WHEN n_tokens >= 2 THEN
-                    1000000 - (repeat_pairs * 1000000) // (n_tokens * (n_tokens - 1))
+                    1000000 - (repeat_pairs::HUGEINT * 1000000)
+                              // (n_tokens::HUGEINT * (n_tokens - 1))
                 ELSE 0 END)::BIGINT AS simpson_ppm
         FROM agg
     """,

@@ -46,6 +46,39 @@ def _process_tempdir(prefix: str) -> str:
     return d
 
 
+#: atexit covers clean exits only — a SIGKILL'd run (driver timeout,
+#: OOM-killer) strands its ckpt_*/streamsrc_* dirs forever. Sweep
+#: same-pattern dirs older than this at import, when no live process
+#: can still be using them (a live bounded run finishes in seconds).
+_STALE_TEMP_AGE_S = 3600
+
+
+def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_TEMP_AGE_S) -> int:
+    """Remove orphaned ckpt_*/streamsrc_* temp dirs older than
+    ``max_age_s``; returns how many were removed. Errors are ignored —
+    a concurrent sweep or an unreadable dir must never break a stream
+    build."""
+    import glob
+    import time
+
+    root = tmp_root or tempfile.gettempdir()
+    removed = 0
+    cutoff = time.time() - max_age_s
+    for d in glob.glob(os.path.join(root, "ckpt_*")) + glob.glob(
+        os.path.join(root, "streamsrc_*")
+    ):
+        try:
+            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
+_sweep_stale_temp_dirs()
+
+
 def _as_stream_dir(file_path: str) -> str:
     """The file stream source requires a DIRECTORY; the driver tables
     are single parquet files. Stage a symlink dir (no data copied)."""
@@ -101,6 +134,7 @@ def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    q = None
     try:
         q = (
             df.writeStream.format("memory")
@@ -121,9 +155,20 @@ def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8)
         # state-store delta files and a synchronous rmtree costs
         # 0.3-0.9 s on the caller's critical path (measured — it
         # uniformly inflated every streaming query ~1.5× in the bench).
-        threading.Thread(
-            target=shutil.rmtree, args=(ckpt,), kwargs={"ignore_errors": True}, daemon=True
-        ).start()
+        # Only when the query has actually terminated: if
+        # awaitTermination raised/was interrupted with the query still
+        # active, deleting state-store files under it produces
+        # confusing secondary errors — defer those to atexit instead.
+        try:
+            active = q is not None and q.isActive
+        except Exception:
+            active = False
+        if active:
+            _PROCESS_TEMP_DIRS.append(ckpt)
+        else:
+            threading.Thread(
+                target=shutil.rmtree, args=(ckpt,), kwargs={"ignore_errors": True}, daemon=True
+            ).start()
     return spark.table(name)
 
 

@@ -261,3 +261,29 @@ def test_flow_kmv_bounded_state_matches_batch(spark, tables):
         for r in approx_uv_kmv(tables).collect()
     }
     assert got == want
+
+
+def test_stale_temp_dir_sweep(tmp_path):
+    """atexit hygiene covers clean exits only — a SIGKILL'd run (the
+    documented 08:38 r6 incident left 40 orphan dirs) strands its
+    ckpt_*/streamsrc_* dirs. The import-time sweep must remove
+    same-pattern dirs older than the age cutoff and leave fresh ones
+    (possibly owned by a live process) untouched."""
+    import os
+    import time
+
+    old_ckpt = tmp_path / "ckpt_dead"
+    old_src = tmp_path / "streamsrc_dead"
+    fresh = tmp_path / "ckpt_live"
+    other = tmp_path / "unrelated_old"
+    for d in (old_ckpt, old_src, fresh, other):
+        d.mkdir()
+        (d / "state.delta").write_text("x")
+    stale = time.time() - 7200
+    for d in (old_ckpt, old_src, other):
+        os.utime(d, (stale, stale))
+
+    removed = pipelines._sweep_stale_temp_dirs(tmp_root=str(tmp_path), max_age_s=3600)
+    assert removed == 2
+    assert not old_ckpt.exists() and not old_src.exists()
+    assert fresh.exists() and other.exists()
