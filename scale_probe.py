@@ -79,10 +79,20 @@ QUERIES = [
     # keyed (source, token) count then a per-source reduce.
     "text_readability",
     "corpus_simpson_diversity",
+    # round-7 additions (VERDICT r6 #4): the KMV sketch pair — the
+    # per-day rank window is the suspect stage (the documented
+    # mitigation is KMV's partial-merge property: per-partition
+    # K-smallest sets compose, so a map-side partial bounds the sorted
+    # data); leakage-safe split composes neardup_clusters (probed
+    # exponent ~0.54 in r5) with one map-side hash, so it should track
+    # that cost.
+    "approx_uv_kmv",
+    "approx_uv_kmv_rollup",
+    "corpus_leakage_safe_split",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
-STREAM_QUERIES = ["flow_left_outer"]
+STREAM_QUERIES = ["flow_left_outer", "flow_kmv"]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000
 
@@ -146,37 +156,61 @@ def synth(k: int) -> str:
 
 
 def main() -> int:
+    import sys
+
     from gmall_realtime_ck_spark import registry
     from gmall_realtime_ck_spark.session import get_spark
 
+    # optional argv filter: probe only the named queries (used when a
+    # round adds shapes — re-probing the whole set costs ~30 min and
+    # the old exponents are already recorded in SCALE.md)
+    wanted = set(sys.argv[1:])
+    queries = [q for q in QUERIES if not wanted or q in wanted]
+    stream_queries = [q for q in STREAM_QUERIES if not wanted or q in wanted]
+    unknown = wanted - set(QUERIES) - set(STREAM_QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
+
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> None:
+        # noop DSv2 write, NOT count(): Catalyst collapses count() over
+        # an unfiltered projection to a file-metadata count, so map-only
+        # queries would be "timed" without their work running (the r6
+        # bench-honesty fix; text_readability's count()-timed cost FELL
+        # as data grew 10×). The noop sink evaluates every row at the
+        # executors and discards it.
+        df.write.mode("overwrite").format("noop").save()
 
     # warm the Arrow/python-worker + codegen paths once, untimed
     TBLS = ["documents", "embeddings", "events", "orders", "lineitem"]
     warm_dir = synth(1)
     warm = {t: spark.read.parquet(f"{warm_dir}/{t}.parquet") for t in TBLS}
-    for q in QUERIES:
-        registry.BUILDERS[q](warm).count()
-    for q in STREAM_QUERIES:
+    for q in queries:
+        materialize(registry.BUILDERS[q](warm))
+    for q in stream_queries:
         registry.STREAM_BUILDERS[q](spark, warm_dir).count()
 
-    all_q = QUERIES + STREAM_QUERIES
+    all_q = queries + stream_queries
     results: dict[str, dict[int, float]] = {q: {} for q in all_q}
     for k in SCALES:
         d = synth(k)
         tables = {t: spark.read.parquet(f"{d}/{t}.parquet") for t in TBLS}
         for q in all_q:
             t0 = time.perf_counter()
-            if q in STREAM_QUERIES:
+            if q in stream_queries:
+                # the stream builder already materialized the bounded
+                # run into a memory table; count() reads that table
                 n = registry.STREAM_BUILDERS[q](spark, d).count()
             else:
-                n = registry.BUILDERS[q](tables).count()
+                materialize(registry.BUILDERS[q](tables))
+                n = None
             dt = round(time.perf_counter() - t0, 3)
             results[q][k] = dt
             print(json.dumps({"query": q, "scale": k, "sec": dt, "rows": n}))
 
-    summary = {}
+    summary: dict[str, dict] = {}
     for q in all_q:
         xs = [math.log(k) for k in SCALES]
         ys = [math.log(max(results[q][k], 1e-3)) for k in SCALES]
