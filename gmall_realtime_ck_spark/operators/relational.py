@@ -958,6 +958,106 @@ def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
+    """KMV set-OPERATION sketches (Beyer et al. 2007; the Theta-sketch
+    idea, Dasgupta et al. 2016): estimate the distinct-user overlap
+    |A∩B|, union size and Jaccard between every event-type pair from
+    the per-type K-smallest sketches alone — the audience-overlap
+    matrix a serving layer answers from stored sketches without ever
+    rescanning raw events. The K smallest of A∪B are exactly the K
+    smallest of sketch(A) ∪ sketch(B), and any such hash that lies in
+    A is necessarily in sketch(A), so ρ = |top-K(union) ∩ A ∩ B| is
+    computable from sketches with zero loss: Ĵ = ρ/k, ∩̂ = ρ·Û div k.
+    All-integer algebra on the shared md5 hash ⇒ hash-oracled; when
+    neither side is truncated the "estimates" are exact counts.
+
+    Scale: ONE distinct (type, hash) shuffle + a per-type rank window
+    over raw data (the same partial-merge mitigation as approx_uv_kmv
+    applies); everything after the localCheckpoint is sketch-sized —
+    types×K rows paired by a broadcast join on a types-row aggregate,
+    never a raw-data self-join.
+    """
+    ev = (
+        t["events"]
+        .select(F.col("event_type").alias("tp"), F.expr(_H44_SPARK).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("tp").orderBy("h")
+    ranked = ev.select(
+        "tp",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("tp")).alias("n"),
+    )
+    # the stored per-type sketch: K smallest hashes + truncation flag
+    sk = (
+        ranked.filter(F.col("rk") <= KMV_K)
+        .select("tp", "h", (F.col("n") > KMV_K).cast("int").alias("full"))
+        .localCheckpoint()
+    )
+    types = sk.groupBy("tp").agg(F.max("full").alias("full"))
+    pairs = (
+        types.select(F.col("tp").alias("ta"), F.col("full").alias("fa"))
+        .join(
+            F.broadcast(types.select(F.col("tp").alias("tb"), F.col("full").alias("fb"))),
+            F.col("ta") < F.col("tb"),
+        )
+        .select("ta", "tb", F.greatest("fa", "fb").alias("any_full"))
+    )
+    a_rows = pairs.join(sk.select(F.col("tp").alias("ta"), "h"), "ta").select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    b_rows = pairs.join(sk.select(F.col("tp").alias("tb"), "h"), "tb").select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        a_rows.union(b_rows)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("ta", "tb").orderBy("h")
+    r2 = u.select(
+        "ta",
+        "tb",
+        "h",
+        "in_a",
+        "in_b",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("ta", "tb")).alias("n_u"),
+    )
+    agg = (
+        r2.filter(F.col("rk") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("n_u").alias("n_u"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")).alias("rho"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("hk"),
+            F.count(F.lit(1)).alias("k_used"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(pairs), ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "k_used",
+            "rho",
+            F.expr(
+                f"CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u"
+                f" ELSE {KMV_K - 1} * {_KMV_SPACE} div greatest(hk, 1) END"
+            ).alias("union_est"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "union_est",
+            F.expr("(rho * union_est) div k_used").alias("inter_est"),
+            F.expr("(rho * 1000000) div k_used").alias("jaccard_ppm"),
+        )
+    )
+
+
 def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
     """§2.8 scalar-function parity in one query: epoch seconds/millis
     extraction (TO_TIMESTAMP_LTZ(ts, 0|3) inverses, BaseSQLApp.java:62),
@@ -2189,6 +2289,55 @@ ORACLES: dict[str, str] = {
         FROM r2 JOIN flags ON r2.wk = flags.wk
         WHERE rk <= {KMV_K} GROUP BY r2.wk
     """,
+    "approx_overlap_kmv": f"""
+        WITH h AS (
+            SELECT DISTINCT event_type AS tp, {_H44_DUCK} AS h
+            FROM events
+        ), ranked AS (
+            SELECT tp, h,
+                   row_number() OVER (PARTITION BY tp ORDER BY h) AS rk,
+                   COUNT(*) OVER (PARTITION BY tp) AS n
+            FROM h
+        ), sk AS (
+            SELECT tp, h, (n > {KMV_K})::INT AS "full"
+            FROM ranked WHERE rk <= {KMV_K}
+        ), types AS (
+            SELECT tp, MAX("full") AS "full" FROM sk GROUP BY tp
+        ), pairs AS (
+            SELECT a.tp AS ta, b.tp AS tb,
+                   GREATEST(a."full", b."full") AS any_full
+            FROM types a JOIN types b ON a.tp < b.tp
+        ), u AS (
+            SELECT ta, tb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM (
+                SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk s ON s.tp = p.ta
+                UNION ALL
+                SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+                FROM pairs p JOIN sk s ON s.tp = p.tb
+            ) GROUP BY ta, tb, h
+        ), r2 AS (
+            SELECT ta, tb, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk,
+                   COUNT(*) OVER (PARTITION BY ta, tb) AS n_u
+            FROM u
+        ), agg AS (
+            SELECT ta, tb, MAX(n_u) AS n_u,
+                   SUM((in_a = 1 AND in_b = 1)::INT)::BIGINT AS rho,
+                   MAX(CASE WHEN rk = {KMV_K} THEN h END) AS hk,
+                   COUNT(*)::BIGINT AS k_used
+            FROM r2 WHERE rk <= {KMV_K} GROUP BY ta, tb
+        )
+        SELECT agg.ta AS type_a, agg.tb AS type_b, k_used,
+               (CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u
+                     ELSE {KMV_K - 1} * {_KMV_SPACE} // GREATEST(hk, 1)
+                END)::BIGINT AS union_est,
+               ((rho * (CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u
+                             ELSE {KMV_K - 1} * {_KMV_SPACE} // GREATEST(hk, 1)
+                        END)) // k_used)::BIGINT AS inter_est,
+               ((rho * 1000000) // k_used)::BIGINT AS jaccard_ppm
+        FROM agg JOIN pairs ON agg.ta = pairs.ta AND agg.tb = pairs.tb
+    """,
     "traffic_hour_heatmap": """
         SELECT (strftime(ts, '%w')::BIGINT + 1) AS dow,
                hour(ts)::BIGINT AS hod,
@@ -2975,6 +3124,7 @@ BUILDERS = {
     "approx_uv_sketch_rollup": approx_uv_sketch_rollup,  # rows-only: sketch
     "approx_uv_kmv": approx_uv_kmv,
     "approx_uv_kmv_rollup": approx_uv_kmv_rollup,
+    "approx_overlap_kmv": approx_overlap_kmv,
     "join_star_denormalize": join_star_denormalize,
     "sql_weekly_trade_report": sql_weekly_trade_report,
     "traffic_hour_heatmap": traffic_hour_heatmap,

@@ -1171,6 +1171,14 @@ def corpus_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
         "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return simpson_from_counts(counts)
+
+
+def simpson_from_counts(counts: DataFrame) -> DataFrame:
+    """The Simpson ppm algebra over pre-aggregated (source, token, ct)
+    rows — shared by the batch diagnostic and the streaming twin
+    (which maintains ``counts`` continuously and re-runs this
+    vocab-sized reduce per poll)."""
     return (
         counts.groupBy("source")
         .agg(

@@ -1103,6 +1103,29 @@ def flow_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_from_counts(_run_to_memory(counts, "complete"))
 
 
+def flow_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Simpson-diversity monitor: the same (source, token)
+    complete-mode count spine as flow_token_gini, with the ppm repeat-
+    rate reduce (text.simpson_from_counts) re-run per poll — a
+    templated/boilerplate source flooding the ingest surfaces as its
+    diversity collapsing toward 0 while Gini/Zipf drift lags. State is
+    vocab-sized per source; counting is per-row order-independent, so
+    the final table equals the batch diagnostic ⇒ its oracle applies
+    verbatim.
+    """
+    from ..operators.text import TOKENS_SPARK, simpson_from_counts
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return simpson_from_counts(_run_to_memory(counts, "complete"))
+
+
 def flow_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Zipf-exponent monitor: the same (source, token)
     complete-mode count spine as flow_token_gini, with the
@@ -1293,6 +1316,7 @@ STREAM_BUILDERS = {
     "flow_chunking": flow_chunking,
     "flow_countmin": flow_countmin,
     "flow_token_gini": flow_token_gini,
+    "flow_simpson_diversity": flow_simpson_diversity,
     "flow_zipf": flow_zipf,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
@@ -1374,6 +1398,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_chunking": TXT["corpus_chunk_sliding"],
         "flow_countmin": TXT["corpus_countmin_tokens"],
         "flow_token_gini": TXT["corpus_token_gini"],
+        "flow_simpson_diversity": TXT["corpus_simpson_diversity"],
         "flow_zipf": TXT["text_zipf_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],

@@ -155,6 +155,7 @@ def test_ledger_queue_names_resolve():
         ("R6_QUEUE", mod.R6_QUEUE),
         ("R7_HEAD", mod.R7_HEAD),
         ("R7_QUEUE", mod.R7_QUEUE),
+        ("R8_QUEUE", mod.R8_QUEUE),
     ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"

@@ -503,3 +503,62 @@ def test_kmv_rollup_equals_direct_weekly_sketch(tables):
     # rows (≤ K per day), so compare (week, uv_kmv) — the estimates
     # must agree exactly.
     assert {(w, e) for w, _, e in got} == {(w, e) for w, _, e in want}
+
+
+def test_kmv_overlap_exact_when_unsaturated(spark):
+    """KMV set-operation law: when no side's sketch is truncated the
+    pair "estimates" must be EXACT set arithmetic — the sketch holds
+    both full sets, so union_est = |A∪B|, inter_est = |A∩B| and
+    jaccard_ppm = ⌊10⁶·J⌋ with zero error."""
+    from gmall_realtime_ck_spark.operators.relational import (
+        KMV_K,
+        approx_overlap_kmv,
+    )
+
+    # three types with known overlap structure, all well below K
+    rows = (
+        [("a", u) for u in range(0, 30)]
+        + [("b", u) for u in range(20, 50)]  # |a∩b|=10, |a∪b|=50
+        + [("c", u) for u in range(100, 110)]  # disjoint from both
+    )
+    assert all(n <= KMV_K for n in (30, 30, 10))
+    ev = spark.createDataFrame(
+        [(t, u, 1) for t, u in rows], "event_type string, user_id long, x int"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (r["union_est"], r["inter_est"], r["jaccard_ppm"])
+        for r in approx_overlap_kmv({"events": ev}).collect()
+    }
+    assert got[("a", "b")] == (50, 10, 10 * 1_000_000 // 50)
+    assert got[("a", "c")] == (40, 0, 0)
+    assert got[("b", "c")] == (40, 0, 0)
+
+
+def test_kmv_overlap_bounded_error_when_saturated(tables):
+    """Saturated pairs (sf0.001 event types share one global user pool,
+    so every pair overlaps heavily): union_est within the 4σ KMV bound
+    of the true union; jaccard within 4σ of ρ's binomial noise; and
+    inter_est consistent with (jaccard × union) by construction."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import KMV_K
+
+    exact: dict[str, set] = {}
+    for r in tables["events"].select("event_type", "user_id").distinct().collect():
+        exact.setdefault(r["event_type"], set()).add(r["user_id"])
+    rows = _run(tables, "approx_overlap_kmv")
+    types = sorted(exact)
+    assert {(r["type_a"], r["type_b"]) for r in rows} == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    tol = 4.0 / (KMV_K - 1) ** 0.5
+    for r in rows:
+        ua = exact[r["type_a"]] | exact[r["type_b"]]
+        ia = exact[r["type_a"]] & exact[r["type_b"]]
+        true_j = len(ia) / len(ua)
+        assert abs(r["union_est"] - len(ua)) <= tol * len(ua) + 1, r
+        assert abs(r["jaccard_ppm"] / 1e6 - true_j) <= tol + 0.05, r
+        # inter_est is defined as (rho·union_est) div k -- re-derivable
+        assert r["inter_est"] == r["jaccard_ppm"] * r["union_est"] // 1_000_000 or (
+            abs(r["inter_est"] - len(ia)) <= (tol + 0.05) * len(ua) + 1
+        ), r

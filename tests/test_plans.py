@@ -178,6 +178,7 @@ BOUNDED_NLJ_OK = {
     "embedding_pca_project",  # three 1-row rescale maxima broadcasts
     "privacy_t_closeness",  # class grid × m-row sensitive-domain broadcast
     "sample_dsir_weights",  # 1-row (n_t, n_r) totals broadcast
+    "approx_overlap_kmv",  # |types|² pairing over per-type K-row sketches
 }
 
 
