@@ -1005,29 +1005,33 @@ def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
         .select("ta", "tb", F.greatest("fa", "fb").alias("any_full"))
     )
     a_rows = pairs.join(sk.select(F.col("tp").alias("ta"), "h"), "ta").select(
-        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+        "ta", "tb", "any_full", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
     )
     b_rows = pairs.join(sk.select(F.col("tp").alias("tb"), "h"), "tb").select(
-        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        "ta", "tb", "any_full", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
     )
     u = (
         a_rows.union(b_rows)
-        .groupBy("ta", "tb", "h")
+        .groupBy("ta", "tb", "any_full", "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     w2 = Window.partitionBy("ta", "tb").orderBy("h")
     r2 = u.select(
         "ta",
         "tb",
+        "any_full",
         "h",
         "in_a",
         "in_b",
         F.row_number().over(w2).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("ta", "tb")).alias("n_u"),
     )
+    # with NO truncated side the two sketches ARE the full sets, so
+    # keep the whole union (exact arithmetic); only saturated pairs
+    # fall back to the top-K sample + estimator
     agg = (
-        r2.filter(F.col("rk") <= KMV_K)
-        .groupBy("ta", "tb")
+        r2.filter((F.col("rk") <= KMV_K) | (F.col("any_full") == 0))
+        .groupBy("ta", "tb", "any_full")
         .agg(
             F.max("n_u").alias("n_u"),
             F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")).alias("rho"),
@@ -1036,14 +1040,13 @@ def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return (
-        agg.join(F.broadcast(pairs), ["ta", "tb"])
-        .select(
+        agg.select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
             "k_used",
             "rho",
             F.expr(
-                f"CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u"
+                f"CASE WHEN any_full = 0 THEN n_u"
                 f" ELSE {KMV_K - 1} * {_KMV_SPACE} div greatest(hk, 1) END"
             ).alias("union_est"),
         )
@@ -2308,35 +2311,36 @@ ORACLES: dict[str, str] = {
                    GREATEST(a."full", b."full") AS any_full
             FROM types a JOIN types b ON a.tp < b.tp
         ), u AS (
-            SELECT ta, tb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            SELECT ta, tb, any_full, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
             FROM (
-                SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+                SELECT p.ta, p.tb, p.any_full, s.h, 1 AS in_a, 0 AS in_b
                 FROM pairs p JOIN sk s ON s.tp = p.ta
                 UNION ALL
-                SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+                SELECT p.ta, p.tb, p.any_full, s.h, 0 AS in_a, 1 AS in_b
                 FROM pairs p JOIN sk s ON s.tp = p.tb
-            ) GROUP BY ta, tb, h
+            ) GROUP BY ta, tb, any_full, h
         ), r2 AS (
-            SELECT ta, tb, h, in_a, in_b,
+            SELECT ta, tb, any_full, h, in_a, in_b,
                    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk,
                    COUNT(*) OVER (PARTITION BY ta, tb) AS n_u
             FROM u
         ), agg AS (
-            SELECT ta, tb, MAX(n_u) AS n_u,
+            SELECT ta, tb, any_full, MAX(n_u) AS n_u,
                    SUM((in_a = 1 AND in_b = 1)::INT)::BIGINT AS rho,
                    MAX(CASE WHEN rk = {KMV_K} THEN h END) AS hk,
                    COUNT(*)::BIGINT AS k_used
-            FROM r2 WHERE rk <= {KMV_K} GROUP BY ta, tb
+            FROM r2 WHERE rk <= {KMV_K} OR any_full = 0
+            GROUP BY ta, tb, any_full
         )
-        SELECT agg.ta AS type_a, agg.tb AS type_b, k_used,
-               (CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u
+        SELECT ta AS type_a, tb AS type_b, k_used,
+               (CASE WHEN any_full = 0 THEN n_u
                      ELSE {KMV_K - 1} * {_KMV_SPACE} // GREATEST(hk, 1)
                 END)::BIGINT AS union_est,
-               ((rho * (CASE WHEN n_u <= {KMV_K} AND any_full = 0 THEN n_u
+               ((rho * (CASE WHEN any_full = 0 THEN n_u
                              ELSE {KMV_K - 1} * {_KMV_SPACE} // GREATEST(hk, 1)
                         END)) // k_used)::BIGINT AS inter_est,
                ((rho * 1000000) // k_used)::BIGINT AS jaccard_ppm
-        FROM agg JOIN pairs ON agg.ta = pairs.ta AND agg.tb = pairs.tb
+        FROM agg
     """,
     "traffic_hour_heatmap": """
         SELECT (strftime(ts, '%w')::BIGINT + 1) AS dow,

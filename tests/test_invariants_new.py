@@ -515,13 +515,16 @@ def test_kmv_overlap_exact_when_unsaturated(spark):
         approx_overlap_kmv,
     )
 
-    # three types with known overlap structure, all well below K
+    # three types with known overlap structure, all below K — including
+    # a pair whose UNION exceeds K (a↔d: 30+40−5=65 > 64), which must
+    # STILL be exact because both whole sets are in hand
     rows = (
         [("a", u) for u in range(0, 30)]
         + [("b", u) for u in range(20, 50)]  # |a∩b|=10, |a∪b|=50
         + [("c", u) for u in range(100, 110)]  # disjoint from both
+        + [("d", u) for u in range(25, 65)]  # |a∩d|=5, |a∪d|=65 > K
     )
-    assert all(n <= KMV_K for n in (30, 30, 10))
+    assert all(n <= KMV_K for n in (30, 30, 10, 40)) and 65 > KMV_K
     ev = spark.createDataFrame(
         [(t, u, 1) for t, u in rows], "event_type string, user_id long, x int"
     )
@@ -532,6 +535,9 @@ def test_kmv_overlap_exact_when_unsaturated(spark):
     assert got[("a", "b")] == (50, 10, 10 * 1_000_000 // 50)
     assert got[("a", "c")] == (40, 0, 0)
     assert got[("b", "c")] == (40, 0, 0)
+    assert got[("a", "d")] == (65, 5, 5 * 1_000_000 // 65)
+    assert got[("b", "d")] == (45, 25, 25 * 1_000_000 // 45)
+    assert got[("c", "d")] == (50, 0, 0)
 
 
 def test_kmv_overlap_bounded_error_when_saturated(tables):
