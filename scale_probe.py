@@ -89,6 +89,10 @@ QUERIES = [
     "approx_uv_kmv",
     "approx_uv_kmv_rollup",
     "corpus_leakage_safe_split",
+    # the KMV set-operation sketch: same distinct+rank spine as
+    # approx_uv_kmv keyed by event_type; everything after the sketch
+    # materializes is |types|²×K-sized
+    "approx_overlap_kmv",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
