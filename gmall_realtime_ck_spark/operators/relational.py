@@ -995,6 +995,15 @@ def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
         .select("tp", "h", (F.col("n") > KMV_K).cast("int").alias("full"))
         .localCheckpoint()
     )
+    return kmv_pair_overlap(sk)
+
+
+def kmv_pair_overlap(sk: DataFrame) -> DataFrame:
+    """The KMV set-operation pair algebra over a (tp, h, full) sketch
+    table (≤ types×K rows) — shared by the batch builder above and the
+    streaming twin (``flow_overlap_kmv``), which maintains the sketch
+    as bounded keyed state and re-runs this sketch-sized algebra per
+    poll. See ``approx_overlap_kmv`` for the estimator derivation."""
     types = sk.groupBy("tp").agg(F.max("full").alias("full"))
     pairs = (
         types.select(F.col("tp").alias("ta"), F.col("full").alias("fa"))

@@ -851,6 +851,38 @@ def flow_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audience-overlap matrix LIVE: per event-type, bounded KMV
+    set-sketch state (``state.kmv_set_sketch_stream`` — K longs per
+    type + a saturation flag, merged vectorized per Arrow batch) emits
+    its current contents on update; each poll filters to the latest
+    snapshot per type and re-runs the shared sketch-sized pair algebra
+    (``relational.kmv_pair_overlap``) — pairwise union / intersection /
+    Jaccard between the distinct-user sets of every event-type pair,
+    always current, never rescanning raw events. The K-smallest set is
+    arrival-order independent, so the final snapshot equals the batch
+    sketch and the ``approx_overlap_kmv`` oracle applies verbatim.
+
+    Scale: state is O(types × K) longs total; the poll-time algebra
+    touches ≤ types×K emitted rows.
+    """
+    from ..operators.relational import _H44_SPARK, KMV_K, kmv_pair_overlap
+    from .state import kmv_set_sketch_stream
+
+    ev = events_file_stream(spark, sf_dir)
+    dh = ev.select(F.col("event_type").alias("tp"), F.expr(_H44_SPARK).alias("h"))
+    tbl = _run_to_memory(kmv_set_sketch_stream(dh, KMV_K), "update")
+    from pyspark.sql import Window
+
+    latest = F.max("upd").over(Window.partitionBy("tp"))
+    sk = (
+        tbl.withColumn("mx", latest)
+        .filter(F.col("upd") == F.col("mx"))
+        .select("tp", "h", "full")
+    )
+    return kmv_pair_overlap(sk)
+
+
 def flow_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility as a live monitor: per-(lang, source) word
     and subtoken totals maintained as ONE keyed complete-mode
@@ -1304,6 +1336,7 @@ STREAM_BUILDERS = {
     "flow_anomaly_mad": flow_anomaly_mad,
     "flow_heavy_tokens": flow_heavy_tokens,
     "flow_kmv": flow_kmv,
+    "flow_overlap_kmv": flow_overlap_kmv,
     "flow_tokenizer_fertility": flow_tokenizer_fertility,
     "flow_ccnet_gate": flow_ccnet_gate,
     "flow_repetition": flow_repetition,
@@ -1386,6 +1419,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_anomaly_mad": BEH["events_anomaly_mad"],
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_kmv": _REL_MOD.KMV_FLOW_ORACLE,
+        "flow_overlap_kmv": REL["approx_overlap_kmv"],
         "flow_tokenizer_fertility": TXT["corpus_tokenizer_fertility"],
         "flow_ccnet_gate": TXT["text_ccnet_buckets"],
         "flow_repetition": SAMP["repetition_ratio"],

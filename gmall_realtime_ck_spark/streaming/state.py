@@ -497,3 +497,66 @@ def kmv_sketch_stream(dh: DataFrame, k: int, grace_ms: int = 24 * 3600 * 1000) -
     return dh.groupBy("d").applyInPandasWithState(
         fn, _KMV_OUT, _KMV_STATE, "update", GroupStateTimeout.EventTimeTimeout
     )
+
+
+_KMVSET_STATE = StructType(
+    [
+        StructField("hashes", StringType()),
+        StructField("saturated", LongType()),
+        StructField("upd", LongType()),
+    ]
+)
+_KMVSET_OUT = StructType(
+    [
+        StructField("tp", StringType()),
+        StructField("upd", LongType()),
+        StructField("h", LongType()),
+        StructField("full", LongType()),
+    ]
+)
+
+
+def kmv_set_sketch_stream(dh: DataFrame, k: int) -> DataFrame:
+    """Bounded-state KMV SET sketch per string key: state is the
+    running K-smallest distinct-hash set (≤ K longs) + saturation flag,
+    merged vectorized per Arrow batch exactly like ``kmv_sketch_stream``
+    — but each update emits the sketch's CONTENTS (one row per retained
+    hash, stamped with a per-key update counter) rather than just its
+    summary, so poll-time consumers can run set-OPERATION algebra
+    (union/intersection/Jaccard between keys — see
+    ``relational.kmv_pair_overlap``) on the latest snapshot: filter to
+    each key's max ``upd``. The K-smallest set is arrival-order
+    independent, so the final snapshot equals the batch sketch.
+
+    No timeout: keys here are low-cardinality categories (event types,
+    sources), so total state is O(keys × K) longs forever — the
+    day-keyed sibling above is the one that needs event-time expiry.
+    """
+    import numpy as np
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (tp,) = key
+        if state.exists:
+            hs, sat, upd = state.get
+            cur = (
+                np.array(hs.split(","), dtype="int64") if hs else np.array([], dtype="int64")
+            )
+            sat, upd = int(sat), int(upd)
+        else:
+            cur, sat, upd = np.array([], dtype="int64"), 0, 0
+        for pdf in pdf_iter:
+            batch = pdf["h"].to_numpy(dtype="int64")
+            merged = np.unique(np.concatenate([cur, batch]))
+            if len(merged) > k:
+                sat = 1
+                merged = merged[:k]
+            cur = merged
+        upd += 1
+        state.update((",".join(map(str, cur.tolist())), sat, upd))
+        yield pd.DataFrame(
+            {"tp": tp, "upd": upd, "h": cur.tolist(), "full": sat}
+        )
+
+    return dh.groupBy("tp").applyInPandasWithState(
+        fn, _KMVSET_OUT, _KMVSET_STATE, "update", GroupStateTimeout.NoTimeout
+    )

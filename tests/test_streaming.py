@@ -287,3 +287,46 @@ def test_stale_temp_dir_sweep(tmp_path):
     assert removed == 2
     assert not old_ckpt.exists() and not old_src.exists()
     assert fresh.exists() and other.exists()
+
+
+def test_flow_overlap_kmv_bounded_state_matches_batch(spark, tables):
+    """The set-sketch twin's state must be one state-store row per
+    event type (each ≤ K longs), and the poll-time pair algebra over
+    the latest snapshot must equal the batch overlap sketch exactly
+    (the K-smallest set is arrival-order independent)."""
+    import json
+    import uuid
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        _H44_SPARK,
+        KMV_K,
+        approx_overlap_kmv,
+    )
+
+    ev = pipelines.events_file_stream(spark, SF_DIR)
+    dh = ev.select(F.col("event_type").alias("tp"), F.expr(_H44_SPARK).alias("h"))
+    name = "kmvset" + uuid.uuid4().hex[:8]
+    ckpt = pipelines._process_tempdir("ckpt_")
+    q = (
+        state.kmv_set_sketch_stream(dh, KMV_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_types = tables["events"].select("event_type").distinct().count()
+    state_rows = max(
+        sum(s.get("numRowsTotal", 0) for s in json.loads(p.json).get("stateOperators") or [])
+        for p in q.recentProgress
+    )
+    assert 0 < state_rows <= n_types, (state_rows, n_types)
+    emitted = spark.table(name)
+    per_upd = emitted.groupBy("tp", "upd").count()
+    assert per_upd.agg(F.max("count")).first()[0] <= KMV_K
+
+    got = sorted(map(tuple, pipelines.flow_overlap_kmv(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, approx_overlap_kmv(tables).collect()))
+    assert got == want
