@@ -418,6 +418,29 @@ def admit_first_per_hash(docs: DataFrame) -> DataFrame:
     )
 
 
+def _kmv_merge(cur, batch, k: int, sat: int):
+    """One KMV state transition: merge a batch of hashes into the
+    running K-smallest set. Returns (new_set, new_sat). K-smallest of
+    a union equals K-smallest regardless of arrival order or batch
+    boundaries, so the whole micro-batch merges as one vectorized
+    numpy unique instead of row-at-a-time compare-against-max; ``sat``
+    latches once anything is ever evicted/rejected (union exceeded K),
+    which is exactly the "distinct count exceeded K" predicate —
+    property-tested against a pure-set model in test_streaming."""
+    import numpy as np
+
+    merged = np.unique(np.concatenate([cur, batch]))
+    if len(merged) > k:
+        return merged[:k], 1
+    return merged, sat
+
+
+def _kmv_decode(hs: str):
+    import numpy as np
+
+    return np.array(hs.split(","), dtype="int64") if hs else np.array([], dtype="int64")
+
+
 _KMV_STATE = StructType(
     [StructField("hashes", StringType()), StructField("saturated", LongType())]
 )
@@ -457,7 +480,6 @@ def kmv_sketch_stream(dh: DataFrame, k: int, grace_ms: int = 24 * 3600 * 1000) -
     + ``grace_ms`` — closed days cost nothing forever after, keeping
     total state O(open days × K) longs.
     """
-    import numpy as np
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (d,) = key
@@ -467,19 +489,11 @@ def kmv_sketch_stream(dh: DataFrame, k: int, grace_ms: int = 24 * 3600 * 1000) -
             return
         if state.exists:
             hs, sat = state.get
-            cur = (
-                np.array(hs.split(","), dtype="int64") if hs else np.array([], dtype="int64")
-            )
-            sat = int(sat)
+            cur, sat = _kmv_decode(hs), int(sat)
         else:
-            cur, sat = np.array([], dtype="int64"), 0
+            cur, sat = _kmv_decode(""), 0
         for pdf in pdf_iter:
-            batch = pdf["h"].to_numpy(dtype="int64")
-            merged = np.unique(np.concatenate([cur, batch]))
-            if len(merged) > k:
-                sat = 1
-                merged = merged[:k]
-            cur = merged
+            cur, sat = _kmv_merge(cur, pdf["h"].to_numpy(dtype="int64"), k, sat)
         state.update((",".join(map(str, cur.tolist())), sat))
         day_end_ms = (
             int(pd.Timestamp(d).value // 1_000_000) + 24 * 3600 * 1000 + grace_ms
@@ -532,25 +546,16 @@ def kmv_set_sketch_stream(dh: DataFrame, k: int) -> DataFrame:
     sources), so total state is O(keys × K) longs forever — the
     day-keyed sibling above is the one that needs event-time expiry.
     """
-    import numpy as np
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (tp,) = key
         if state.exists:
             hs, sat, upd = state.get
-            cur = (
-                np.array(hs.split(","), dtype="int64") if hs else np.array([], dtype="int64")
-            )
-            sat, upd = int(sat), int(upd)
+            cur, sat, upd = _kmv_decode(hs), int(sat), int(upd)
         else:
-            cur, sat, upd = np.array([], dtype="int64"), 0, 0
+            cur, sat, upd = _kmv_decode(""), 0, 0
         for pdf in pdf_iter:
-            batch = pdf["h"].to_numpy(dtype="int64")
-            merged = np.unique(np.concatenate([cur, batch]))
-            if len(merged) > k:
-                sat = 1
-                merged = merged[:k]
-            cur = merged
+            cur, sat = _kmv_merge(cur, pdf["h"].to_numpy(dtype="int64"), k, sat)
         upd += 1
         state.update((",".join(map(str, cur.tolist())), sat, upd))
         yield pd.DataFrame(

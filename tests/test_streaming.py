@@ -330,3 +330,42 @@ def test_flow_overlap_kmv_bounded_state_matches_batch(spark, tables):
     got = sorted(map(tuple, pipelines.flow_overlap_kmv(spark, SF_DIR).collect()))
     want = sorted(map(tuple, approx_overlap_kmv(tables).collect()))
     assert got == want
+
+
+def test_kmv_merge_property_matches_set_model():
+    """Property (hypothesis, no Spark): for ANY hash sequence, ANY
+    batch boundaries, and ANY k, folding _kmv_merge over the batches
+    yields exactly the k smallest distinct hashes, with the saturation
+    flag ≡ (distinct count > k). This is the state transition both KMV
+    streaming twins share — arrival order and batching must be
+    invisible."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gmall_realtime_ck_spark.streaming.state import _kmv_decode, _kmv_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), max_size=60),
+        st.integers(min_value=1, max_value=10),
+        st.randoms(use_true_random=False),
+    )
+    def check(seq, k, rng):
+        # random batch boundaries over a random permutation
+        rng.shuffle(seq)
+        cur, sat = _kmv_decode(""), 0
+        i = 0
+        while i < len(seq):
+            j = i + rng.randint(1, max(1, len(seq) - i))
+            cur, sat = _kmv_merge(
+                cur, np.array(seq[i:j], dtype="int64"), k, sat
+            )
+            i = j
+        distinct = sorted(set(seq))
+        assert cur.tolist() == distinct[:k]
+        assert sat == (1 if len(distinct) > k else 0)
+        # round-trip through the state-store string encoding
+        assert _kmv_decode(",".join(map(str, cur.tolist()))).tolist() == distinct[:k]
+
+    check()
