@@ -824,8 +824,16 @@ KMV_K = 64
 #: large enough that birthday collisions are negligible at these
 #: cardinalities (both engines hash identically, so any collision is
 #: shared and determinism is unaffected).
-_H44_SPARK = "cast(conv(substring(md5(cast(user_id as string)), 1, 11), 16, 10) as bigint)"
-_H44_DUCK = "('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT"
+def _h44_spark(col: str) -> str:
+    return f"cast(conv(substring(md5(cast({col} as string)), 1, 11), 16, 10) as bigint)"
+
+
+def _h44_duck(col: str) -> str:
+    return f"('0x' || substr(md5({col}::VARCHAR), 1, 11))::BIGINT"
+
+
+_H44_SPARK = _h44_spark("user_id")
+_H44_DUCK = _h44_duck("user_id")
 _KMV_SPACE = 1 << 44
 
 
@@ -982,20 +990,55 @@ def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
         .select(F.col("event_type").alias("tp"), F.expr(_H44_SPARK).alias("h"))
         .distinct()
     )
+    return kmv_pair_overlap(kmv_sketch_table(ev))
+
+
+def kmv_sketch_table(keyed: DataFrame) -> DataFrame:
+    """Build the stored (tp, h, full) KMV sketch table — K smallest
+    hashes per key + truncation flag — from distinct (tp, h) rows.
+    localCheckpoint: the sketch is consumed several times by the pair
+    algebra and is ≤ keys×K rows — exactly the artifact a production
+    pipeline persists as its sketch table."""
     w = Window.partitionBy("tp").orderBy("h")
-    ranked = ev.select(
+    ranked = keyed.select(
         "tp",
         "h",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("tp")).alias("n"),
     )
-    # the stored per-type sketch: K smallest hashes + truncation flag
-    sk = (
+    return (
         ranked.filter(F.col("rk") <= KMV_K)
         .select("tp", "h", (F.col("n") > KMV_K).cast("int").alias("full"))
         .localCheckpoint()
     )
-    return kmv_pair_overlap(sk)
+
+
+def approx_join_keys_kmv(t: dict[str, DataFrame]) -> DataFrame:
+    """Join-key cardinality diagnostics from KMV sketches — the
+    pre-join estimate a planner (or a pipeline author sizing a
+    backfill) wants: for each pair of key columns across TABLES
+    (orders.o_custkey, customer.c_custkey, events.user_id), the
+    distinct-value union, intersection and Jaccard, answered from
+    per-column K-smallest sketches of the shared md5 value hash — the
+    classic distinct-value-overlap method for join selectivity
+    (Beyer et al. 2007 §6 apply KMV sketches to exactly this). A
+    containment inter_est ≈ |customer keys| says every customer
+    appears in orders; inter_est ≈ 0 flags a join that would silently
+    produce nothing. Same algebra as ``approx_overlap_kmv``
+    (``kmv_pair_overlap``), different sketch source: one distinct +
+    rank pass per key column, everything downstream sketch-sized.
+    """
+    keyed = None
+    for tbl, col in (
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+        ("events", "user_id"),
+    ):
+        part = t[tbl].select(
+            F.lit(f"{tbl}.{col}").alias("tp"), F.expr(_h44_spark(col)).alias("h")
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    return kmv_pair_overlap(kmv_sketch_table(keyed.distinct()))
 
 
 def kmv_pair_overlap(sk: DataFrame) -> DataFrame:
@@ -2271,41 +2314,10 @@ KMV_FLOW_ORACLE = _KMV_CTE + f"""
         FROM ranked WHERE rk <= {KMV_K} GROUP BY d
 """
 
-ORACLES: dict[str, str] = {
-    "approx_uv_kmv": _KMV_CTE + f"""
-        SELECT strftime(d, '%Y-%m-%d') AS day,
-               MAX(n)::BIGINT AS n_hashes, {_KMV_EST}
-        FROM ranked WHERE rk <= {KMV_K} GROUP BY d
-    """,
-    "approx_uv_kmv_rollup": _KMV_CTE + f"""
-        , sk0 AS (
-            SELECT date_trunc('week', d) AS wk, h,
-                   (n > {KMV_K})::INT AS day_full
-            FROM ranked WHERE rk <= {KMV_K}
-        ), flags AS (
-            SELECT wk, MAX(day_full) AS any_full FROM sk0 GROUP BY wk
-        ), sk AS (
-            SELECT DISTINCT wk, h FROM sk0
-        ), r2 AS (
-            SELECT wk, h,
-                   row_number() OVER (PARTITION BY wk ORDER BY h) AS rk,
-                   COUNT(*) OVER (PARTITION BY wk) AS n
-            FROM sk
-        )
-        SELECT strftime(r2.wk, '%Y-%m-%d') AS week,
-               MAX(n)::BIGINT AS n_hashes,
-               (CASE WHEN MAX(n) <= {KMV_K} AND MAX(any_full) = 0 THEN MAX(n)
-                     ELSE {KMV_K - 1} * {_KMV_SPACE}
-                          // GREATEST(MAX(CASE WHEN rk = {KMV_K} THEN h END), 1)
-                END)::BIGINT AS uv_kmv
-        FROM r2 JOIN flags ON r2.wk = flags.wk
-        WHERE rk <= {KMV_K} GROUP BY r2.wk
-    """,
-    "approx_overlap_kmv": f"""
-        WITH h AS (
-            SELECT DISTINCT event_type AS tp, {_H44_DUCK} AS h
-            FROM events
-        ), ranked AS (
+#: everything downstream of the per-key distinct-hash CTE in the KMV
+#: pair-overlap oracles — shared by approx_overlap_kmv (event types) and
+#: approx_join_keys_kmv (join-key columns across tables).
+_KMV_OVERLAP_TAIL = f""", ranked AS (
             SELECT tp, h,
                    row_number() OVER (PARTITION BY tp ORDER BY h) AS rk,
                    COUNT(*) OVER (PARTITION BY tp) AS n
@@ -2350,7 +2362,51 @@ ORACLES: dict[str, str] = {
                         END)) // k_used)::BIGINT AS inter_est,
                ((rho * 1000000) // k_used)::BIGINT AS jaccard_ppm
         FROM agg
+"""
+
+ORACLES: dict[str, str] = {
+    "approx_uv_kmv": _KMV_CTE + f"""
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               MAX(n)::BIGINT AS n_hashes, {_KMV_EST}
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY d
     """,
+    "approx_uv_kmv_rollup": _KMV_CTE + f"""
+        , sk0 AS (
+            SELECT date_trunc('week', d) AS wk, h,
+                   (n > {KMV_K})::INT AS day_full
+            FROM ranked WHERE rk <= {KMV_K}
+        ), flags AS (
+            SELECT wk, MAX(day_full) AS any_full FROM sk0 GROUP BY wk
+        ), sk AS (
+            SELECT DISTINCT wk, h FROM sk0
+        ), r2 AS (
+            SELECT wk, h,
+                   row_number() OVER (PARTITION BY wk ORDER BY h) AS rk,
+                   COUNT(*) OVER (PARTITION BY wk) AS n
+            FROM sk
+        )
+        SELECT strftime(r2.wk, '%Y-%m-%d') AS week,
+               MAX(n)::BIGINT AS n_hashes,
+               (CASE WHEN MAX(n) <= {KMV_K} AND MAX(any_full) = 0 THEN MAX(n)
+                     ELSE {KMV_K - 1} * {_KMV_SPACE}
+                          // GREATEST(MAX(CASE WHEN rk = {KMV_K} THEN h END), 1)
+                END)::BIGINT AS uv_kmv
+        FROM r2 JOIN flags ON r2.wk = flags.wk
+        WHERE rk <= {KMV_K} GROUP BY r2.wk
+    """,
+    "approx_overlap_kmv": f"""
+        WITH h AS (
+            SELECT DISTINCT event_type AS tp, {_H44_DUCK} AS h
+            FROM events
+        ){_KMV_OVERLAP_TAIL}""",
+    "approx_join_keys_kmv": f"""
+        WITH h AS (
+            SELECT DISTINCT 'orders.o_custkey' AS tp, {_h44_duck("o_custkey")} AS h FROM orders
+            UNION
+            SELECT DISTINCT 'customer.c_custkey' AS tp, {_h44_duck("c_custkey")} AS h FROM customer
+            UNION
+            SELECT DISTINCT 'events.user_id' AS tp, {_h44_duck("user_id")} AS h FROM events
+        ){_KMV_OVERLAP_TAIL}""",
     "traffic_hour_heatmap": """
         SELECT (strftime(ts, '%w')::BIGINT + 1) AS dow,
                hour(ts)::BIGINT AS hod,
@@ -3138,6 +3194,7 @@ BUILDERS = {
     "approx_uv_kmv": approx_uv_kmv,
     "approx_uv_kmv_rollup": approx_uv_kmv_rollup,
     "approx_overlap_kmv": approx_overlap_kmv,
+    "approx_join_keys_kmv": approx_join_keys_kmv,
     "join_star_denormalize": join_star_denormalize,
     "sql_weekly_trade_report": sql_weekly_trade_report,
     "traffic_hour_heatmap": traffic_hour_heatmap,

@@ -568,3 +568,30 @@ def test_kmv_overlap_bounded_error_when_saturated(tables):
         assert r["inter_est"] == r["jaccard_ppm"] * r["union_est"] // 1_000_000 or (
             abs(r["inter_est"] - len(ia)) <= (tol + 0.05) * len(ua) + 1
         ), r
+
+
+def test_kmv_join_keys_exact_when_unsaturated(spark):
+    """The join-key sketch must hash EQUAL KEY VALUES identically
+    across tables (else every overlap reads 0): with ≤K distinct keys
+    per column, the pair estimates are exact set arithmetic on the
+    actual key overlap."""
+    from gmall_realtime_ck_spark.operators.relational import approx_join_keys_kmv
+
+    customers = spark.createDataFrame(
+        [(k, "x") for k in range(0, 50)], "c_custkey long, pad string"
+    )
+    orders = spark.createDataFrame(  # 30 customers have orders, dup rows
+        [(k % 30, i) for i, k in enumerate(range(0, 60))], "o_custkey long, o_id long"
+    )
+    events = spark.createDataFrame(  # users 20..39 → overlaps both
+        [(u, "click") for u in range(20, 40)], "user_id long, event_type string"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (r["union_est"], r["inter_est"], r["jaccard_ppm"])
+        for r in approx_join_keys_kmv(
+            {"orders": orders, "customer": customers, "events": events}
+        ).collect()
+    }
+    assert got[("customer.c_custkey", "orders.o_custkey")] == (50, 30, 30 * 10**6 // 50)
+    assert got[("customer.c_custkey", "events.user_id")] == (50, 20, 20 * 10**6 // 50)
+    assert got[("events.user_id", "orders.o_custkey")] == (40, 10, 10 * 10**6 // 40)

@@ -179,6 +179,7 @@ BOUNDED_NLJ_OK = {
     "privacy_t_closeness",  # class grid × m-row sensitive-domain broadcast
     "sample_dsir_weights",  # 1-row (n_t, n_r) totals broadcast
     "approx_overlap_kmv",  # |types|² pairing over per-type K-row sketches
+    "approx_join_keys_kmv",  # |key columns|² pairing over K-row sketches
 }
 
 
