@@ -1017,8 +1017,15 @@ def flow_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import TOKENS_SPARK, shingles_from_tokens
 
     docs = documents_file_stream(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.expr(shingles_from_tokens(TOKENS_SPARK.format(c="text"), 3)).alias("sha")
+    # materialize the token array BEFORE the shingle HOF: a lambda body
+    # re-evaluates outer expressions per element, so inlining the
+    # tokenizer here re-ran the regex split once per shingle (the exact
+    # anti-pattern shingles_from_tokens documents; measured 9.9 → ~5 s
+    # at sf0.1 for this query — the remainder is the shingle concat +
+    # array_distinct itself)
+    toked = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    sh = toked.select(
+        "doc_id", F.expr(shingles_from_tokens("tk", 3)).alias("sha")
     ).filter(F.size("sha") >= 1)
     out = sh.select(
         "doc_id",
