@@ -89,10 +89,11 @@ QUERIES = [
     "approx_uv_kmv",
     "approx_uv_kmv_rollup",
     "corpus_leakage_safe_split",
-    # the KMV set-operation sketch: same distinct+rank spine as
-    # approx_uv_kmv keyed by event_type; everything after the sketch
-    # materializes is |types|²×K-sized
+    # the KMV set-operation sketches: same distinct+rank spine as
+    # approx_uv_kmv keyed by event_type / by join-key column;
+    # everything after the sketch materializes is |keys|²×K-sized
     "approx_overlap_kmv",
+    "approx_join_keys_kmv",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -111,9 +112,7 @@ SCHEME = "cipher-v2-events"
 def synth(k: int) -> str:
     out = os.path.join(SCRATCH, f"x{k}")
     marker = os.path.join(out, f".scheme-{SCHEME}")
-    if os.path.isdir(out):
-        if os.path.exists(marker):
-            return out
+    if os.path.isdir(out) and not os.path.exists(marker):
         shutil.rmtree(out)  # stale scheme — regenerate
     os.makedirs(out, exist_ok=True)
     open(marker, "w").close()
@@ -131,14 +130,16 @@ def synth(k: int) -> str:
             FROM read_parquet('{BASE}/documents.parquet')"""
         for c in range(k)
     )
-    con.execute(f"COPY ({docs_sel}) TO '{out}/documents.parquet' (FORMAT parquet)")
+    if not os.path.exists(f"{out}/documents.parquet"):
+        con.execute(f"COPY ({docs_sel}) TO '{out}/documents.parquet' (FORMAT parquet)")
     emb_sel = " UNION ALL ".join(
         f"""SELECT vec_id + {c * ID_OFF} AS vec_id, embedding,
                label + {c * LABEL_OFF} AS label
             FROM read_parquet('{BASE}/embeddings.parquet')"""
         for c in range(k)
     )
-    con.execute(f"COPY ({emb_sel}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
+    if not os.path.exists(f"{out}/embeddings.parquet"):
+        con.execute(f"COPY ({emb_sel}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
     # graph/stream probes: copies get offset keys, so each copy is a
     # disconnected component isomorphic to the original — node count
     # grows with the data, per-node degree distribution is constant
@@ -147,7 +148,13 @@ def synth(k: int) -> str:
         ("events", ("event_id", "user_id")),
         ("orders", ("o_orderkey", "o_custkey")),
         ("lineitem", ("l_orderkey", "l_suppkey")),
+        # added r7 (approx_join_keys_kmv probes key overlap across
+        # tables); generated additively so pre-r7 cached dirs upgrade
+        # in place instead of regenerating the whole scheme
+        ("customer", ("c_custkey", "c_nationkey")),
     ):
+        if os.path.exists(f"{out}/{tbl}.parquet"):
+            continue
         repl = ", ".join(f"{c} + {{off}} AS {c}" for c in keys)
         sel = " UNION ALL ".join(
             f"SELECT * REPLACE ({repl.format(off=c * ID_OFF)}) "
@@ -188,7 +195,7 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
 
     # warm the Arrow/python-worker + codegen paths once, untimed
-    TBLS = ["documents", "embeddings", "events", "orders", "lineitem"]
+    TBLS = ["documents", "embeddings", "events", "orders", "lineitem", "customer"]
     warm_dir = synth(1)
     warm = {t: spark.read.parquet(f"{warm_dir}/{t}.parquet") for t in TBLS}
     for q in queries:
