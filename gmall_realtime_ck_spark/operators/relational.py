@@ -837,23 +837,50 @@ _H44_DUCK = _h44_duck("user_id")
 _KMV_SPACE = 1 << 44
 
 
+#: salt fan-out for the two-level K-smallest rank: bounds any single
+#: reducer's sort to ~1/16 of a hot key's distinct hashes.
+_KMV_SALTS = 16
+
+
+def kmv_topk_per_key(distinct_kh: DataFrame, key: str, n_alias: str = "n") -> DataFrame:
+    """Two-level K-smallest over (key, h) distinct-hash rows — the
+    skew mitigation the KMV docstrings promised, implemented: rank
+    within (key, h mod 16) salt partitions first and keep K per salt
+    (so no reducer ever sorts more than ~1/16 of a hot key's hashes),
+    then rank the ≤ 16·K survivors per key — KMV min-sets compose, so
+    this is EXACTLY the global K smallest. The key's full distinct
+    count rides a keyed aggregate (map-side partials) broadcast back,
+    not a count window over raw rows (which would drag every row
+    through the hot key's single partition). Returns
+    (key, h, rk, ``n_alias``) with rk ≤ K.
+    """
+    n_by_key = distinct_kh.groupBy(key).agg(F.count(F.lit(1)).alias(n_alias))
+    w1 = Window.partitionBy(key, "salt").orderBy("h")
+    pre = (
+        distinct_kh.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= KMV_K)
+    )
+    w2 = Window.partitionBy(key).orderBy("h")
+    return (
+        pre.select(key, "h")
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= KMV_K)
+        .join(F.broadcast(n_by_key), key)
+    )
+
+
 def _kmv_estimate(per_key: DataFrame, key) -> DataFrame:
     """The KMV estimator algebra over (key, h) distinct-hash rows:
-    rank hashes ascending per key; estimate = (K−1)·2⁴⁴ div h₍K₎, or
-    the exact distinct count when it does not reach K. Shared by the
-    daily sketch and the weekly merge (KMV's defining property: the K
+    rank hashes ascending per key (two-level salted rank — see
+    kmv_topk_per_key); estimate = (K−1)·2⁴⁴ div h₍K₎, or the exact
+    distinct count when it does not reach K. Shared by the daily
+    sketch and the weekly merge (KMV's defining property: the K
     smallest of a union of per-part K-smallest sets equal the K
     smallest of the union — so rollup ≡ direct sketch, exactly)."""
-    w = Window.partitionBy(key).orderBy("h")
-    ranked = per_key.select(
-        key,
-        "h",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("n_hashes"),
-    )
+    ranked = kmv_topk_per_key(per_key, key, n_alias="n_hashes")
     return (
-        ranked.filter(F.col("rk") <= KMV_K)
-        .groupBy(key)
+        ranked.groupBy(key)
         .agg(
             F.max("n_hashes").alias("n_hashes"),
             F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("mk"),
@@ -912,13 +939,7 @@ def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
         .select(F.to_date("ts").alias("d"), F.expr(_H44_SPARK).alias("h"))
         .distinct()
     )
-    w = Window.partitionBy("d").orderBy("h")
-    ranked = ev.select(
-        "d",
-        "h",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("d")).alias("n_day"),
-    )
+    ranked = kmv_topk_per_key(ev, "d", n_alias="n_day")
     # The stored per-day sketch: K smallest hashes + a truncation flag.
     # The flag is what makes the merge LOSSLESS in the exactness
     # decision: a merged set of size ≤ K is exact only if NO day was
@@ -930,7 +951,7 @@ def approx_uv_kmv_rollup(t: dict[str, DataFrame]) -> DataFrame:
     # rank window twice (plan-audited: 8 exchanges → 4). The sketch is
     # ≤ K rows per day — exactly the artifact a production pipeline
     # would persist as the stored daily sketch table.
-    daily_sketch = ranked.filter(F.col("rk") <= KMV_K).select(
+    daily_sketch = ranked.select(
         F.date_trunc("week", F.col("d")).alias("wk"),
         "h",
         (F.col("n_day") > KMV_K).cast("int").alias("day_full"),
@@ -995,20 +1016,14 @@ def approx_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
 
 def kmv_sketch_table(keyed: DataFrame) -> DataFrame:
     """Build the stored (tp, h, full) KMV sketch table — K smallest
-    hashes per key + truncation flag — from distinct (tp, h) rows.
-    localCheckpoint: the sketch is consumed several times by the pair
-    algebra and is ≤ keys×K rows — exactly the artifact a production
-    pipeline persists as its sketch table."""
-    w = Window.partitionBy("tp").orderBy("h")
-    ranked = keyed.select(
-        "tp",
-        "h",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("tp")).alias("n"),
-    )
+    hashes per key + truncation flag — from distinct (tp, h) rows via
+    the two-level salted rank (kmv_topk_per_key). localCheckpoint: the
+    sketch is consumed several times by the pair algebra and is ≤
+    keys×K rows — exactly the artifact a production pipeline persists
+    as its sketch table."""
+    ranked = kmv_topk_per_key(keyed, "tp")
     return (
-        ranked.filter(F.col("rk") <= KMV_K)
-        .select("tp", "h", (F.col("n") > KMV_K).cast("int").alias("full"))
+        ranked.select("tp", "h", (F.col("n") > KMV_K).cast("int").alias("full"))
         .localCheckpoint()
     )
 

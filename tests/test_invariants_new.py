@@ -595,3 +595,33 @@ def test_kmv_join_keys_exact_when_unsaturated(spark):
     assert got[("customer.c_custkey", "orders.o_custkey")] == (50, 30, 30 * 10**6 // 50)
     assert got[("customer.c_custkey", "events.user_id")] == (50, 20, 20 * 10**6 // 50)
     assert got[("events.user_id", "orders.o_custkey")] == (40, 10, 10 * 10**6 // 40)
+
+
+def test_kmv_two_level_rank_equals_global(spark):
+    """kmv_topk_per_key's salted two-level rank (the hot-key sort
+    mitigation) must return EXACTLY the global K smallest per key plus
+    the exact distinct count — exercised on a skewed input where one
+    key holds 80× the other's hashes."""
+    from collections import defaultdict
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        KMV_K,
+        kmv_topk_per_key,
+    )
+
+    rows = [("hot", h * 7 + 1) for h in range(3200)] + [
+        ("cold", h * 13 + 2) for h in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, h long")
+    per = defaultdict(dict)
+    ns = {}
+    for r in kmv_topk_per_key(df, "k").collect():
+        per[r["k"]][r["rk"]] = r["h"]
+        ns[r["k"]] = r["n"]
+    truth = defaultdict(list)
+    for k, h in rows:
+        truth[k].append(h)
+    for k, hs in truth.items():
+        want = sorted(hs)[:KMV_K]
+        assert [per[k][i] for i in range(1, len(per[k]) + 1)] == want, k
+        assert ns[k] == len(hs), k
