@@ -64,11 +64,22 @@ def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_
     root = tmp_root or tempfile.gettempdir()
     removed = 0
     cutoff = time.time() - max_age_s
+
+    def last_activity(d: str) -> float:
+        # a LIVE streaming query touches commits/offsets/state subdirs
+        # every batch without updating the top dir's mtime — take the
+        # max over the dir and its first-level entries so a >1h-running
+        # query in another process is never swept out from under itself
+        ts = [os.path.getmtime(d)]
+        for e in os.scandir(d):
+            ts.append(e.stat().st_mtime)
+        return max(ts)
+
     for d in glob.glob(os.path.join(root, "ckpt_*")) + glob.glob(
         os.path.join(root, "streamsrc_*")
     ):
         try:
-            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+            if os.path.isdir(d) and last_activity(d) < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
         except OSError:

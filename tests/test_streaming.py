@@ -282,6 +282,7 @@ def test_stale_temp_dir_sweep(tmp_path):
     stale = time.time() - 7200
     for d in (old_ckpt, old_src, other):
         os.utime(d, (stale, stale))
+        os.utime(d / "state.delta", (stale, stale))  # contents aged too
 
     removed = pipelines._sweep_stale_temp_dirs(tmp_root=str(tmp_path), max_age_s=3600)
     assert removed == 2
@@ -369,3 +370,28 @@ def test_kmv_merge_property_matches_set_model():
         assert _kmv_decode(",".join(map(str, cur.tolist()))).tolist() == distinct[:k]
 
     check()
+
+
+def test_stale_sweep_spares_recently_active_checkpoint(tmp_path):
+    """A >1h-old checkpoint whose commits/ subdir is still being
+    written (a live long-running query in another process) must NOT be
+    swept — activity is the max mtime over the dir and its first-level
+    entries, not the top dir alone (which streaming never touches
+    after creation)."""
+    import os
+    import time
+
+    live = tmp_path / "ckpt_longrunning"
+    (live / "commits").mkdir(parents=True)
+    stale = time.time() - 7200
+    os.utime(live, (stale, stale))  # top dir looks old...
+    (live / "commits" / "42").write_text("x")  # ...but commits are fresh
+
+    dead = tmp_path / "ckpt_dead"
+    (dead / "commits").mkdir(parents=True)
+    for p in (dead / "commits", dead):
+        os.utime(p, (stale, stale))
+
+    removed = pipelines._sweep_stale_temp_dirs(tmp_root=str(tmp_path), max_age_s=3600)
+    assert removed == 1
+    assert live.exists() and not dead.exists()
