@@ -909,11 +909,10 @@ def approx_uv_kmv(t: dict[str, DataFrame]) -> DataFrame:
     against DuckDB. est = (K−1)·2⁴⁴ div h₍K₎ over the K smallest
     distinct user hashes; days with ≤ K distinct users are exact.
 
-    Scale: one keyed distinct (day, hash) shuffle, then a per-day rank
-    window that keeps K rows — at extreme per-day cardinality the sort
-    is the cost, and the mitigation is the same partial trick HLL
-    uses: pre-aggregate per (day, hash-prefix) partitions map-side and
-    merge, which this algebra permits because min-sets compose.
+    Scale: one keyed distinct (day, hash) shuffle, then the two-level
+    salted K-smallest rank (kmv_topk_per_key) — no reducer ever sorts
+    more than ~1/16 of a hot day's hashes, because min-sets compose:
+    the partial trick HLL uses, implemented rather than documented.
     """
     ev = (
         t["events"]
