@@ -28,7 +28,9 @@ def main() -> int:
     from gmall_realtime_ck_spark import registry
     from gmall_realtime_ck_spark.catalog import load_tables
     from gmall_realtime_ck_spark.session import get_spark
+    from gmall_realtime_ck_spark.streaming.pipelines import _sweep_stale_temp_dirs
 
+    _sweep_stale_temp_dirs()  # reap SIGKILL-orphaned ckpt/streamsrc dirs
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

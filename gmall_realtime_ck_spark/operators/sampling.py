@@ -542,6 +542,12 @@ def sample_mixture_resample(t: dict[str, DataFrame]) -> DataFrame:
 DOMAIN_CAP = 15  # max documents kept per source domain
 
 
+#: salt fan-out for the two-level top-CAP rank: bounds any single
+#: reducer's sort to ~1/16 of a hot domain's documents (same shape as
+#: relational._KMV_SALTS; kept separate so the two knobs can diverge).
+_DOMAIN_SALTS = 16
+
+
 def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
     """Per-domain quota sampling: keep at most DOMAIN_CAP documents per
     source, chosen by content-hash order (md5 of text, doc_id
@@ -551,20 +557,34 @@ def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
     deterministic uniform sample of the domain rather than
     "first-N-crawled" bias.
 
-    Scale: ONE shuffle keyed on source for the rank. The ordering key
-    is a uniform hash, so the per-domain sort spills-friendly
-    sort-aggregates; for mega-domains (a single source at petabyte
-    scale) the two-phase alternative — per-partition top-CAP via the
-    space-saving shape, then a global merge of |partitions|·CAP rows —
-    drops in without changing results; at the declared CAP the window
-    is the simpler, equally-correct plan.
+    Scale: the rank is TWO-LEVEL SALTED (the kmv_topk_per_key shape,
+    relational.py): rank within (source, xxhash64(doc_id) mod 16)
+    first and keep CAP per salt — so no reducer ever sorts more than
+    ~1/16 of a hot domain (C4's top domains hold billions of pages;
+    a plain Window.partitionBy(source) would drag every one of them
+    through a single partition's sort) — then rank the ≤ 16·CAP
+    survivors per source. Top-CAP sets under the total order
+    (h, doc_id) compose exactly like KMV min-sets (the global CAP
+    smallest of a union is the CAP smallest of the union of per-part
+    CAP-smallest sets), so the result is IDENTICAL to the single
+    window, row for row and rank for rank — pinned by
+    tests/test_invariants_new.py::test_domain_cap_two_level_equals_global.
+    The salt keys on doc_id's hash, not h, so a domain of billions of
+    IDENTICAL documents (equal h) still spreads across all 16 salts.
     """
     docs = t["documents"]
     h = F.expr(H28_SPARK.format(c="text")).alias("h")
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    pre = (
         docs.select("doc_id", "source", h)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(_DOMAIN_SALTS)))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= DOMAIN_CAP)
+    )
+    return (
+        pre.select("doc_id", "source", "h")
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= DOMAIN_CAP)
         .select("doc_id", "source", "rank")
     )

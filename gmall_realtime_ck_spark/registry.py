@@ -101,77 +101,81 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-7 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r6). Composition,
-    # per the r6 verdict's rotation plan (#1):
-    #   (a) the 4 R7_HEAD r1-era re-certs deferred from the r6 window
-    #       (tools/gen_ledger.py::R7_HEAD) — their only green rows are
-    #       r1-era under pre-rename names,
-    #   (b) the 7 R7_QUEUE post-r6-freeze additions
-    #       (tools/gen_ledger.py::R7_QUEUE) — never driver-checked
-    #       (all 7 preflighted green on a vanilla session, r6 verdict),
-    #   (c) 39 re-certification slots: the stalest surviving green rows —
-    #       every one's latest driver hash row dates to round 2
-    #       (computed from CORRECTNESS_r0{1..6}.json; alphabetical
-    #       tie-break within the r2 cohort).
+    # --- Round-8 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r7). Composition,
+    # per the r7 verdict's rotation plan (#1):
+    #   (a) the 4 R8_QUEUE post-r7-freeze additions
+    #       (tools/gen_ledger.py::R8_QUEUE) — never driver-checked
+    #       (all 4 preflighted hash-green on vanilla sessions, r7, and
+    #       independently re-verified by the r7 judge),
+    #   (b) ``rel_q19_disjunctive`` — the single remaining query whose
+    #       latest driver hash row dates to round 2 (the r7 window's 39
+    #       re-cert slots took the r2 cohort alphabetically and it was
+    #       the 40th name),
+    #   (c) 45 re-certification slots: the stalest surviving green rows —
+    #       every one's latest driver hash row dates to round 3
+    #       (computed from CORRECTNESS_r0{1..7}.json; alphabetical
+    #       tie-break within the 48-name r3 cohort; the last 3 —
+    #       win_running_gmv, win_sales_cube, xmodal_media_features —
+    #       defer to the round-9 window).
     # After this round every declared query's latest green row is r3+
-    # except the 5 permanently-rows-only-by-design names
-    # (approx_uv_window, approx_uv_sketch_rollup, cosine_topk_ivf,
-    # topk_two_sided_ann, flow_dedup_first). Window history: COVERAGE.md
-    # cross-round ledger.
-    # --- (a) R7_HEAD: deferred r1-era re-certs ---
-    "repetition_ratio",
-    "text_bigram_topk",
-    "text_feature_hashing",
-    "source_overlap",
-    # --- (b) R7_QUEUE: post-r6-freeze additions, never driver-checked ---
-    "text_readability",
-    "corpus_simpson_diversity",
-    "flow_readability",
-    "corpus_leakage_safe_split",
-    "approx_uv_kmv",
-    "approx_uv_kmv_rollup",
-    "flow_kmv",
-    # --- (c) re-certification: latest green row = r2 (stalest cohort) ---
-    "agg_forecast_revenue",
-    "agg_global_uv",
-    "agg_sliding_counts",
-    "agg_tumbling_typed",
-    "asof_view_before_purchase",
-    "best_parts_per_region",
-    "best_supplier",
-    "corpus_report",
-    "corpus_tfidf_top_terms",
-    "corpus_train_test_split",
-    "corpus_vocab_stats",
-    "cosine_topk",
-    "customers_top_returned",
-    "datetime_functions",
-    "doc_gopher_rules",
-    "doc_token_count",
-    "doc_winnowing",
-    "dwd_refund_pay_success",
-    "dwd_trade_order_refund",
-    "dws_trade_order_window",
-    "dws_user_register_window",
-    "embedding_semdedup",
-    "event_value_percentiles",
-    "flow_pii_redaction",
-    "flow_quality_filter",
-    "join_anti_silent_customers",
-    "join_market_share",
-    "join_nation_traffic",
-    "join_semi_returned_orders",
-    "promo_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "rel_q02_min_cost_supplier",
-    "rel_q11_value_share",
-    "rel_q13_orders_histogram",
-    "rel_q16_supplier_variety",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
+    # (r4+ for all but the 3 deferred names) except the 5
+    # permanently-rows-only-by-design names (approx_uv_window,
+    # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
+    # flow_dedup_first). Window history: COVERAGE.md cross-round ledger.
+    # --- (a) R8_QUEUE: post-r7-freeze additions, never driver-checked ---
+    "approx_overlap_kmv",
+    "approx_join_keys_kmv",
+    "flow_overlap_kmv",
+    "flow_simpson_diversity",
+    # --- (b) the lone r2-latest leftover ---
+    "rel_q19_disjunctive",
+    # --- (c) re-certification: latest green row = r3 (stalest cohort) ---
+    "agg_salted_event_stats",
+    "attr_last_touch",
+    "cohort_weekly_retention",
+    "corpus_drift_psi",
+    "corpus_heavy_tokens",
+    "doc_perplexity_bigram",
+    "doc_quality_classifier",
+    "embedding_kmeans_assign",
+    "embedding_neardup_pairs",
+    "embedding_neardup_scoped",
+    "events_anomaly_mad",
+    "flow_cumulate",
+    "flow_daily_uv",
+    "flow_funnel",
+    "flow_interval_join",
+    "flow_left_outer",
+    "flow_ohlc",
+    "flow_session_windows",
+    "flow_user_register",
+    "flow_window_counts",
+    "funnel_conversion",
+    "graph_pagerank",
+    "layout_zorder_orders",
+    "path_transition_matrix",
+    "quality_checks",
+    "quality_profile_orders",
+    "rel_q20_surplus_suppliers",
+    "rel_q21_waiting_suppliers",
+    "rel_q22_inactive_balance",
+    "sample_domain_cap",
+    "sample_mixture_resample",
+    "ship_priority_semi",
+    "ship_returnflag_priority",
+    "supplier_nation_profit",
+    "supplier_top_revenue",
+    "table_cdc_snapshot_merge",
+    "text_minhash_lsh_pairs",
+    "text_span_dedup",
+    "ts_gap_fill_daily",
+    "ts_linreg_forecast",
+    "ts_ohlc_hourly",
+    "user_rfm_segments",
+    "win_cumulate_counts",
+    "win_order_gaps",
+    "win_rolling_revenue",
 ]
 
 

@@ -40,15 +40,26 @@ def _cleanup_process_temp_dirs() -> None:
 atexit.register(_cleanup_process_temp_dirs)
 
 
+#: package-namespaced parent for every temp dir this module creates:
+#: the stale sweep below removes ckpt_*/streamsrc_* dirs by PATTERN,
+#: and those prefixes are generic enough that sweeping the shared
+#: system tempdir could delete another tool's dirs (ADVICE r7) — so
+#: both creation and sweep are confined to this directory.
+_TEMP_ROOT = os.path.join(tempfile.gettempdir(), "gmall_ck_spark")
+
+
 def _process_tempdir(prefix: str) -> str:
-    d = tempfile.mkdtemp(prefix=prefix)
+    os.makedirs(_TEMP_ROOT, exist_ok=True)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_TEMP_ROOT)
     _PROCESS_TEMP_DIRS.append(d)
     return d
 
 
 #: atexit covers clean exits only — a SIGKILL'd run (driver timeout,
 #: OOM-killer) strands its ckpt_*/streamsrc_* dirs forever. Sweep
-#: same-pattern dirs older than this at import, when no live process
+#: same-pattern dirs under _TEMP_ROOT older than this from the bench /
+#: test / preflight entrypoints (NOT at import — an importing process
+#: is not necessarily entitled to reap siblings), when no live process
 #: can still be using them (a live bounded run finishes in seconds).
 _STALE_TEMP_AGE_S = 3600
 
@@ -61,7 +72,9 @@ def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_
     import glob
     import time
 
-    root = tmp_root or tempfile.gettempdir()
+    root = tmp_root or _TEMP_ROOT
+    if not os.path.isdir(root):
+        return 0
     removed = 0
     cutoff = time.time() - max_age_s
 
@@ -69,10 +82,14 @@ def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_
         # a LIVE streaming query touches commits/offsets/state subdirs
         # every batch without updating the top dir's mtime — take the
         # max over the dir and its first-level entries so a >1h-running
-        # query in another process is never swept out from under itself
+        # query in another process is never swept out from under itself.
+        # follow_symlinks=False: streamsrc_* dirs hold symlinks whose
+        # target may be gone (would raise and strand the orphan) or
+        # forever-fresh (would keep a dead dir alive) — the entry's own
+        # lstat mtime is the honest signal either way (ADVICE r7).
         ts = [os.path.getmtime(d)]
         for e in os.scandir(d):
-            ts.append(e.stat().st_mtime)
+            ts.append(e.stat(follow_symlinks=False).st_mtime)
         return max(ts)
 
     for d in glob.glob(os.path.join(root, "ckpt_*")) + glob.glob(
@@ -85,9 +102,6 @@ def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_
         except OSError:
             continue
     return removed
-
-
-_sweep_stale_temp_dirs()
 
 
 def _as_stream_dir(file_path: str) -> str:

@@ -542,10 +542,23 @@ def kmv_set_sketch_stream(dh: DataFrame, k: int) -> DataFrame:
     each key's max ``upd``. The K-smallest set is arrival-order
     independent, so the final snapshot equals the batch sketch.
 
+    Output contract (update mode): a key re-emits its ≤ K rows ONLY
+    when the micro-batch actually changed the sketch — a batch of
+    already-seen / too-large hashes emits nothing (a K-smallest set
+    converges, so at production poll rates most batches go quiet and
+    the sink stays near its steady-state size instead of growing by
+    K rows per key per batch). Consumers must still treat the sink as
+    a CHANGELOG and compact latest-``upd``-wins per key (the poll-time
+    filter in ``pipelines.flow_overlap_kmv`` does exactly this):
+    update-mode sinks append, so superseded snapshots remain until
+    compaction. Rows-per-poll ≤ keys × K is pinned by
+    tests/test_streaming.py::test_kmv_set_sketch_emits_only_on_change.
+
     No timeout: keys here are low-cardinality categories (event types,
     sources), so total state is O(keys × K) longs forever — the
     day-keyed sibling above is the one that needs event-time expiry.
     """
+    import numpy as np
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (tp,) = key
@@ -554,8 +567,13 @@ def kmv_set_sketch_stream(dh: DataFrame, k: int) -> DataFrame:
             cur, sat, upd = _kmv_decode(hs), int(sat), int(upd)
         else:
             cur, sat, upd = _kmv_decode(""), 0, 0
+        prev, prev_sat, existed = cur, sat, state.exists
         for pdf in pdf_iter:
             cur, sat = _kmv_merge(cur, pdf["h"].to_numpy(dtype="int64"), k, sat)
+        if existed and sat == prev_sat and np.array_equal(cur, prev):
+            # sketch unchanged — emit nothing, keep state (and upd) as-is
+            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in _KMVSET_OUT.fields})
+            return
         upd += 1
         state.update((",".join(map(str, cur.tolist())), sat, upd))
         yield pd.DataFrame(

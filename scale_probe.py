@@ -109,13 +109,24 @@ LABEL_OFF = 100_000
 SCHEME = "cipher-v2-events"
 
 
+def _copy_atomic(con, sel: str, dest: str) -> None:
+    """COPY to a temp name and rename into place: a run killed
+    mid-COPY must never leave a truncated parquet that later probe
+    runs silently reuse via the per-table exists-skip (ADVICE r7)."""
+    tmp = dest + ".tmp"
+    con.execute(f"COPY ({sel}) TO '{tmp}' (FORMAT parquet)")
+    os.replace(tmp, dest)
+
+
 def synth(k: int) -> str:
     out = os.path.join(SCRATCH, f"x{k}")
     marker = os.path.join(out, f".scheme-{SCHEME}")
     if os.path.isdir(out) and not os.path.exists(marker):
         shutil.rmtree(out)  # stale scheme — regenerate
     os.makedirs(out, exist_ok=True)
-    open(marker, "w").close()
+    for leftover in os.listdir(out):  # orphaned .tmp from a killed run
+        if leftover.endswith(".tmp"):
+            os.remove(os.path.join(out, leftover))
     con = duckdb.connect()
     alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -131,7 +142,7 @@ def synth(k: int) -> str:
         for c in range(k)
     )
     if not os.path.exists(f"{out}/documents.parquet"):
-        con.execute(f"COPY ({docs_sel}) TO '{out}/documents.parquet' (FORMAT parquet)")
+        _copy_atomic(con, docs_sel, f"{out}/documents.parquet")
     emb_sel = " UNION ALL ".join(
         f"""SELECT vec_id + {c * ID_OFF} AS vec_id, embedding,
                label + {c * LABEL_OFF} AS label
@@ -139,7 +150,7 @@ def synth(k: int) -> str:
         for c in range(k)
     )
     if not os.path.exists(f"{out}/embeddings.parquet"):
-        con.execute(f"COPY ({emb_sel}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
+        _copy_atomic(con, emb_sel, f"{out}/embeddings.parquet")
     # graph/stream probes: copies get offset keys, so each copy is a
     # disconnected component isomorphic to the original — node count
     # grows with the data, per-node degree distribution is constant
@@ -161,8 +172,11 @@ def synth(k: int) -> str:
             f"FROM read_parquet('{BASE}/{tbl}.parquet')"
             for c in range(k)
         )
-        con.execute(f"COPY ({sel}) TO '{out}/{tbl}.parquet' (FORMAT parquet)")
+        _copy_atomic(con, sel, f"{out}/{tbl}.parquet")
     con.close()
+    # marker LAST: its presence now certifies every table above exists
+    # complete (atomic renames), so the exists-skips are trustworthy
+    open(marker, "w").close()
     return out
 
 

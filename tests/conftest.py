@@ -13,6 +13,9 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     from gmall_realtime_ck_spark.session import get_spark
+    from gmall_realtime_ck_spark.streaming.pipelines import _sweep_stale_temp_dirs
+
+    _sweep_stale_temp_dirs()  # reap SIGKILL-orphaned ckpt/streamsrc dirs
 
     spark = get_spark(
         app_name="tests",

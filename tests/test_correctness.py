@@ -159,15 +159,16 @@ def test_ledger_queue_names_resolve():
     ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-7 rotation contract (VERDICT r6 #1): every mandatory name —
-    # the 4 deferred r1-era re-certs (R7_HEAD) and the 7 post-r6-freeze
-    # additions (R7_QUEUE) — sits inside the 50-slot window, the window
-    # is exactly 50 names, and the already-re-certified r6 window names
-    # have rotated out to free the slots.
+    # Round-8 rotation contract (VERDICT r7 #1): every mandatory name —
+    # the 4 post-r7-freeze additions (R8_QUEUE, never driver-checked) —
+    # sits inside the 50-slot window, the window is exactly 50 names,
+    # and the already-re-certified r7 window names (R7_HEAD + R7_QUEUE,
+    # all green in CORRECTNESS_r07) have rotated out to free the slots.
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    mandatory = mod.R7_HEAD | mod.R7_QUEUE
-    assert mandatory <= head, sorted(mandatory - head)
+    assert mod.R8_QUEUE <= head, sorted(mod.R8_QUEUE - head)
+    assert not (mod.R7_HEAD & head), sorted(mod.R7_HEAD & head)
+    assert not (mod.R7_QUEUE & head), sorted(mod.R7_QUEUE & head)
     assert not (mod.R6_HEAD & head), sorted(mod.R6_HEAD & head)
     assert not (mod.R6_QUEUE & head), sorted(mod.R6_QUEUE & head)

@@ -625,3 +625,41 @@ def test_kmv_two_level_rank_equals_global(spark):
         want = sorted(hs)[:KMV_K]
         assert [per[k][i] for i in range(1, len(per[k]) + 1)] == want, k
         assert ns[k] == len(hs), k
+
+
+def test_domain_cap_two_level_equals_global(spark):
+    """sample_domain_cap's salted two-level rank (the hot-domain sort
+    mitigation, VERDICT r7 #2) must return EXACTLY the single-window
+    result — same doc_ids, same ranks — on a skewed input where one
+    domain holds 200× the other's documents, including duplicate
+    texts (equal h, doc_id tie-break) straddling the CAP boundary."""
+    import hashlib
+
+    from gmall_realtime_ck_spark.operators.sampling import (
+        DOMAIN_CAP,
+        sample_domain_cap,
+    )
+
+    rows = (
+        # hot domain: 4000 docs, only 9 distinct texts → massive h ties
+        [(f"d{i:05d}", "hot.example", f"t{i % 9}") for i in range(4000)]
+        # cold domain: fewer docs than the CAP (all kept, exact ranks)
+        + [(f"c{i:02d}", "cold.example", f"u{i}") for i in range(DOMAIN_CAP - 3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {
+        (r["source"], r["doc_id"]): r["rank"]
+        for r in sample_domain_cap({"documents": df}).collect()
+    }
+
+    def h28(text: str) -> int:
+        return int(hashlib.md5(text.encode()).hexdigest()[:7], 16)
+
+    want = {}
+    by_src = {}
+    for doc_id, source, text in rows:
+        by_src.setdefault(source, []).append((h28(text), doc_id))
+    for source, hs in by_src.items():
+        for rank, (_, doc_id) in enumerate(sorted(hs)[:DOMAIN_CAP], start=1):
+            want[(source, doc_id)] = rank
+    assert got == want

@@ -266,7 +266,7 @@ def test_flow_kmv_bounded_state_matches_batch(spark, tables):
 def test_stale_temp_dir_sweep(tmp_path):
     """atexit hygiene covers clean exits only — a SIGKILL'd run (the
     documented 08:38 r6 incident left 40 orphan dirs) strands its
-    ckpt_*/streamsrc_* dirs. The import-time sweep must remove
+    ckpt_*/streamsrc_* dirs. The entrypoint sweep must remove
     same-pattern dirs older than the age cutoff and leave fresh ones
     (possibly owned by a live process) untouched."""
     import os
@@ -395,3 +395,104 @@ def test_stale_sweep_spares_recently_active_checkpoint(tmp_path):
     removed = pipelines._sweep_stale_temp_dirs(tmp_root=str(tmp_path), max_age_s=3600)
     assert removed == 1
     assert live.exists() and not dead.exists()
+
+
+def test_kmv_set_sketch_emits_only_on_change(spark, tmp_path):
+    """Output-contract pin (VERDICT r7 #6): kmv_set_sketch_stream is a
+    CHANGELOG — a micro-batch that does not change a key's K-smallest
+    set (duplicate hashes, or hashes above a full set's max) must emit
+    NOTHING for that key, a batch that does change it must emit a new
+    ``upd`` snapshot, and the latest-``upd``-wins compaction view is
+    always ≤ keys × K rows."""
+    import os
+    import time
+    import uuid
+
+    from gmall_realtime_ck_spark.operators.relational import KMV_K
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # b1: fills + saturates the sketch (100 distinct > K)
+        [("a", h) for h in range(1, 101)],
+        # b2: pure duplicates -> sketch unchanged, must emit nothing
+        [("a", h) for h in range(1, 51)],
+        # b3: hash above the full set's max -> rejected, emit nothing
+        [("a", 10_000)],
+        # b4: hash below the min -> sketch changes, must emit upd=2
+        [("a", 0)],
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = time.time() - 60
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "tp": pa.array([r[0] for r in rows], pa.string()),
+                    "h": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + i, now + i))  # force source file order
+
+    dh = (
+        spark.readStream.schema("tp string, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "kmvchg" + uuid.uuid4().hex[:8]
+    q = (
+        state.kmv_set_sketch_stream(dh, KMV_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    upds = sorted({r["upd"] for r in emitted})
+    # b2/b3 were no-ops: only the saturating fill and the b4 insert emitted
+    assert upds == [1, 2], upds
+    per_upd = {u: [r["h"] for r in emitted if r["upd"] == u] for u in upds}
+    assert len(per_upd[1]) == KMV_K and len(per_upd[2]) == KMV_K
+    assert min(per_upd[2]) == 0 and 10_000 not in per_upd[2]
+    # compaction view (latest upd per key) is bounded by keys x K
+    assert len(per_upd[max(upds)]) <= 1 * KMV_K
+    # and the raw changelog grew by exactly the changed snapshots
+    assert len(emitted) == 2 * KMV_K
+
+
+def test_stale_sweep_handles_symlink_entries(tmp_path):
+    """ADVICE r7: streamsrc_* dirs hold symlinks. A stale dir whose
+    link TARGET was deleted must still be swept (stat() on the entry
+    would raise and strand the orphan), and a stale dir whose target
+    is a still-fresh shared file must not be kept alive by the
+    target's mtime — the entry's own lstat mtime decides."""
+    import os
+    import time
+
+    stale = time.time() - 7200
+
+    broken = tmp_path / "streamsrc_broken"
+    broken.mkdir()
+    os.symlink(str(tmp_path / "gone.parquet"), broken / "gone.parquet")
+    fresh_target = tmp_path / "shared.parquet"
+    fresh_target.write_text("x")  # fresh mtime, shared with live runs
+    aliased = tmp_path / "streamsrc_freshtarget"
+    aliased.mkdir()
+    os.symlink(str(fresh_target), aliased / "shared.parquet")
+    for d in (broken, aliased):
+        os.utime(d, (stale, stale))
+        for e in os.scandir(d):
+            os.utime(e.path, (stale, stale), follow_symlinks=False)
+
+    removed = pipelines._sweep_stale_temp_dirs(tmp_root=str(tmp_path), max_age_s=3600)
+    assert removed == 2
+    assert not broken.exists() and not aliased.exists()
+    assert fresh_target.exists()

@@ -61,6 +61,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from gmall_realtime_ck_spark import registry
+    from gmall_realtime_ck_spark.streaming.pipelines import _sweep_stale_temp_dirs
+
+    _sweep_stale_temp_dirs()  # reap SIGKILL-orphaned ckpt/streamsrc dirs
 
     names = registry.all_query_names()
     if args:
