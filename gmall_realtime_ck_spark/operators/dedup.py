@@ -71,15 +71,22 @@ def shingles_duck(tk: str, k: int = SHINGLE_K) -> str:
 
 
 def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact dedup by content hash with keep-first-by-id policy: one
-    shuffle on md5(text), row_number inside each hash group.
+    """Exact dedup by content hash with keep-first-by-id policy.
+
+    Scale: ``is_dup`` is ``doc_id > min(doc_id) per hash`` — computed
+    as a keyed MIN aggregate (map-side combine) joined back on the
+    same key, NOT a row_number window over the hash group: a
+    pathological cluster (billions of empty/identical pages share one
+    md5) collapses to one row per partition before the shuffle instead
+    of sort-funneling through a single reducer (r8 coarse-key window
+    sweep; same posture as ``dedup_keep_best``). Both shuffles key on
+    ``h``, so the join is co-partitioned.
     """
     docs = t["documents"]
-    w = Window.partitionBy("h").orderBy("doc_id")
-    return (
-        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", (F.col("rn") > 1).cast("bigint").alias("is_dup"))
+    hashed = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+    firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return hashed.join(firsts, "h").select(
+        "doc_id", (F.col("doc_id") > F.col("first_id")).cast("bigint").alias("is_dup")
     )
 
 
@@ -696,29 +703,32 @@ def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
     (b) first within its own batch (keep-lowest-id). Emits the batch
     verdict per incoming doc: ``accept`` = 1 iff both hold.
 
-    Scale: ONE hash key drives everything — the within-batch
-    row_number partitions on md5 (group size = duplicate count, no
-    skew beyond actual dup clusters), and the corpus check is a LEFT
-    ANTI-shaped mark join on the same md5 key, so a production run
-    that bucket-writes the accepted-corpus hash manifest by this key
-    (layout.write_bucketed) makes the batch join exchange-free on the
-    corpus side. The corpus is never broadcast and never collected;
-    only the (typically small) incoming batch re-shuffles.
+    Scale: ONE hash key drives everything — first-within-batch is a
+    keyed MIN aggregate joined back on md5 (map-side combine; a
+    row_number window would sort a pathological dup cluster through
+    one reducer — r8 coarse-key window sweep), and the corpus check is
+    a LEFT ANTI-shaped mark join on the same md5 key, so a production
+    run that bucket-writes the accepted-corpus hash manifest by this
+    key (layout.write_bucketed) makes the batch join exchange-free on
+    the corpus side. The corpus is never broadcast and never
+    collected; only the (typically small) incoming batch re-shuffles.
     """
     docs = t["documents"].select(
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
     )
     incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
-    w = Window.partitionBy("h").orderBy("doc_id")
-    first_in_batch = incoming.withColumn("rn", F.row_number().over(w))
+    batch_firsts = incoming.groupBy("h").agg(F.min("doc_id").alias("first_id"))
     known = corpus.select("h").distinct().withColumn("known", F.lit(1))
     return (
-        first_in_batch.join(known, "h", "left")
+        incoming.join(batch_firsts, "h")
+        .join(known, "h", "left")
         .select(
             "doc_id",
             "h",
-            ((F.col("rn") == 1) & F.col("known").isNull()).cast("bigint").alias("accept"),
+            ((F.col("doc_id") == F.col("first_id")) & F.col("known").isNull())
+            .cast("bigint")
+            .alias("accept"),
         )
     )
 

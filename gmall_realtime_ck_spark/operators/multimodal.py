@@ -348,19 +348,22 @@ def xmodal_exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
     multimodal corpus runs (identical bytes re-crawled under different
     ids), done entirely JVM-side: ``md5`` works directly on the binary
     column, so no payload ever crosses into Python and the only
-    shuffle is the keyed row_number on the digest. Keep-lowest-id;
+    shuffles key on the digest. Keep-lowest-id via a keyed MIN
+    aggregate joined back on the digest (map-side combine — a
+    row_number window would sort a re-crawled-billions-of-times
+    payload's group through one reducer; r8 coarse-key window sweep);
     emits the digest so a persisted manifest (bucket-written on it)
     makes the next batch's check exchange-free — the binary-column
     sibling of ``text_incremental_dedup``'s posture.
     """
     media = media_from_docs(t)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("h").orderBy("media_id")
-    return (
-        media.select("media_id", "mime", F.md5("payload").alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("media_id", "mime", "h", (F.col("rn") > 1).cast("bigint").alias("is_dup"))
+    hashed = media.select("media_id", "mime", F.md5("payload").alias("h"))
+    firsts = hashed.groupBy("h").agg(F.min("media_id").alias("first_id"))
+    return hashed.join(firsts, "h").select(
+        "media_id",
+        "mime",
+        "h",
+        (F.col("media_id") > F.col("first_id")).cast("bigint").alias("is_dup"),
     )
 
 

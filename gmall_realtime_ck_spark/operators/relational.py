@@ -842,6 +842,39 @@ _KMV_SPACE = 1 << 44
 _KMV_SALTS = 16
 
 
+def topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    k: int,
+    salt_on: str,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Generic two-level salted top-K per key — the hot-key rank
+    mitigation (``kmv_topk_per_key``'s shape) for ANY total order:
+    rank within (keys, xxhash64(``salt_on``) mod 16) salt partitions
+    first and keep K per salt (no reducer ever sorts more than ~1/16
+    of a hot key's rows), then rank the ≤ 16·K survivors per key.
+    Top-K sets under a total order compose (the global K first rows of
+    a union are the K first of the union of per-part K-first sets), so
+    the result is EXACTLY the single-window ``row_number() <= k``,
+    rank for rank — pinned by
+    tests/test_invariants_new.py::test_generic_topk_two_level_equals_global.
+    ``order_cols`` must be a TOTAL order (include a unique tie-break);
+    ``salt_on`` should be a high-cardinality column so ties in the
+    leading order columns still spread across salts.
+    """
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    pre = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(salt_on), F.lit(_KMV_SALTS)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .drop("_salt", "_rk1")
+    )
+    return pre.withColumn(rank_col, F.row_number().over(w2)).filter(F.col(rank_col) <= k)
+
+
 def kmv_topk_per_key(distinct_kh: DataFrame, key: str, n_alias: str = "n") -> DataFrame:
     """Two-level K-smallest over (key, h) distinct-hash rows — the
     skew mitigation the KMV docstrings promised, implemented: rank
@@ -1156,10 +1189,13 @@ def datetime_functions(t: dict[str, DataFrame]) -> DataFrame:
 def best_parts_per_region(t: dict[str, DataFrame]) -> DataFrame:
     """Top-3 customers by account balance per region — ranking window
     functions (absent from the reference, SURVEY §2.10) with a
-    deterministic tie-break. One shuffle on the partition key.
-    """
-    from pyspark.sql import Window
+    deterministic tie-break.
 
+    Scale: only 5 regions, so a plain per-region rank would drag a
+    fifth of ALL customers through one reducer's sort — the rank is
+    the two-level salted ``topk_per_key`` (r8 coarse-key window
+    sweep), exact by top-K set composition.
+    """
     cust = t["customer"]
     nation = F.broadcast(t["nation"])
     region = F.broadcast(t["region"])
@@ -1168,12 +1204,16 @@ def best_parts_per_region(t: dict[str, DataFrame]) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("r_name", "c_custkey", "c_name", cents("c_acctbal").alias("acctbal_cents"))
     )
-    w = Window.partitionBy("r_name").orderBy(F.desc("acctbal_cents"), F.asc("c_custkey"))
-    return (
-        enriched.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("r_name", F.col("rk").cast("bigint").alias("rk"), "c_custkey", "c_name",
-                "acctbal_cents")
+    top = topk_per_key(
+        enriched,
+        ["r_name"],
+        [F.desc("acctbal_cents"), F.asc("c_custkey")],
+        3,
+        salt_on="c_custkey",
+    )
+    return top.select(
+        "r_name", F.col("rk").cast("bigint").alias("rk"), "c_custkey", "c_name",
+        "acctbal_cents",
     )
 
 
@@ -2155,6 +2195,12 @@ def win_supplier_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     over lineitem with map-side partials; the ranking windows run over
     the |suppliers|-row aggregate partitioned by nation (≤25 groups
     here; generally bounded by the nation dimension, never facts).
+    percent_rank/cume_dist need EVERY row's rank, so a top-K
+    mitigation doesn't apply (r8 coarse-key window sweep) — at a
+    |suppliers|/25 per-reducer sort beyond memory, the exact
+    alternative is rank-from-counts: join each supplier against the
+    broadcast per-nation count and compute rank as a count of
+    (revenue, suppkey) pairs below it via a range aggregation.
     """
     from pyspark.sql import Window
 

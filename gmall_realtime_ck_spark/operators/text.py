@@ -218,20 +218,26 @@ def bigram_topk(t: dict[str, DataFrame]) -> DataFrame:
     """n-gram language-model counts: top-k bigrams per language by
     frequency (ties broken lexicographically). One explode + one
     (lang, bigram) groupBy — the shuffle key has vocabulary², not
-    corpus, cardinality, so the reduction stays small at any scale.
+    corpus, cardinality, so the reduction stays small at any scale;
+    the final rank is the two-level salted ``topk_per_key`` so a
+    dominant language's whole bigram vocabulary never sorts through
+    one reducer (r8 coarse-key window sweep).
     """
-    from pyspark.sql import Window
+    from .relational import topk_per_key
 
     docs = t["documents"]
     tokenized = docs.select("lang", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
     bg = tokenized.select("lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram"))
     counts = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("ct"))
-    w = Window.partitionBy("lang").orderBy(F.desc("ct"), F.asc("bigram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BIGRAM_TOP_K)
-        .select("lang", "bigram", "ct", F.col("rank").cast("bigint").alias("rank"))
+    top = topk_per_key(
+        counts,
+        ["lang"],
+        [F.desc("ct"), F.asc("bigram")],
+        BIGRAM_TOP_K,
+        salt_on="bigram",
+        rank_col="rank",
     )
+    return top.select("lang", "bigram", "ct", F.col("rank").cast("bigint").alias("rank"))
 
 
 #: PSI doc-length bucketing: bucket = min(n_chars // PSI_BUCKET_CHARS, PSI_BUCKETS-1)
@@ -1009,12 +1015,16 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
     text / language name).
 
     Scale: profile fitting is one keyed (lang, trigram) count + a
-    per-lang top-K window over the |langs| × |distinct trigrams|
-    aggregate; scoring joins each doc's DISTINCT trigrams against the
-    |langs| × K profile — broadcast-sized by construction — and argmax
-    is one keyed window over |docs| × |langs| score rows. The corpus is
-    scanned twice (fit + apply), never shuffled pairwise.
+    per-lang top-K over the |langs| × |distinct trigrams| aggregate
+    via the two-level salted ``topk_per_key`` (a dominant language's
+    trigram vocabulary never sorts through one reducer — r8 coarse-key
+    window sweep); scoring joins each doc's DISTINCT trigrams against
+    the |langs| × K profile — broadcast-sized by construction — and
+    argmax is one keyed window over |docs| × |langs| score rows. The
+    corpus is scanned twice (fit + apply), never shuffled pairwise.
     """
+    from .relational import topk_per_key
+
     docs = t["documents"]
     tri = docs.select(
         "doc_id", "lang", F.expr("split(lower(text), '')").alias("ch")
@@ -1024,14 +1034,13 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
         F.explode(F.expr(_TRIGRAMS_SPARK.format(ch="ch"))).alias("g"),
     )
     train = tri.filter(F.col("doc_id") % 5 != 0)
-    wlang = Window.partitionBy("lang").orderBy(F.desc("ct"), F.asc("g"))
-    profile = (
-        train.groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .withColumn("rk", F.row_number().over(wlang))
-        .filter(F.col("rk") <= LANGID_TOP)
-        .select(F.col("lang").alias("plang"), "g")
-    )
+    profile = topk_per_key(
+        train.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("ct")),
+        ["lang"],
+        [F.desc("ct"), F.asc("g")],
+        LANGID_TOP,
+        salt_on="g",
+    ).select(F.col("lang").alias("plang"), "g")
     doc_tri = tri.select("doc_id", "g").distinct()
     scored = (
         doc_tri.join(F.broadcast(profile), "g")
@@ -1204,7 +1213,19 @@ def gini_from_counts(counts: DataFrame) -> DataFrame:
     """The rank-formula Gini algebra over pre-aggregated
     (source, token, ct) rows — shared by the batch diagnostic and the
     streaming twin (which maintains ``counts`` continuously and
-    re-runs this vocab-sized algebra per poll)."""
+    re-runs this vocab-sized algebra per poll).
+
+    Scale (r8 coarse-key window sweep): the rank window needs EVERY
+    token's rank (a top-K mitigation doesn't apply), but its input is
+    the per-source VOCABULARY — already collapsed by the map-side-
+    combined (source, token) count — not the corpus, so the one-reducer
+    sort is |vocab(source)| rows (~10⁶–10⁷ even at 100 TB; Heaps' law
+    sublinearity). If a source's vocab ever outgrows a reducer, Gini is
+    computable exactly from the count-of-counts histogram (tokens with
+    equal ct are rank-interchangeable, so each (ct, multiplicity,
+    cumulative-offset) contributes in closed form), shrinking the sort
+    to |distinct ct| rows; the rank-exact form here is what the DuckDB
+    oracle mirrors."""
     w = Window.partitionBy("source").orderBy(F.asc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w))
     return (
@@ -1246,7 +1267,15 @@ def text_zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
 def zipf_from_counts(counts: DataFrame) -> DataFrame:
     """The rank-frequency regression over pre-aggregated
     (source, token, ct) rows — shared by the batch fit and the
-    streaming twin."""
+    streaming twin.
+
+    Scale (r8 coarse-key window sweep): same posture as
+    ``gini_from_counts`` — the full-rank window sorts each source's
+    VOCABULARY (not its corpus) through one reducer, fine to ~10⁷
+    tokens; past that, fit on the top-N vocabulary slice (Zipf fits
+    are head-driven; the two-level ``topk_per_key`` produces the slice
+    without a hot-key sort) or derive rank ranges from the
+    count-of-counts histogram."""
     w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w)).select(
         "source",

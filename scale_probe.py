@@ -39,7 +39,13 @@ import duckdb
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_data")
-SCALES = [1, 2, 5, 10]
+#: override e.g. SPARK_GRAFT_PROBE_SCALES=10,16 for a targeted tail
+#: probe (r8: corpus_leakage_safe_split's ×5→×10 step doubled, so the
+#: tail needed samples past ×10 to attribute the growth per stage)
+SCALES = [
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_PROBE_SCALES", "1,2,5,10").split(",")
+]
 QUERIES = [
     "text_minhash_lsh_pairs",
     "text_neardup_clusters",
@@ -97,7 +103,9 @@ QUERIES = [
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
-STREAM_QUERIES = ["flow_left_outer", "flow_kmv"]
+#: (r8 additions: the KMV set-sketch twin — state O(types × K), emits
+#: only on sketch change — and the poll-time Simpson algebra twin)
+STREAM_QUERIES = ["flow_left_outer", "flow_kmv", "flow_overlap_kmv", "flow_simpson_diversity"]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000
 

@@ -663,3 +663,34 @@ def test_domain_cap_two_level_equals_global(spark):
         for rank, (_, doc_id) in enumerate(sorted(hs)[:DOMAIN_CAP], start=1):
             want[(source, doc_id)] = rank
     assert got == want
+
+
+def test_generic_topk_two_level_equals_global(spark):
+    """topk_per_key (the generic two-level salted rank behind
+    best_parts_per_region / bigram_topk / the langid profile fit —
+    r8 coarse-key window sweep) must equal the single-window global
+    top-K exactly on a skewed input: one key with 5000 rows including
+    heavy ties in the leading order column, one key with fewer rows
+    than K."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import topk_per_key
+
+    rows = [("hot", (i * 17) % 40, f"id{i:05d}") for i in range(5000)] + [
+        ("cold", i, f"id{i:05d}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, ct long, name string")
+    got = {
+        (r["k"], r["rk"]): (r["ct"], r["name"])
+        for r in topk_per_key(
+            df, ["k"], [F.desc("ct"), F.asc("name")], 7, salt_on="name"
+        ).collect()
+    }
+    want = {}
+    by_key = {}
+    for k, ct, name in rows:
+        by_key.setdefault(k, []).append((-ct, name))
+    for k, items in by_key.items():
+        for rk, (nct, name) in enumerate(sorted(items)[:7], start=1):
+            want[(k, rk)] = (-nct, name)
+    assert got == want
