@@ -590,6 +590,123 @@ def sample_domain_cap(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_dup_inflation(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplication inflation — the dataset-card metric of
+    how much of a source's token mass is verbatim repeats: documents
+    and tokens counted raw vs over DISTINCT texts (md5), with
+    ``inflation_permille`` = raw tokens × 1000 div unique-text tokens
+    (1000 = fully deduplicated; 3000 = the source triples its apparent
+    size with copies). Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") is the motivating measurement;
+    token counting reuses the shared whitespace/punct splitter so the
+    number agrees with ``doc_token_count``.
+
+    Scale: one keyed aggregation on (source, md5(text)) with map-side
+    partials — a billion-copy page collapses per-partition before the
+    shuffle (the ``dedup_exact`` posture; no rank window anywhere) —
+    then a |sources|-row rollup. Two shuffles, both on aggregates.
+    """
+    docs = t["documents"]
+    tok = F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint")
+    per_text = (
+        docs.select("source", F.md5("text").alias("h"), tok.alias("tok"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.max("tok").alias("tok"))
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("n_copies") * F.col("tok")).alias("tokens_total"),
+            F.sum("tok").alias("tokens_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            "tokens_total",
+            "tokens_unique",
+            F.expr("tokens_total * 1000 div greatest(tokens_unique, 1)").alias(
+                "inflation_permille"
+            ),
+        )
+    )
+
+
+#: epoch-schedule knobs: the token budget is EPOCH_BUDGET_X × the
+#: corpus's one-epoch token total; per-source repeats cap at
+#: MAX_EPOCHS (data-constrained scaling: ~4 epochs of repeated data
+#: are near-free, more decays rapidly — Muennighoff et al. 2023).
+EPOCH_BUDGET_X = 2
+MAX_EPOCHS = 4
+
+
+def sample_epoch_schedule(t: dict[str, DataFrame]) -> DataFrame:
+    """Data-constrained epoch planner: given a token budget of
+    EPOCH_BUDGET_X × the one-epoch corpus and the same synthetic
+    mixture weights as ``sample_mixture_resample`` (source idx mod 5,
+    units 1..5), allocate each source the number of epochs (repeats)
+    needed to hit its target token share, capped at MAX_EPOCHS —
+    the "how many times do I repeat each domain" table every
+    data-constrained pretraining run plans from (Muennighoff et al.
+    2023). All integer algebra: target = budget × units div
+    total_units; epochs = clamp(ceil(target / tokens), 1, MAX_EPOCHS)
+    via exact div arithmetic; ``capped`` = 1 marks sources whose
+    target is unreachable under the cap — the ones to go crawl more
+    of. No float ever, so the oracle agrees bit-for-bit.
+
+    Scale: one map-side-combined (source, tokens) aggregation, then
+    |sources|-row algebra (the global sums ride a window over that
+    tiny aggregate, as in ``sample_mixture_resample``).
+    """
+    docs = t["documents"]
+    tok = F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint")
+    return epoch_schedule_from_totals(
+        docs.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tokens"))
+    )
+
+
+def epoch_schedule_from_totals(totals: DataFrame) -> DataFrame:
+    """The epoch-allocation algebra over (source, tokens) totals —
+    shared by the batch planner and the streaming twin (which
+    maintains ``totals`` as a complete-mode aggregation and re-runs
+    this |sources|-row algebra per poll)."""
+    per_source = totals.withColumn(
+        "target_units",
+        (F.lit(1) + F.expr("CAST(substr(source, 4) AS BIGINT)") % 5).cast("bigint"),
+    )
+    w = Window.partitionBy()
+    planned = per_source.select(
+        "source",
+        "tokens",
+        "target_units",
+        F.sum("tokens").over(w).alias("total_tokens"),
+        F.sum("target_units").over(w).alias("total_units"),
+    ).select(
+        "source",
+        "tokens",
+        "target_units",
+        F.expr(
+            f"{EPOCH_BUDGET_X} * total_tokens * target_units div total_units"
+        ).alias("target_tokens"),
+    )
+    need = "((target_tokens + greatest(tokens, 1) - 1) div greatest(tokens, 1))"
+    return planned.select(
+        "source",
+        "tokens",
+        "target_units",
+        "target_tokens",
+        F.expr(f"greatest(1, least({MAX_EPOCHS}, {need}))").alias("epochs"),
+        F.expr(f"greatest(1, least({MAX_EPOCHS}, {need})) * tokens").alias(
+            "achieved_tokens"
+        ),
+        F.expr(f"({need} > {MAX_EPOCHS})").cast("bigint").alias("capped"),
+    )
+
+
 #: contamination threshold for the e2e verdict (permille of shingles
 #: shared with the benchmark slice)
 E2E_CONTAM_PERMILLE = 500
@@ -1053,6 +1170,51 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents)
         GROUP BY token
     """,
+    "corpus_dup_inflation": f"""
+        WITH per_text AS (
+            SELECT source, md5(text) AS h,
+                   COUNT(*)::BIGINT AS n_copies,
+                   MAX(len({_TOKS_D}))::BIGINT AS tok
+            FROM documents GROUP BY source, md5(text)
+        )
+        SELECT source,
+               SUM(n_copies)::BIGINT AS n_docs,
+               COUNT(*)::BIGINT AS n_unique,
+               SUM(n_copies * tok)::BIGINT AS tokens_total,
+               SUM(tok)::BIGINT AS tokens_unique,
+               (SUM(n_copies * tok)::BIGINT * 1000
+                // greatest(SUM(tok)::BIGINT, 1))::BIGINT AS inflation_permille
+        FROM per_text GROUP BY source
+    """,
+    "sample_epoch_schedule": f"""
+        WITH per_source AS (
+            SELECT source,
+                   SUM(len({_TOKS_D}))::BIGINT AS tokens,
+                   (1 + CAST(substr(source, 4) AS BIGINT) % 5)::BIGINT AS target_units
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(tokens)::BIGINT AS total_tokens,
+                   SUM(target_units)::BIGINT AS total_units
+            FROM per_source
+        ),
+        planned AS (
+            SELECT source, tokens, target_units,
+                   ({EPOCH_BUDGET_X} * total_tokens * target_units
+                    // total_units)::BIGINT AS target_tokens
+            FROM per_source CROSS JOIN tot
+        )
+        SELECT source, tokens, target_units, target_tokens,
+               greatest(1, least({MAX_EPOCHS},
+                   (target_tokens + greatest(tokens, 1) - 1) // greatest(tokens, 1)
+               ))::BIGINT AS epochs,
+               (greatest(1, least({MAX_EPOCHS},
+                   (target_tokens + greatest(tokens, 1) - 1) // greatest(tokens, 1)
+               )) * tokens)::BIGINT AS achieved_tokens,
+               ((target_tokens + greatest(tokens, 1) - 1) // greatest(tokens, 1)
+                > {MAX_EPOCHS})::BIGINT AS capped
+        FROM planned
+    """,
 }
 
 # The e2e verdict's oracle is the literal composition of its four legs'
@@ -1130,4 +1292,6 @@ BUILDERS = {
     "source_overlap": source_overlap,
     "sample_mixture_resample": sample_mixture_resample,
     "sample_domain_cap": sample_domain_cap,
+    "corpus_dup_inflation": corpus_dup_inflation,
+    "sample_epoch_schedule": sample_epoch_schedule,
 }

@@ -1348,6 +1348,64 @@ def flow_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def flow_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain quota admission: per source, bounded
+    keyed state holds exactly the running CAP-first (content-hash,
+    doc_id) set (``state.domain_cap_stream`` — 2·CAP longs per
+    source, merged vectorized per Arrow batch, re-emitted only on
+    change) — the live form of ``sample_domain_cap``, so an ingest
+    pipeline enforces "no domain floods the mixture" between batch
+    re-caps. Each poll filters to the latest snapshot per source and
+    ranks the ≤ CAP survivors. The CAP-first set is arrival-order
+    independent, so the final snapshot equals the batch cap and its
+    oracle applies verbatim.
+
+    Scale: state O(sources × CAP) longs; the poll-time rank window
+    sorts ≤ CAP rows per source — never raw documents.
+    """
+    from ..operators.sampling import DOMAIN_CAP
+    from ..operators.text import H28_SPARK
+    from .state import domain_cap_stream
+
+    docs = documents_file_stream(spark, sf_dir)
+    sh = docs.select(
+        "source", F.expr(H28_SPARK.format(c="text")).alias("h"), "doc_id"
+    )
+    tbl = _run_to_memory(domain_cap_stream(sh, DOMAIN_CAP), "update")
+    from pyspark.sql import Window
+
+    latest = F.max("upd").over(Window.partitionBy("source"))
+    snap = tbl.withColumn("mx", latest).filter(F.col("upd") == F.col("mx"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        snap.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rank")
+    )
+
+
+def flow_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-constrained epoch planner live: per-source token
+    totals maintained as ONE keyed complete-mode aggregation over the
+    arriving document shards, with the |sources|-row epoch-allocation
+    algebra (``sampling.epoch_schedule_from_totals``) re-run per poll
+    — the planner's numbers stay current as a crawl grows, flipping
+    ``capped`` to 0 the moment enough new data lands. Token counting
+    is per-row order-independent, so the final table equals
+    ``sample_epoch_schedule`` and its oracle applies verbatim. State
+    is O(sources).
+    """
+    from ..operators.sampling import epoch_schedule_from_totals
+    from ..operators.text import TOKENS_SPARK
+
+    docs = documents_file_stream(spark, sf_dir)
+    counted = docs.select(
+        "source", F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("tok")
+    )
+    totals = counted.groupBy("source").agg(F.sum("tok").alias("tokens"))
+    return epoch_schedule_from_totals(_run_to_memory(totals, "complete"))
+
+
 # Declared streaming queries (driver contract): signature
 # (spark, sf_dir) → DataFrame. Oracles reuse the batch queries' SQL —
 # complete-mode / order-independent outputs are batch-equivalent.
@@ -1369,6 +1427,8 @@ STREAM_BUILDERS = {
     "flow_heavy_tokens": flow_heavy_tokens,
     "flow_kmv": flow_kmv,
     "flow_overlap_kmv": flow_overlap_kmv,
+    "flow_domain_cap": flow_domain_cap,
+    "flow_epoch_schedule": flow_epoch_schedule,
     "flow_tokenizer_fertility": flow_tokenizer_fertility,
     "flow_ccnet_gate": flow_ccnet_gate,
     "flow_repetition": flow_repetition,
@@ -1452,6 +1512,8 @@ def stream_oracles() -> dict[str, str]:
         "flow_heavy_tokens": TXT["corpus_heavy_tokens"],
         "flow_kmv": _REL_MOD.KMV_FLOW_ORACLE,
         "flow_overlap_kmv": REL["approx_overlap_kmv"],
+        "flow_domain_cap": SAMP["sample_domain_cap"],
+        "flow_epoch_schedule": SAMP["sample_epoch_schedule"],
         "flow_tokenizer_fertility": TXT["corpus_tokenizer_fertility"],
         "flow_ccnet_gate": TXT["text_ccnet_buckets"],
         "flow_repetition": SAMP["repetition_ratio"],

@@ -583,3 +583,98 @@ def kmv_set_sketch_stream(dh: DataFrame, k: int) -> DataFrame:
     return dh.groupBy("tp").applyInPandasWithState(
         fn, _KMVSET_OUT, _KMVSET_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_DOMCAP_STATE = StructType(
+    [
+        StructField("hashes", StringType()),
+        StructField("ids", StringType()),
+        StructField("upd", LongType()),
+    ]
+)
+_DOMCAP_OUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("upd", LongType()),
+        StructField("h", LongType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+def _pair_merge(cur_h, cur_d, bh, bd, k: int):
+    """One domain-cap state transition: merge a batch of (h, doc_id)
+    pairs into the running K-first set under the total order
+    (h, doc_id). Top-K sets under a total order compose (the same law
+    the two-level ``topk_per_key`` rank rests on), so the whole
+    micro-batch merges as one vectorized lexsort instead of row-at-a-
+    time; exact duplicate pairs (a replayed document) collapse before
+    the cut so replays cannot evict a legitimately-kept doc."""
+    import numpy as np
+
+    h = np.concatenate([cur_h, bh])
+    d = np.concatenate([cur_d, bd])
+    order = np.lexsort((d, h))  # primary h, tie-break doc_id
+    h, d = h[order], d[order]
+    if len(h):
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        h, d = h[keep], d[keep]
+    return h[:k], d[:k]
+
+
+def _pair_decode(s: str):
+    import numpy as np
+
+    return np.array(s.split(","), dtype="int64") if s else np.array([], dtype="int64")
+
+
+def domain_cap_stream(sh: DataFrame, cap: int) -> DataFrame:
+    """Streaming per-domain quota admission with BOUNDED state: per
+    source, state is exactly the running CAP-first set of (h, doc_id)
+    pairs under content-hash order (2·CAP longs — the streaming twin
+    of ``sampling.sample_domain_cap``, and the admission an ingest
+    pipeline runs live so no domain floods the mixture between batch
+    re-caps). The CAP-first set of a union is arrival-order
+    independent, so the final snapshot equals the batch cap exactly
+    and its oracle applies verbatim.
+
+    Same changelog contract as ``kmv_sketch_stream``'s set sibling: a
+    key re-emits its ≤ CAP rows only when a micro-batch actually
+    changes the kept set (stamped with a per-key ``upd`` counter);
+    consumers compact latest-``upd``-wins per source. No timeout —
+    sources are a low-cardinality dimension, total state
+    O(sources × CAP) longs.
+    """
+    import numpy as np
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (src,) = key
+        if state.exists:
+            hs, ids, upd = state.get
+            cur_h, cur_d, upd = _pair_decode(hs), _pair_decode(ids), int(upd)
+        else:
+            cur_h, cur_d, upd = _pair_decode(""), _pair_decode(""), 0
+        prev_h, prev_d, existed = cur_h, cur_d, state.exists
+        for pdf in pdf_iter:
+            cur_h, cur_d = _pair_merge(
+                cur_h,
+                cur_d,
+                pdf["h"].to_numpy(dtype="int64"),
+                pdf["doc_id"].to_numpy(dtype="int64"),
+                cap,
+            )
+        if existed and np.array_equal(cur_h, prev_h) and np.array_equal(cur_d, prev_d):
+            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in _DOMCAP_OUT.fields})
+            return
+        upd += 1
+        state.update(
+            (",".join(map(str, cur_h.tolist())), ",".join(map(str, cur_d.tolist())), upd)
+        )
+        yield pd.DataFrame(
+            {"source": src, "upd": upd, "h": cur_h.tolist(), "doc_id": cur_d.tolist()}
+        )
+
+    return sh.groupBy("source").applyInPandasWithState(
+        fn, _DOMCAP_OUT, _DOMCAP_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -156,6 +156,7 @@ def test_ledger_queue_names_resolve():
         ("R7_HEAD", mod.R7_HEAD),
         ("R7_QUEUE", mod.R7_QUEUE),
         ("R8_QUEUE", mod.R8_QUEUE),
+        ("R9_QUEUE", mod.R9_QUEUE),
     ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"

@@ -694,3 +694,50 @@ def test_generic_topk_two_level_equals_global(spark):
         for rk, (nct, name) in enumerate(sorted(items)[:7], start=1):
             want[(k, rk)] = (-nct, name)
     assert got == want
+
+
+def test_dup_inflation_exact_on_constructed_corpus(spark):
+    """corpus_dup_inflation on a corpus with known copy counts: a
+    source with a 3x-copied 4-token page plus a unique 2-token page
+    must report exactly (4 docs, 2 unique, 14 total / 6 unique tokens,
+    inflation 2333 permille); a fully-unique source reports 1000."""
+    from gmall_realtime_ck_spark.operators.sampling import corpus_dup_inflation
+
+    rows = (
+        [(i, "spark shuffles keyed aggregates", "en", "src0", 30) for i in range(3)]
+        + [(3, "broadcast joins", "en", "src0", 15)]
+        + [(10, "one two three", "en", "src1", 13), (11, "four five", "en", "src1", 9)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["source"]: r.asDict() for r in corpus_dup_inflation({"documents": df}).collect()}
+    assert got["src0"] == {
+        "source": "src0", "n_docs": 4, "n_unique": 2,
+        "tokens_total": 14, "tokens_unique": 6, "inflation_permille": 2333,
+    }
+    assert got["src1"]["inflation_permille"] == 1000
+    assert got["src1"]["n_docs"] == got["src1"]["n_unique"] == 2
+
+
+def test_epoch_schedule_laws(spark, tables):
+    """sample_epoch_schedule invariants on the real corpus: epochs in
+    [1, MAX_EPOCHS]; epochs is the exact clamped ceiling of
+    target/tokens; capped=1 iff the uncapped ceiling exceeds the cap,
+    and then (and only then) achieved_tokens < target_tokens while
+    epochs == MAX_EPOCHS."""
+    from gmall_realtime_ck_spark.operators.sampling import (
+        MAX_EPOCHS,
+        sample_epoch_schedule,
+    )
+
+    rows = sample_epoch_schedule(tables).collect()
+    assert len(rows) > 0
+    for r in rows:
+        need = -(-r["target_tokens"] // max(r["tokens"], 1))  # exact ceil
+        assert r["epochs"] == max(1, min(MAX_EPOCHS, need)), r
+        assert r["achieved_tokens"] == r["epochs"] * r["tokens"], r
+        assert r["capped"] == (1 if need > MAX_EPOCHS else 0), r
+        if r["capped"]:
+            assert r["epochs"] == MAX_EPOCHS
+            assert r["achieved_tokens"] < r["target_tokens"]
+        else:
+            assert r["achieved_tokens"] >= min(r["target_tokens"], r["tokens"])

@@ -496,3 +496,99 @@ def test_stale_sweep_handles_symlink_entries(tmp_path):
     assert removed == 2
     assert not broken.exists() and not aliased.exists()
     assert fresh_target.exists()
+
+
+def test_flow_domain_cap_bounded_state_matches_batch(spark, tables):
+    """The domain-cap twin's state must be one state-store row per
+    source (each holding ≤ 2·CAP longs — never the source's documents),
+    and the poll-time rank over the latest snapshot must equal the
+    batch quota exactly (the CAP-first set under (h, doc_id) is
+    arrival-order independent)."""
+    import json
+    import uuid
+
+    from gmall_realtime_ck_spark.operators.sampling import (
+        DOMAIN_CAP,
+        sample_domain_cap,
+    )
+    from gmall_realtime_ck_spark.operators.text import H28_SPARK
+
+    docs = pipelines.documents_file_stream(spark, SF_DIR)
+    sh = docs.select(
+        "source", F.expr(H28_SPARK.format(c="text")).alias("h"), "doc_id"
+    )
+    name = "domcap" + uuid.uuid4().hex[:8]
+    ckpt = pipelines._process_tempdir("ckpt_")
+    q = (
+        state.domain_cap_stream(sh, DOMAIN_CAP)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_sources = tables["documents"].select("source").distinct().count()
+    state_rows = max(
+        sum(s.get("numRowsTotal", 0) for s in json.loads(p.json).get("stateOperators") or [])
+        for p in q.recentProgress
+    )
+    assert 0 < state_rows <= n_sources, (state_rows, n_sources)
+    emitted = spark.table(name)
+    per_upd = emitted.groupBy("source", "upd").count()
+    assert per_upd.agg(F.max("count")).first()[0] <= DOMAIN_CAP
+
+    got = sorted(map(tuple, pipelines.flow_domain_cap(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, sample_domain_cap(tables).collect()))
+    assert got == want
+
+
+def test_flow_epoch_schedule_matches_batch(spark, tables):
+    """The epoch-planner twin re-runs the shared |sources|-row algebra
+    over complete-mode token totals — equality with the batch planner
+    is structural, not approximate."""
+    from gmall_realtime_ck_spark.operators.sampling import sample_epoch_schedule
+
+    got = sorted(map(tuple, pipelines.flow_epoch_schedule(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, sample_epoch_schedule(tables).collect()))
+    assert got == want
+
+
+def test_pair_merge_property_matches_set_model():
+    """Property (hypothesis, no Spark): folding _pair_merge over ANY
+    batching/permutation of (h, doc_id) pairs — duplicates included —
+    yields exactly the K lexicographically-first DISTINCT pairs. The
+    law flow_domain_cap's bounded state rests on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gmall_realtime_ck_spark.streaming.state import _pair_decode, _pair_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=8),
+                st.integers(min_value=0, max_value=30),
+            ),
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=10),
+        st.randoms(use_true_random=False),
+    )
+    def check(pairs, k, rng):
+        rng.shuffle(pairs)
+        cur_h, cur_d = _pair_decode(""), _pair_decode("")
+        i = 0
+        while i < len(pairs):
+            j = i + rng.randint(1, 7)
+            bh = np.array([p[0] for p in pairs[i:j]], dtype="int64")
+            bd = np.array([p[1] for p in pairs[i:j]], dtype="int64")
+            cur_h, cur_d = _pair_merge(cur_h, cur_d, bh, bd, k)
+            i = j
+        want = sorted(set(pairs))[:k]
+        assert list(zip(cur_h.tolist(), cur_d.tolist())) == want
+
+    check()
