@@ -100,12 +100,26 @@ QUERIES = [
     # everything after the sketch materializes is |keys|²×K-sized
     "approx_overlap_kmv",
     "approx_join_keys_kmv",
+    # round-8 additions: dup inflation is the dedup_exact posture (a
+    # keyed (source, md5) agg, no rank window); the epoch planner is a
+    # map-side-combined token sum + |sources|-row algebra — both
+    # should track the scan
+    "corpus_dup_inflation",
+    "sample_epoch_schedule",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
 #: (r8 additions: the KMV set-sketch twin — state O(types × K), emits
 #: only on sketch change — and the poll-time Simpson algebra twin)
-STREAM_QUERIES = ["flow_left_outer", "flow_kmv", "flow_overlap_kmv", "flow_simpson_diversity"]
+STREAM_QUERIES = [
+    "flow_left_outer",
+    "flow_kmv",
+    "flow_overlap_kmv",
+    "flow_simpson_diversity",
+    # round-8 additions: bounded top-CAP pair state / O(sources) totals
+    "flow_domain_cap",
+    "flow_epoch_schedule",
+]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000
 
