@@ -1215,25 +1215,32 @@ def gini_from_counts(counts: DataFrame) -> DataFrame:
     streaming twin (which maintains ``counts`` continuously and
     re-runs this vocab-sized algebra per poll).
 
-    Scale (r8 coarse-key window sweep): the rank window needs EVERY
-    token's rank (a top-K mitigation doesn't apply), but its input is
-    the per-source VOCABULARY — already collapsed by the map-side-
-    combined (source, token) count — not the corpus, so the one-reducer
-    sort is |vocab(source)| rows (~10⁶–10⁷ even at 100 TB; Heaps' law
-    sublinearity). If a source's vocab ever outgrows a reducer, Gini is
-    computable exactly from the count-of-counts histogram (tokens with
-    equal ct are rank-interchangeable, so each (ct, multiplicity,
-    cumulative-offset) contributes in closed form), shrinking the sort
-    to |distinct ct| rows; the rank-exact form here is what the DuckDB
-    oracle mirrors."""
-    w = Window.partitionBy("source").orderBy(F.asc("ct"), F.asc("token"))
-    ranked = counts.withColumn("rk", F.row_number().over(w))
+    Scale (r8 coarse-key window sweep — the count-of-counts closed
+    form, implemented): the rank formula needs Σ rank·ct over EVERY
+    token, but tokens with equal ct are rank-interchangeable — a
+    tie-run of m tokens starting after cumulative offset c contributes
+    exactly ct·(m·c + m(m+1)/2) whatever its internal order. So the
+    algebra runs over the per-source count-of-counts HISTOGRAM
+    (|distinct ct| rows — O(√n_tokens)-ish by the integer-partition
+    bound, thousands where the vocabulary is millions), never ranking
+    the vocabulary itself: the only window is a running sum over
+    histogram rows. All-integer (m(m+1) is even, so ``div 2`` is
+    exact) ⇒ bit-identical to the rank form the DuckDB oracle mirrors
+    — pinned by tests/test_invariants_new.py::
+    test_gini_histogram_form_equals_rank_form."""
+    by_ct = counts.groupBy("source", "ct").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ct")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = by_ct.withColumn("c", F.coalesce(F.sum("m").over(w), F.lit(0)))
     return (
-        ranked.groupBy("source")
+        hist.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("vocab"),
-            F.sum("ct").alias("n_tokens"),
-            F.sum(F.col("rk") * F.col("ct")).alias("s1"),
+            F.sum("m").alias("vocab"),
+            F.sum(F.col("ct") * F.col("m")).alias("n_tokens"),
+            F.sum(F.expr("ct * (m * c + (m * (m + 1)) div 2)")).alias("s1"),
         )
         .select(
             "source",
@@ -1269,13 +1276,15 @@ def zipf_from_counts(counts: DataFrame) -> DataFrame:
     (source, token, ct) rows — shared by the batch fit and the
     streaming twin.
 
-    Scale (r8 coarse-key window sweep): same posture as
-    ``gini_from_counts`` — the full-rank window sorts each source's
-    VOCABULARY (not its corpus) through one reducer, fine to ~10⁷
-    tokens; past that, fit on the top-N vocabulary slice (Zipf fits
-    are head-driven; the two-level ``topk_per_key`` produces the slice
-    without a hot-key sort) or derive rank ranges from the
-    count-of-counts histogram."""
+    Scale (r8 coarse-key window sweep): the one remaining full-rank
+    vocab window — it sorts each source's VOCABULARY (not its corpus)
+    through one reducer, fine to ~10⁷ tokens. Unlike Gini (whose tie
+    runs collapse in integer closed form — see ``gini_from_counts``),
+    the regression needs Σ ln(rank) over each tie run, which has no
+    exact integer form (it's lgamma differences); past ~10⁷, fit on
+    the top-N vocabulary slice (Zipf fits are head-driven; the
+    two-level ``topk_per_key`` produces the slice without a hot-key
+    sort)."""
     w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w)).select(
         "source",

@@ -741,3 +741,33 @@ def test_epoch_schedule_laws(spark, tables):
             assert r["achieved_tokens"] < r["target_tokens"]
         else:
             assert r["achieved_tokens"] >= min(r["target_tokens"], r["tokens"])
+
+
+def test_gini_histogram_form_equals_rank_form(spark):
+    """gini_from_counts' count-of-counts closed form (r8) must equal
+    the literal rank formula Σ(2·rank − vocab − 1)·ct on an input with
+    heavy count ties — the histogram contribution ct·(m·c + m(m+1)/2)
+    is exact because tokens of equal ct are rank-interchangeable."""
+    from gmall_realtime_ck_spark.operators.text import gini_from_counts
+
+    rows = (
+        [("a", f"t{i:03d}", 1) for i in range(50)]      # 50-way tie at ct=1
+        + [("a", f"u{i}", 7) for i in range(3)]          # 3-way tie at ct=7
+        + [("a", "zz", 100)]
+        + [("b", "x", 4), ("b", "y", 4), ("b", "z", 4)]  # all tied → gini 0
+    )
+    df = spark.createDataFrame(rows, "source string, token string, ct long")
+    got = {r["source"]: r.asDict() for r in gini_from_counts(df).collect()}
+
+    by_src = {}
+    for s, _, ct in rows:
+        by_src.setdefault(s, []).append(ct)
+    for s, cts in by_src.items():
+        cts.sort()
+        n, tot = len(cts), sum(cts)
+        s1 = sum(rk * ct for rk, ct in enumerate(cts, start=1))
+        want = (1000 * (2 * s1 - (n + 1) * tot)) // (n * tot)
+        assert got[s] == {
+            "source": s, "vocab": n, "n_tokens": tot, "gini_permille": want,
+        }, s
+    assert got["b"]["gini_permille"] == 0
