@@ -106,6 +106,15 @@ QUERIES = [
     # should track the scan
     "corpus_dup_inflation",
     "sample_epoch_schedule",
+    # round-8 coarse-key window sweep re-probes: keep-first dedup as
+    # min-agg+join, the two-level salted topk_per_key (lang vocab
+    # rankings), the salted domain cap, and the count-of-counts Gini
+    # — each rewired this round, so its growth curve is re-measured
+    "text_dedup_exact",
+    "text_bigram_topk",
+    "text_langid_ngram",
+    "sample_domain_cap",
+    "corpus_token_gini",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
