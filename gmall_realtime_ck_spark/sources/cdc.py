@@ -36,6 +36,11 @@ def apply_config_ops(parsed: DataFrame) -> DataFrame:
     last op per key wins, deletes drop the row. Keyed on
     after.source_table (before.source_table for deletes) — the
     broadcast-state key of the reference (TableProcessFunction.java:50-66).
+
+    Scale note (r8 coarse-key window sweep): ``source_table`` is the
+    config table's PRIMARY KEY, so each rank partition holds one
+    key's edit history (handfuls of rows for a tens-of-rows config
+    dimension) — not a coarse key, no mitigation needed.
     """
     from pyspark.sql import Window
 
