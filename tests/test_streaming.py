@@ -592,3 +592,72 @@ def test_pair_merge_property_matches_set_model():
         assert list(zip(cur_h.tolist(), cur_d.tolist())) == want
 
     check()
+
+
+def test_domain_cap_emits_only_on_change(spark, tmp_path):
+    """domain_cap_stream shares kmv_set_sketch_stream's changelog
+    contract: a micro-batch of already-kept or above-the-cut pairs
+    emits nothing; a batch that displaces a kept doc emits a fresh
+    ``upd`` snapshot of ≤ CAP rows."""
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_realtime_ck_spark.operators.sampling import DOMAIN_CAP
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # b1: 40 docs with h = doc_id*10 -> keeps the CAP smallest
+        [("srcA", i * 10, i) for i in range(40)],
+        # b2: replay of already-kept pairs -> no emit
+        [("srcA", i * 10, i) for i in range(5)],
+        # b3: h above every kept hash, set full -> rejected, no emit
+        [("srcA", 99_999, 99)],
+        # b4: h below the min -> displaces the max kept pair, emits upd=2
+        [("srcA", 1, 77)],
+    ]
+    now = time.time() - 60
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array([r[0] for r in rows], pa.string()),
+                    "h": pa.array([r[1] for r in rows], pa.int64()),
+                    "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + i, now + i))
+
+    sh = (
+        spark.readStream.schema("source string, h long, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "domchg" + uuid.uuid4().hex[:8]
+    q = (
+        state.domain_cap_stream(sh, DOMAIN_CAP)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    upds = sorted({r["upd"] for r in emitted})
+    assert upds == [1, 2], upds
+    per_upd = {u: sorted((r["h"], r["doc_id"]) for r in emitted if r["upd"] == u) for u in upds}
+    assert len(per_upd[1]) == DOMAIN_CAP and len(per_upd[2]) == DOMAIN_CAP
+    assert (1, 77) in per_upd[2]             # the displacing pair got kept
+    displaced = ((DOMAIN_CAP - 1) * 10, DOMAIN_CAP - 1)  # b1's old max kept pair
+    assert displaced in per_upd[1] and displaced not in per_upd[2]
+    assert (99_999, 99) not in per_upd[2]    # the rejected pair never entered
+    assert len(emitted) == 2 * DOMAIN_CAP    # b2/b3 emitted nothing
