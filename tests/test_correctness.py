@@ -157,18 +157,27 @@ def test_ledger_queue_names_resolve():
         ("R7_QUEUE", mod.R7_QUEUE),
         ("R8_QUEUE", mod.R8_QUEUE),
         ("R9_QUEUE", mod.R9_QUEUE),
+        ("R10_QUEUE", mod.R10_QUEUE),
     ):
         missing = sorted(q - declared)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-8 rotation contract (VERDICT r7 #1): every mandatory name —
-    # the 4 post-r7-freeze additions (R8_QUEUE, never driver-checked) —
-    # sits inside the 50-slot window, the window is exactly 50 names,
-    # and the already-re-certified r7 window names (R7_HEAD + R7_QUEUE,
-    # all green in CORRECTNESS_r07) have rotated out to free the slots.
+    # Round-9 rotation contract (VERDICT r8 #1): every mandatory name —
+    # the 4 post-r8-freeze additions (R9_QUEUE, never driver-checked)
+    # and the 3 r3-latest re-certs deferred from the r8 window
+    # (win_running_gmv, win_sales_cube, xmodal_media_features) — sits
+    # inside the 50-slot window, the window is exactly 50 names, and
+    # the already-re-certified r8 window names (R8_QUEUE, all green in
+    # CORRECTNESS_r08) have rotated out to free the slots. Post-freeze
+    # round-9 additions (R10_QUEUE) must stay OUT of the head — they
+    # queue for the round-10 rotation.
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    assert mod.R8_QUEUE <= head, sorted(mod.R8_QUEUE - head)
+    assert mod.R9_QUEUE <= head, sorted(mod.R9_QUEUE - head)
+    deferred_r3 = {"win_running_gmv", "win_sales_cube", "xmodal_media_features"}
+    assert deferred_r3 <= head, sorted(deferred_r3 - head)
+    assert not (mod.R10_QUEUE & head), sorted(mod.R10_QUEUE & head)
+    assert not (mod.R8_QUEUE & head), sorted(mod.R8_QUEUE & head)
     assert not (mod.R7_HEAD & head), sorted(mod.R7_HEAD & head)
     assert not (mod.R7_QUEUE & head), sorted(mod.R7_QUEUE & head)
     assert not (mod.R6_HEAD & head), sorted(mod.R6_HEAD & head)
