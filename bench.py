@@ -104,6 +104,15 @@ def main() -> int:
                     rows = df.count()  # untimed, diagnostic only
                 except Exception:
                     rows = -1  # diagnostics must not sink a timed query
+        if materialize == "count":
+            # Each streaming run registers a fresh uuid-named memory-sink
+            # table whose rows live on the driver; with min-of-2 the bench
+            # would otherwise retain TWO materialized result tables per
+            # streaming query for the whole run (r8 advisor finding).
+            # Counted and done with — drop them before moving on.
+            for t in spark.catalog.listTables():
+                if t.isTemporary and re.fullmatch(r"m[0-9a-f]{12}", t.name):
+                    spark.catalog.dropTempView(t.name)
         if best is None:
             return  # every run errored
         errors.pop(name, None)  # at least one run succeeded — it counts

@@ -862,15 +862,26 @@ def topk_per_key(
     tests/test_invariants_new.py::test_generic_topk_two_level_equals_global.
     ``order_cols`` must be a TOTAL order (include a unique tie-break);
     ``salt_on`` should be a high-cardinality column so ties in the
-    leading order columns still spread across salts.
+    leading order columns still spread across salts. The intermediate
+    salt/rank columns are guaranteed fresh names (a caller column named
+    ``_salt``/``_rk1`` is never shadowed — r8 advisor finding), and a
+    pre-existing ``rank_col`` is rejected rather than silently
+    overwritten by ``withColumn``.
     """
-    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
+    if rank_col in df.columns:
+        raise ValueError(
+            f"topk_per_key: rank_col {rank_col!r} already exists in the input"
+        )
+    salt_c, rk1_c = "_salt", "_rk1"
+    while salt_c in df.columns or rk1_c in df.columns:
+        salt_c, rk1_c = salt_c + "_", rk1_c + "_"
+    w1 = Window.partitionBy(*keys, salt_c).orderBy(*order_cols)
     w2 = Window.partitionBy(*keys).orderBy(*order_cols)
     pre = (
-        df.withColumn("_salt", F.pmod(F.xxhash64(salt_on), F.lit(_KMV_SALTS)))
-        .withColumn("_rk1", F.row_number().over(w1))
-        .filter(F.col("_rk1") <= k)
-        .drop("_salt", "_rk1")
+        df.withColumn(salt_c, F.pmod(F.xxhash64(salt_on), F.lit(_KMV_SALTS)))
+        .withColumn(rk1_c, F.row_number().over(w1))
+        .filter(F.col(rk1_c) <= k)
+        .drop(salt_c, rk1_c)
     )
     return pre.withColumn(rank_col, F.row_number().over(w2)).filter(F.col(rank_col) <= k)
 

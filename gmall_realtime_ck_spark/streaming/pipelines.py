@@ -65,7 +65,7 @@ _STALE_TEMP_AGE_S = 3600
 
 
 def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_TEMP_AGE_S) -> int:
-    """Remove orphaned ckpt_*/streamsrc_* temp dirs older than
+    """Remove orphaned ckpt_*/streamsrc_*/kwlog_* temp dirs older than
     ``max_age_s``; returns how many were removed. Errors are ignored —
     a concurrent sweep or an unreadable dir must never break a stream
     build."""
@@ -92,8 +92,10 @@ def _sweep_stale_temp_dirs(tmp_root: str | None = None, max_age_s: int = _STALE_
             ts.append(e.stat(follow_symlinks=False).st_mtime)
         return max(ts)
 
-    for d in glob.glob(os.path.join(root, "ckpt_*")) + glob.glob(
-        os.path.join(root, "streamsrc_*")
+    for d in (
+        glob.glob(os.path.join(root, "ckpt_*"))
+        + glob.glob(os.path.join(root, "streamsrc_*"))
+        + glob.glob(os.path.join(root, "kwlog_*"))
     ):
         try:
             if os.path.isdir(d) and last_activity(d) < cutoff:
@@ -156,7 +158,11 @@ def _run_to_memory(df: DataFrame, output_mode: str, shuffle_partitions: int = 8)
     """
     spark = df.sparkSession
     name = "m" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    # Under _TEMP_ROOT so a SIGKILL'd run (no atexit) still lands in the
+    # directory the entrypoint sweep reaps — mkdtemp in the shared system
+    # tempdir would strand orphans exactly where the sweep no longer
+    # looks (the r6 incident class; r8 advisor finding).
+    ckpt = _process_tempdir("ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     q = None
@@ -1254,9 +1260,9 @@ def flow_keyword_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     no collect), then re-read as a stream — at scale this is exactly a
     Kafka topic dump replayed from object storage.
     """
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="kwlog_")
+    # Same orphan class as _run_to_memory's checkpoint: stage under
+    # _TEMP_ROOT so the entrypoint sweep reaps a SIGKILL'd run's dir.
+    d = _process_tempdir("kwlog_")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     line = F.when(

@@ -45,6 +45,7 @@ SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_data")
 SCALES = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_PROBE_SCALES", "1,2,5,10").split(",")
+    if s.strip()  # tolerate whitespace / trailing commas ("10, 16,")
 ]
 QUERIES = [
     "text_minhash_lsh_pairs",
