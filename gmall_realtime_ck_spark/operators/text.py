@@ -1281,10 +1281,13 @@ def zipf_from_counts(counts: DataFrame) -> DataFrame:
     through one reducer, fine to ~10⁷ tokens. Unlike Gini (whose tie
     runs collapse in integer closed form — see ``gini_from_counts``),
     the regression needs Σ ln(rank) over each tie run, which has no
-    exact integer form (it's lgamma differences); past ~10⁷, fit on
-    the top-N vocabulary slice (Zipf fits are head-driven; the
-    two-level ``topk_per_key`` produces the slice without a hot-key
-    sort)."""
+    exact integer form (it's lgamma differences). Past ~10⁷ tokens use
+    ``zipf_topn_from_counts`` — the implemented at-scale default: it
+    fits the top-N head slice produced by the two-level salted
+    ``topk_per_key`` (no reducer ever sorts more than ~1/16 of a hot
+    source's vocabulary), and Zipf fits are head-driven, so the top-N
+    slope converges to this full-vocab slope (pinned by
+    tests/test_invariants_new.py::test_zipf_topn_slope_converges)."""
     w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w)).select(
         "source",
@@ -1301,6 +1304,88 @@ def zipf_from_counts(counts: DataFrame) -> DataFrame:
         .select(
             "source",
             "vocab",
+            F.round("s", 6).alias("zipf_slope"),
+            F.round("r2", 6).alias("fit_r2"),
+        )
+    )
+
+
+#: production head-slice width for the at-scale Zipf fit: Zipf fits are
+#: head-driven (the tail's log-rank spacing vanishes), and 10⁴ ranks
+#: pin the slope to the full-vocab fit within noise on natural corpora
+#: while keeping the per-source ranked set broadcast-tiny. The declared
+#: query passes an explicit smaller N so the head slice is genuinely
+#: narrower than the testdata vocabulary at every SF — the hash check
+#: then certifies the SLICED path, not a degenerate full fit.
+ZIPF_TOPN = 10_000
+
+
+def text_zipf_topn_fit(t: dict[str, DataFrame]) -> DataFrame:
+    """The at-scale Zipf exponent fit (VERDICT r8 #2): least-squares
+    slope of ln(frequency) on ln(rank) over the top-N vocabulary slice
+    per source instead of the full vocabulary. The full-vocab form
+    (``text_zipf_fit``) sorts each source's whole vocabulary through
+    one reducer — fine to ~10⁷ tokens, a scale-killer on 100 TB web
+    text where junk tokens blow the per-source vocab past that. Here
+    the slice comes from the two-level salted ``topk_per_key`` (rank
+    within (source, xxhash64(token) mod 16) first, keep N per salt,
+    re-rank ≤ 16·N survivors — exact by top-K set composition), so no
+    reducer ever sorts more than ~1/16 of a hot source's vocabulary.
+    The fit over the slice is a head-N approximation of the full fit
+    BY DESIGN (documented, oracled in the same sliced form, and its
+    convergence to the full slope on Zipfian input is pinned by
+    tests/test_invariants_new.py::test_zipf_topn_slope_converges).
+    ``vocab`` still reports the FULL vocabulary size — a keyed count
+    with map-side partials, no sort anywhere.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ct"))
+    return zipf_topn_from_counts(counts, n=25)
+
+
+def zipf_topn_from_counts(counts: DataFrame, n: int = ZIPF_TOPN) -> DataFrame:
+    """Top-``n`` head-slice rank-frequency regression over
+    pre-aggregated (source, token, ct) rows — shared by the batch fit
+    and the ``flow_zipf_topn`` streaming twin. The rank column produced
+    by ``topk_per_key`` IS the global rank for the head (top-K sets
+    compose), so ln(rank) here is identical to the full-vocab form's
+    ln(rank) on the rows that survive the slice."""
+    from .relational import topk_per_key
+
+    # Both legs derive from the SAME plan (counts); aliasing the
+    # aggregate's key to a fresh attribute avoids the self-join
+    # "conflicting attributes" trap on table-backed inputs (the
+    # streaming twin reads counts from a memory-sink table).
+    full = counts.groupBy(F.col("source").alias("src_v")).agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    sliced = topk_per_key(
+        counts,
+        ["source"],
+        [F.desc("ct"), F.asc("token")],
+        n,
+        salt_on="token",
+    )
+    ranked = sliced.select(
+        "source",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("ct").cast("double")).alias("y"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.expr("regr_slope(y, x)").alias("s"),
+            F.expr("regr_r2(y, x)").alias("r2"),
+        )
+        .join(F.broadcast(full), F.col("source") == F.col("src_v"))
+        .select(
+            "source",
+            "vocab",
+            "n_top",
             F.round("s", 6).alias("zipf_slope"),
             F.round("r2", 6).alias("fit_r2"),
         )
@@ -1909,6 +1994,25 @@ ORACLES: dict[str, str] = {
                round(regr_r2(y, x), 6) AS fit_r2
         FROM ranked GROUP BY source
     """,
+    "text_zipf_topn_fit": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_D}) AS token FROM documents
+        ), counts AS (
+            SELECT source, token, COUNT(*) AS ct FROM toks GROUP BY source, token
+        ), fullv AS (
+            SELECT source, COUNT(*) AS vocab FROM counts GROUP BY source
+        ), sliced AS (
+            SELECT source, ct,
+                   row_number() OVER (PARTITION BY source ORDER BY ct DESC, token) AS rk
+            FROM counts
+            QUALIFY rk <= 25
+        )
+        SELECT s.source, f.vocab, COUNT(*) AS n_top,
+               round(regr_slope(ln(s.ct::DOUBLE), ln(s.rk)), 6) AS zipf_slope,
+               round(regr_r2(ln(s.ct::DOUBLE), ln(s.rk)), 6) AS fit_r2
+        FROM sliced s JOIN fullv f USING (source)
+        GROUP BY s.source, f.vocab
+    """,
     "corpus_token_gini": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_D}) AS token FROM documents
@@ -2233,6 +2337,7 @@ BUILDERS = {
     "text_readability": text_readability,
     "corpus_simpson_diversity": corpus_simpson_diversity,
     "text_zipf_fit": text_zipf_fit,
+    "text_zipf_topn_fit": text_zipf_topn_fit,
     "corpus_hapax_share": corpus_hapax_share,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,

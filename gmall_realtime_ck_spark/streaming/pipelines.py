@@ -1215,6 +1215,29 @@ def flow_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_from_counts(_run_to_memory(counts, "complete"))
 
 
+def flow_zipf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the at-scale Zipf fit (``text_zipf_topn_fit``):
+    the same (source, token) complete-mode count spine as flow_zipf,
+    with the head-N slice regression (text.zipf_topn_from_counts)
+    re-run per poll. The streaming state is the token-count aggregate;
+    the topk_per_key slice + fit are a post-poll batch plan over it, so
+    the poll-side cost is rank-bounded (≤ 16·N rows per source ever
+    sorted) no matter how large the accumulated vocabulary grows —
+    exactly the property the full-vocab flow_zipf lacks at 100 TB.
+    Batch oracle applies verbatim (complete mode ≡ batch)."""
+    from ..operators.text import TOKENS_SPARK, zipf_topn_from_counts
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return zipf_topn_from_counts(_run_to_memory(counts, "complete"), n=25)
+
+
 def flow_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus PII redaction: the map-only batch transform
     (operators/privacy.py) applied unchanged to the document stream —
@@ -1449,6 +1472,7 @@ STREAM_BUILDERS = {
     "flow_token_gini": flow_token_gini,
     "flow_simpson_diversity": flow_simpson_diversity,
     "flow_zipf": flow_zipf,
+    "flow_zipf_topn": flow_zipf_topn,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
@@ -1534,6 +1558,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_token_gini": TXT["corpus_token_gini"],
         "flow_simpson_diversity": TXT["corpus_simpson_diversity"],
         "flow_zipf": TXT["text_zipf_fit"],
+        "flow_zipf_topn": TXT["text_zipf_topn_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],

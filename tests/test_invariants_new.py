@@ -771,3 +771,62 @@ def test_gini_histogram_form_equals_rank_form(spark):
             "source": s, "vocab": n, "n_tokens": tot, "gini_permille": want,
         }, s
     assert got["b"]["gini_permille"] == 0
+
+
+def test_zipf_topn_slope_converges(spark):
+    """The at-scale head-slice Zipf fit (zipf_topn_from_counts, r9 —
+    VERDICT r8 #2's convergence law): on a genuinely Zipfian input
+    (ct = ⌊10⁶/rank⌋ over a 5000-token vocabulary) the top-N slope
+    must converge to the full-vocab slope — within 0.02 at N=500 —
+    because Zipf fits are head-driven. Also pins that the slice is
+    real (n_top = N < vocab) and that vocab still reports the FULL
+    vocabulary size."""
+    from gmall_realtime_ck_spark.operators.text import (
+        zipf_from_counts,
+        zipf_topn_from_counts,
+    )
+
+    rows = [("w", f"t{rk:05d}", 10**6 // rk) for rk in range(1, 5001)]
+    df = spark.createDataFrame(rows, "source string, token string, ct long")
+    full = zipf_from_counts(df).collect()[0]
+    head = zipf_topn_from_counts(df, n=500).collect()[0]
+    assert head["vocab"] == 5000 and head["n_top"] == 500
+    assert abs(head["zipf_slope"] - full["zipf_slope"]) < 0.02, (
+        head["zipf_slope"],
+        full["zipf_slope"],
+    )
+    assert head["fit_r2"] > 0.99
+
+
+def test_zipf_topn_equals_full_when_unsliced(tables):
+    """When N exceeds every source's vocabulary the head-slice fit must
+    reproduce the full-vocab fit bit-for-bit (slope, r², vocab) with
+    n_top = vocab — the sliced plan and the classic single-window plan
+    are then the same regression over the same rows, so any divergence
+    would mean the two-level rank re-ordered something."""
+    from gmall_realtime_ck_spark.operators.text import (
+        TOKENS_SPARK,
+        text_zipf_fit,
+        zipf_topn_from_counts,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    counts = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    full = {r["source"]: r.asDict() for r in text_zipf_fit(tables).collect()}
+    head = {
+        r["source"]: r.asDict()
+        for r in zipf_topn_from_counts(counts, n=10_000).collect()
+    }
+    assert set(full) == set(head)
+    for s, f in full.items():
+        h = head[s]
+        assert h["n_top"] == h["vocab"] == f["vocab"], s
+        assert h["zipf_slope"] == f["zipf_slope"], s
+        assert h["fit_r2"] == f["fit_r2"], s
