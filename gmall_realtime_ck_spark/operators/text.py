@@ -1392,6 +1392,110 @@ def zipf_topn_from_counts(counts: DataFrame, n: int = ZIPF_TOPN) -> DataFrame:
     )
 
 
+#: checkpoint count for the Heaps-law growth fit — 16 prefix points
+#: spread over each source's doc_id range pin the log-log regression
+#: without ever materializing the cumulative curve doc-by-doc.
+HEAPS_POINTS = 16
+
+
+def corpus_heaps_law(t: dict[str, DataFrame]) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: the exponent β in
+    V(n) ≈ K·n^β (Heaps 1978), regressed as ln(cum_vocab) on
+    ln(cum_tokens) over ``HEAPS_POINTS`` doc_id-prefix checkpoints.
+    Natural text sits near β≈0.5; β→1 flags machine-generated /
+    ID-heavy junk whose "vocabulary" never converges, and the fitted
+    curve forecasts tokenizer OOV growth and dedup-index sizing as a
+    crawl scales — the planning twin of the duplication-inflation and
+    epoch-schedule cards.
+
+    Scale design — deliberately NO rank window and NO per-doc
+    cumulative: each token's first occurrence is ``min(doc_id)`` per
+    (source, token) (map-side combinable, the exact-dedup keep-first
+    posture), each checkpoint membership is the integer predicate
+    ``HEAPS_POINTS·first_doc ≤ max_doc·i`` (⟺ first_doc ≤
+    ⌊max_doc·i/HEAPS_POINTS⌋ — exact in both engines), and the
+    per-source curve is ``HEAPS_POINTS`` conditional sums in ONE keyed
+    aggregate; the regression then runs over ≤ 16 points per source.
+    A 100 TB corpus streams through two keyed aggregates and a
+    broadcast of |sources| rows — nothing ever sorts.
+    """
+    docs = t["documents"]
+    tok_arr = F.expr(TOKENS_SPARK.format(c="text"))
+    toks = docs.select("source", "doc_id", F.explode(tok_arr).alias("token"))
+    first_occ = toks.groupBy("source", "token").agg(F.min("doc_id").alias("fd"))
+    per_doc = docs.select(
+        "source", "doc_id", F.size(tok_arr).cast("long").alias("ntok")
+    )
+    mx = per_doc.groupBy(F.col("source").alias("src_m")).agg(
+        F.max("doc_id").alias("mxd")
+    )
+    P = HEAPS_POINTS
+    voc = (
+        first_occ.join(F.broadcast(mx), F.col("source") == F.col("src_m"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum((F.col("fd") * P <= F.col("mxd") * i).cast("long")).alias(f"v{i}")
+                for i in range(1, P + 1)
+            ]
+        )
+    )
+    tok_cum = (
+        per_doc.join(F.broadcast(mx), F.col("source") == F.col("src_m"))
+        .groupBy(F.col("source").alias("src_t"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("doc_id") * P <= F.col("mxd") * i, F.col("ntok")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"n{i}")
+                for i in range(1, P + 1)
+            ]
+        )
+    )
+    stack_args = ", ".join(f"{i}, v{i}, n{i}" for i in range(1, P + 1))
+    pts = (
+        voc.join(F.broadcast(tok_cum), F.col("source") == F.col("src_t"))
+        .select("source", F.expr(f"stack({P}, {stack_args}) AS (i, v, n)"))
+        .filter((F.col("v") > 0) & (F.col("n") > 0))
+        .select(
+            "source",
+            "i",
+            F.log(F.col("n").cast("double")).alias("x"),
+            F.log(F.col("v").cast("double")).alias("y"),
+        )
+        # checkpoints below a source's first doc collapse to the same
+        # (0,0) and are filtered; distinct thresholds can still yield
+        # duplicate (n, v) prefixes on tiny sources — keep them (both
+        # engines keep them identically; the fit is over the same bag).
+    )
+    # A source whose vocabulary saturates at the first checkpoint has
+    # CONSTANT y: Spark's regr_r2 defines that as a perfect zero-slope
+    # fit (1.0) while DuckDB's divides float dust by float dust and
+    # returns summation-order NOISE — pin the constant-y case to 1.0
+    # explicitly on both engines (min(y) = max(y) is an exact compare
+    # of bit-identical doubles).
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("regr_slope(y, x)").alias("s"),
+            F.expr("regr_r2(y, x)").alias("r2"),
+            F.min("y").alias("_ymn"),
+            F.max("y").alias("_ymx"),
+        )
+        .select(
+            "source",
+            "n_points",
+            F.round("s", 6).alias("heaps_beta"),
+            F.when(F.col("_ymn") == F.col("_ymx"), F.lit(1.0))
+            .otherwise(F.round("r2", 6))
+            .alias("fit_r2"),
+        )
+    )
+
+
 #: count-min sketch geometry (Cormode & Muthukrishnan 2005)
 CMS_WIDTH = 256
 CMS_DEPTH = 4
@@ -2013,6 +2117,38 @@ ORACLES: dict[str, str] = {
         FROM sliced s JOIN fullv f USING (source)
         GROUP BY s.source, f.vocab
     """,
+    "corpus_heaps_law": f"""
+        WITH toks AS (
+            SELECT source, doc_id, unnest({_TOKS_D}) AS token FROM documents
+        ), first_occ AS (
+            SELECT source, token, MIN(doc_id) AS fd FROM toks GROUP BY source, token
+        ), per_doc AS (
+            SELECT source, doc_id, len({_TOKS_D}) AS ntok FROM documents
+        ), mx AS (
+            SELECT source, MAX(doc_id) AS mxd FROM per_doc GROUP BY source
+        ), grid AS (
+            SELECT m.source, m.mxd, g.i FROM mx m, range(1, 17) g(i)
+        ), v AS (
+            SELECT grid.source, grid.i, COUNT(*) AS v
+            FROM grid JOIN first_occ f
+              ON f.source = grid.source AND f.fd * 16 <= grid.mxd * grid.i
+            GROUP BY grid.source, grid.i
+        ), n AS (
+            SELECT grid.source, grid.i, SUM(d.ntok) AS n
+            FROM grid JOIN per_doc d
+              ON d.source = grid.source AND d.doc_id * 16 <= grid.mxd * grid.i
+            GROUP BY grid.source, grid.i
+        ), pts AS (
+            SELECT v.source, ln(n.n::DOUBLE) AS x, ln(v.v::DOUBLE) AS y
+            FROM v JOIN n ON v.source = n.source AND v.i = n.i
+            WHERE v.v > 0 AND n.n > 0
+        )
+        SELECT source, COUNT(*) AS n_points,
+               round(regr_slope(y, x), 6) AS heaps_beta,
+               CASE WHEN MIN(y) = MAX(y) THEN 1.0
+                    ELSE round(regr_r2(y, x), 6) END AS fit_r2
+        FROM pts GROUP BY source
+    """,
     "corpus_token_gini": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_D}) AS token FROM documents
@@ -2338,6 +2474,7 @@ BUILDERS = {
     "corpus_simpson_diversity": corpus_simpson_diversity,
     "text_zipf_fit": text_zipf_fit,
     "text_zipf_topn_fit": text_zipf_topn_fit,
+    "corpus_heaps_law": corpus_heaps_law,
     "corpus_hapax_share": corpus_hapax_share,
     "doc_quality_classifier": doc_quality_classifier,
     "text_feature_hashing": feature_hashing,

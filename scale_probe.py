@@ -140,6 +140,74 @@ LABEL_OFF = 100_000
 #: such a case), so the cache is keyed on this marker.
 SCHEME = "cipher-v2-events"
 
+#: vocab-keyed queries re-probed on the Heaps-law dirs (VERDICT r8 #6):
+#: the cipher construction grows VOCABULARY linearly with the corpus
+#: (every copy's tokens are a disjoint 1:1 twin set) — the honest
+#: WORST CASE for anything keyed on (source, token), but natural web
+#: text grows vocab ~n^0.5 (Heaps' law), so the cipher exponents for
+#: this family overstate production growth. The heaps scheme below
+#: synthesizes documents whose token ranks are Pareto draws (Zipf
+#: frequencies, α=2 → Heaps β≈0.5), giving the natural-growth curve
+#: next to the cipher's worst-case one in SCALE.md.
+HEAPS_QUERIES = [
+    "text_bigram_topk",
+    "text_langid_ngram",
+    "corpus_token_gini",
+    "text_zipf_fit",
+    "text_zipf_topn_fit",
+]
+HEAPS_STREAM_QUERIES = [
+    # the full-vocab streaming fit vs its rank-bounded r9 twin — the
+    # pair whose divergence under real vocab growth motivated
+    # zipf_topn_from_counts
+    "flow_zipf",
+    "flow_zipf_topn",
+]
+HEAPS_SCHEME = "heaps-v1-pareto"
+#: ×1 size of the heaps corpus: matches sf0.1 documents (5000 docs,
+#: ~54 tokens/doc) so the two schemes' ×1 points are comparable.
+HEAPS_DOCS = 5000
+
+
+def synth_heaps(k: int) -> str:
+    """Heaps-law documents dir: 5000·k docs whose tokens are
+    ``'w' || ceil(1/u)`` for deterministic hash-uniform u — Pareto
+    token ranks ⇒ Zipf(α≈2) frequencies ⇒ observed vocabulary grows
+    ~n^0.5 (Heaps) while total tokens grow linearly. Doc lengths vary
+    30–78 tokens. Only documents.parquet — every HEAPS_QUERIES builder
+    reads just that table."""
+    out = os.path.join(SCRATCH, f"heaps_x{k}")
+    marker = os.path.join(out, f".scheme-{HEAPS_SCHEME}")
+    if os.path.isdir(out) and not os.path.exists(marker):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    for leftover in os.listdir(out):
+        if leftover.endswith(".tmp"):
+            os.remove(os.path.join(out, leftover))
+    if not os.path.exists(f"{out}/documents.parquet"):
+        con = duckdb.connect()
+        m = 1_000_000_007
+        sel = f"""
+            WITH toks AS (
+                SELECT i // 128 AS doc_id, i % 128 AS p,
+                       'w' || CAST(ceil({m}.0 / ((hash(i * 2654435761) % {m}) + 1))
+                              AS BIGINT) AS tok
+                FROM range({HEAPS_DOCS * k} * 128) t(i)
+                WHERE i % 128 < 30 + hash((i // 128) * 7919) % 49
+            ), body AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+                FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, text, 'en' AS lang,
+                   'src' || CAST(doc_id % 20 AS VARCHAR) AS source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM body
+        """
+        _copy_atomic(con, sel, f"{out}/documents.parquet")
+        con.close()
+    open(marker, "w").close()
+    return out
+
 
 def _copy_atomic(con, sel: str, dest: str) -> None:
     """COPY to a temp name and rename into place: a run killed
@@ -218,13 +286,21 @@ def main() -> int:
     from gmall_realtime_ck_spark import registry
     from gmall_realtime_ck_spark.session import get_spark
 
+    # SPARK_GRAFT_PROBE_SCHEME=heaps probes the vocab-keyed family on
+    # the natural-growth (Heaps-law) dirs instead of the worst-case
+    # cipher dirs — see HEAPS_QUERIES.
+    heaps = os.environ.get("SPARK_GRAFT_PROBE_SCHEME", "cipher") == "heaps"
+    base_q = HEAPS_QUERIES if heaps else QUERIES
+    base_sq = HEAPS_STREAM_QUERIES if heaps else STREAM_QUERIES
+    make_dir = synth_heaps if heaps else synth
+
     # optional argv filter: probe only the named queries (used when a
     # round adds shapes — re-probing the whole set costs ~30 min and
     # the old exponents are already recorded in SCALE.md)
     wanted = set(sys.argv[1:])
-    queries = [q for q in QUERIES if not wanted or q in wanted]
-    stream_queries = [q for q in STREAM_QUERIES if not wanted or q in wanted]
-    unknown = wanted - set(QUERIES) - set(STREAM_QUERIES)
+    queries = [q for q in base_q if not wanted or q in wanted]
+    stream_queries = [q for q in base_sq if not wanted or q in wanted]
+    unknown = wanted - set(base_q) - set(base_sq)
     if unknown:
         raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
 
@@ -241,8 +317,12 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
 
     # warm the Arrow/python-worker + codegen paths once, untimed
-    TBLS = ["documents", "embeddings", "events", "orders", "lineitem", "customer"]
-    warm_dir = synth(1)
+    TBLS = (
+        ["documents"]
+        if heaps
+        else ["documents", "embeddings", "events", "orders", "lineitem", "customer"]
+    )
+    warm_dir = make_dir(1)
     warm = {t: spark.read.parquet(f"{warm_dir}/{t}.parquet") for t in TBLS}
     for q in queries:
         materialize(registry.BUILDERS[q](warm))
@@ -252,7 +332,7 @@ def main() -> int:
     all_q = queries + stream_queries
     results: dict[str, dict[int, float]] = {q: {} for q in all_q}
     for k in SCALES:
-        d = synth(k)
+        d = make_dir(k)
         tables = {t: spark.read.parquet(f"{d}/{t}.parquet") for t in TBLS}
         for q in all_q:
             t0 = time.perf_counter()

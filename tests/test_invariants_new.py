@@ -830,3 +830,69 @@ def test_zipf_topn_equals_full_when_unsliced(tables):
         assert h["n_top"] == h["vocab"] == f["vocab"], s
         assert h["zipf_slope"] == f["zipf_slope"], s
         assert h["fit_r2"] == f["fit_r2"], s
+
+
+def test_heaps_law_boundary_regimes(spark):
+    """corpus_heaps_law (r9): the two analytic regimes pin the fit.
+    (a) Every doc all-new tokens and equal length → cum_vocab ≡
+    cum_tokens at every checkpoint → β = 1, r² = 1 exactly.
+    (b) Every doc the same single token → cum_vocab ≡ 1 → ln V ≡ 0 →
+    β = 0. Doc_ids are deliberately non-contiguous to pin that
+    checkpoints follow the doc_id RANGE, not row counts."""
+    from gmall_realtime_ck_spark.operators.text import corpus_heaps_law
+
+    rows = []
+    for d in range(32):
+        did = d * 3 + 7  # non-contiguous ids
+        rows.append((did, " ".join(f"new{d}w{j}" for j in range(5)), "en", "growA", 0))
+        rows.append((did + 1, "same same same same same", "en", "flatB", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r.asDict() for r in corpus_heaps_law({"documents": docs}).collect()}
+    assert got["growA"]["heaps_beta"] == 1.0 and got["growA"]["fit_r2"] == 1.0
+    assert got["flatB"]["heaps_beta"] == 0.0
+
+
+def test_heaps_law_triangulates_pure_python(tables):
+    """The checkpoint conditional-sum form must equal a literal pure-
+    python replay (tokenize, first-occurrence scan, 16 prefix
+    evaluations, least-squares by hand) on the real sf0.001 corpus —
+    the same triangulation discipline as Simpson/Gini."""
+    import math
+    import re as _re
+
+    from gmall_realtime_ck_spark.operators.text import HEAPS_POINTS, corpus_heaps_law
+
+    got = {r["source"]: r.asDict() for r in corpus_heaps_law(tables).collect()}
+
+    docs = sorted(
+        (r["source"], r["doc_id"], r["text"])
+        for r in tables["documents"].select("source", "doc_id", "text").collect()
+    )
+    by_src: dict = {}
+    for s, did, text in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        by_src.setdefault(s, []).append((did, toks))
+    for s, dl in by_src.items():
+        mxd = max(d for d, _ in dl)
+        pts = []
+        for i in range(1, HEAPS_POINTS + 1):
+            vocab = len({t for d, toks in dl if d * HEAPS_POINTS <= mxd * i for t in toks})
+            ntok = sum(len(toks) for d, toks in dl if d * HEAPS_POINTS <= mxd * i)
+            if vocab > 0 and ntok > 0:
+                pts.append((math.log(ntok), math.log(vocab)))
+        n = len(pts)
+        mx_ = sum(x for x, _ in pts) / n
+        my_ = sum(y for _, y in pts) / n
+        sxx = sum((x - mx_) ** 2 for x, _ in pts)
+        sxy = sum((x - mx_) * (y - my_) for x, y in pts)
+        syy = sum((y - my_) ** 2 for _, y in pts)
+        beta = sxy / sxx
+        # constant y ⇒ both engines define r² = 1 (a zero-slope line
+        # fits perfectly); float noise in syy would make the naive
+        # ratio meaningless, so branch on exact y-set size.
+        r2 = 1.0 if len({y for _, y in pts}) == 1 else (sxy * sxy) / (sxx * syy)
+        assert got[s]["n_points"] == n, s
+        assert abs(got[s]["heaps_beta"] - round(beta, 6)) <= 1e-6, s
+        assert abs(got[s]["fit_r2"] - round(r2, 6)) <= 1e-6, s
