@@ -310,6 +310,54 @@ def layout_compaction_bins(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: training-sequence length for the packing manifest — the usual
+#: GPT-style context; small enough that testdata docs span boundaries.
+PACK_CTX = 2048
+
+
+def corpus_pack_sequences(t: dict[str, DataFrame]) -> DataFrame:
+    """Sequence-packing manifest — the layout step between a cleaned
+    corpus and a token-budgeted training run: documents are
+    concatenated per source in ``doc_id`` order and cut into fixed
+    ``PACK_CTX``-token training sequences (GPT-style packing: docs
+    cross boundaries, no padding except each source's final sequence).
+    Per doc it emits where the doc landed — its global token offset,
+    the first/last sequence it touches, and its offset inside the
+    first one — which is exactly the manifest a loader needs to map a
+    training example back to provenance, and what a packing job needs
+    to write shards without ever materializing the token stream.
+
+    Scale design: the running token total is ``prefix_sum_per_key``
+    (operators/relational.py) — the exact two-level scan, NOT a
+    ``sum().over(partitionBy(source))`` window, so a source with 10⁹
+    docs cumsums in ≤ 4096-row bucket windows plus one |buckets|-row
+    offset pass instead of dragging the whole source through one
+    reducer. Everything downstream is per-row integer algebra.
+    Zero-token docs are excluded (they occupy no span; both engines
+    filter identically).
+    """
+    from .relational import prefix_sum_per_key
+    from .text import TOKENS_SPARK
+
+    docs = t["documents"]
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("long").alias("ntok"),
+    ).filter(F.col("ntok") > 0)
+    run = prefix_sum_per_key(per_doc, ["source"], "doc_id", "ntok", "run_tok")
+    start = F.col("run_tok") - F.col("ntok")
+    return run.select(
+        "source",
+        "doc_id",
+        "ntok",
+        start.alias("start_tok"),
+        F.expr(f"(run_tok - ntok) div {PACK_CTX}").alias("seq_first"),
+        F.expr(f"(run_tok - 1) div {PACK_CTX}").alias("seq_last"),
+        (start % PACK_CTX).alias("off_in_seq"),
+    )
+
+
 def agg_salted_event_stats(t: dict[str, DataFrame]) -> DataFrame:
     """The salted two-stage aggregate as a first-class query: per-type
     event counts and cents totals computed through ``salted_aggregate``
@@ -353,6 +401,26 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "corpus_pack_sequences": """
+        WITH per_doc AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS ntok
+            FROM documents
+        ), runs AS (
+            SELECT source, doc_id, ntok,
+                   SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS run_tok
+            FROM per_doc WHERE ntok > 0
+        )
+        SELECT source, doc_id, ntok,
+               (run_tok - ntok)::BIGINT AS start_tok,
+               ((run_tok - ntok) // 2048)::BIGINT AS seq_first,
+               ((run_tok - 1) // 2048)::BIGINT AS seq_last,
+               ((run_tok - ntok) % 2048)::BIGINT AS off_in_seq
+        FROM runs
+    """,
     "layout_compaction_bins": f"""
         WITH files AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS file_day,
@@ -372,6 +440,7 @@ BUILDERS = {
     "asof_view_before_purchase": asof_view_before_purchase,
     "layout_zorder_orders": layout_zorder_orders,
     "layout_compaction_bins": layout_compaction_bins,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "agg_salted_event_stats": agg_salted_event_stats,
 }
 

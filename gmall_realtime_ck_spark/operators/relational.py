@@ -886,6 +886,59 @@ def topk_per_key(
     return pre.withColumn(rank_col, F.row_number().over(w2)).filter(F.col(rank_col) <= k)
 
 
+def prefix_sum_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Exact distributed running sum of ``val_col`` in ``order_col``
+    order within each key — the classic two-level scan, built so a hot
+    key never drags its whole history through one reducer the way a
+    naive ``sum().over(Window.partitionBy(keys).orderBy(order_col))``
+    does:
+
+    1. bucket rows by ``order_col div bucket_size`` and run the
+       within-bucket cumsum (each window partition is ≤ bucket_size
+       rows — embarrassingly parallel);
+    2. aggregate per-bucket totals (map-side combinable) and window
+       ONLY the |buckets| total rows per key into exclusive running
+       offsets (a 10⁹-row key is ~250k bucket rows — reducer-safe);
+    3. join the offsets back on (keys, bucket) and add.
+
+    Identical to the single-window form row-for-row (addition is
+    associative; pinned by tests/test_invariants_new.py::
+    test_prefix_sum_two_level_equals_window). ``order_col`` must be an
+    integral column, unique per key (it drives both the bucket id and
+    the within-bucket order). Intermediate column names are derived
+    fresh; a pre-existing ``out_col`` is rejected.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"prefix_sum_per_key: out_col {out_col!r} already exists in the input"
+        )
+    b_c, run_c, bt_c, off_c = "_b", "_run_in", "_bt", "_off"
+    while any(c in df.columns for c in (b_c, run_c, bt_c, off_c)):
+        b_c, run_c, bt_c, off_c = (c + "_" for c in (b_c, run_c, bt_c, off_c))
+    bucket = F.expr(f"{order_col} div {bucket_size}")
+    within = Window.partitionBy(*keys, b_c).orderBy(order_col)
+    part = df.withColumn(b_c, bucket).withColumn(run_c, F.sum(val_col).over(within))
+    btot = part.groupBy(*keys, b_c).agg(F.sum(val_col).alias(bt_c))
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(b_c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.withColumn(off_c, F.coalesce(F.sum(bt_c).over(wb), F.lit(0))).drop(bt_c)
+    return (
+        part.join(boff, [*keys, b_c])
+        .withColumn(out_col, F.col(run_c) + F.col(off_c))
+        .drop(b_c, run_c, off_c)
+    )
+
+
 def kmv_topk_per_key(distinct_kh: DataFrame, key: str, n_alias: str = "n") -> DataFrame:
     """Two-level K-smallest over (key, h) distinct-hash rows — the
     skew mitigation the KMV docstrings promised, implemented: rank

@@ -116,6 +116,12 @@ QUERIES = [
     "text_langid_ngram",
     "sample_domain_cap",
     "corpus_token_gini",
+    # round-9 additions: the head-slice Zipf fit (rank cost bounded at
+    # 16·N rows/source regardless of vocabulary — the cipher's linear
+    # vocab is exactly the regime it exists for) and the Heaps fit
+    # (two keyed aggs + 16 conditional sums, no sort anywhere)
+    "text_zipf_topn_fit",
+    "corpus_heaps_law",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -129,6 +135,9 @@ STREAM_QUERIES = [
     # round-8 additions: bounded top-CAP pair state / O(sources) totals
     "flow_domain_cap",
     "flow_epoch_schedule",
+    # round-9: poll cost of the head-slice fit is rank-bounded even as
+    # the complete-mode vocab state grows linearly (cipher worst case)
+    "flow_zipf_topn",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

@@ -896,3 +896,63 @@ def test_heaps_law_triangulates_pure_python(tables):
         assert got[s]["n_points"] == n, s
         assert abs(got[s]["heaps_beta"] - round(beta, 6)) <= 1e-6, s
         assert abs(got[s]["fit_r2"] - round(r2, 6)) <= 1e-6, s
+
+
+def test_prefix_sum_two_level_equals_window(spark):
+    """prefix_sum_per_key (r9, the scan behind corpus_pack_sequences)
+    must equal the naive single-window running sum row-for-row on a
+    skewed input: one key with 10k rows spanning many buckets (with
+    non-contiguous, non-aligned order values), one key smaller than a
+    bucket, and a tiny bucket_size so the two-level path (within-bucket
+    cumsum + offset pass + join) really exercises all three stages."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    rows = [("hot", i * 7 + (i % 3), (i % 13) + 1) for i in range(10_000)] + [
+        ("cold", i * 31, i + 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, ord long, v long")
+    got = {
+        (r["k"], r["ord"]): r["run"]
+        for r in prefix_sum_per_key(df, ["k"], "ord", "v", "run", bucket_size=64).collect()
+    }
+    w = Window.partitionBy("k").orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["ord"]): r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert len(got) == 10_005
+
+
+def test_pack_sequences_laws(tables):
+    """corpus_pack_sequences packing laws on the real corpus: per
+    source (docs in doc_id order) the token stream is gapless
+    (start_tok of each doc == run end of the previous), offsets are
+    in-range (off_in_seq = start_tok mod CTX < CTX), spans are
+    consistent (seq_first ≤ seq_last, and seq_last is exactly the
+    sequence holding the doc's final token), and the total sequence
+    count per source is ⌈total_tokens / CTX⌉."""
+    from gmall_realtime_ck_spark.operators.layout import PACK_CTX, corpus_pack_sequences
+
+    rows = sorted(
+        ((r["source"], r["doc_id"], r["ntok"], r["start_tok"], r["seq_first"],
+          r["seq_last"], r["off_in_seq"]) for r in corpus_pack_sequences(tables).collect())
+    )
+    assert rows, "empty manifest"
+    by_src: dict = {}
+    for src, did, ntok, start, sf, sl, off in rows:
+        assert ntok > 0
+        assert off == start % PACK_CTX and 0 <= off < PACK_CTX, (src, did)
+        assert sf == start // PACK_CTX, (src, did)
+        assert sl == (start + ntok - 1) // PACK_CTX and sf <= sl, (src, did)
+        by_src.setdefault(src, []).append((did, ntok, start))
+    for src, dl in by_src.items():
+        expect = 0
+        for did, ntok, start in sorted(dl):
+            assert start == expect, (src, did, start, expect)
+            expect = start + ntok
+        n_seqs = max(sl for s, d, n, st, sf, sl, o in rows if s == src) + 1
+        assert n_seqs == (expect + PACK_CTX - 1) // PACK_CTX, src
