@@ -1475,7 +1475,12 @@ def corpus_heaps_law(t: dict[str, DataFrame]) -> DataFrame:
     # fit (1.0) while DuckDB's divides float dust by float dust and
     # returns summation-order NOISE — pin the constant-y case to 1.0
     # explicitly on both engines (min(y) = max(y) is an exact compare
-    # of bit-identical doubles).
+    # of bit-identical doubles). The slope's dust rounds to ZERO, but
+    # with a run-varying SIGN (DuckDB intermittently emits -0.0 there;
+    # Python compares -0.0 == 0.0 so value asserts pass, but the
+    # driver's string canonicalizer distinguishes them — caught by a
+    # fresh-JVM pytest loop): `+ 0.0` normalizes any negative zero to
+    # +0.0 under IEEE 754 on both engines.
     return (
         pts.groupBy("source")
         .agg(
@@ -1488,7 +1493,7 @@ def corpus_heaps_law(t: dict[str, DataFrame]) -> DataFrame:
         .select(
             "source",
             "n_points",
-            F.round("s", 6).alias("heaps_beta"),
+            (F.round("s", 6) + F.lit(0.0)).alias("heaps_beta"),
             F.when(F.col("_ymn") == F.col("_ymx"), F.lit(1.0))
             .otherwise(F.round("r2", 6))
             .alias("fit_r2"),
@@ -2144,7 +2149,7 @@ ORACLES: dict[str, str] = {
             WHERE v.v > 0 AND n.n > 0
         )
         SELECT source, COUNT(*) AS n_points,
-               round(regr_slope(y, x), 6) AS heaps_beta,
+               round(regr_slope(y, x), 6) + 0.0 AS heaps_beta,
                CASE WHEN MIN(y) = MAX(y) THEN 1.0
                     ELSE round(regr_r2(y, x), 6) END AS fit_r2
         FROM pts GROUP BY source
