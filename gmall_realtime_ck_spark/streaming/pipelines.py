@@ -1227,7 +1227,10 @@ def flow_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode count spine as flow_token_gini, with the
     rank-frequency regression (text.zipf_from_counts) re-run per poll
     — naturalness drift of arriving shards surfaces as the exponent
-    walking away from −1. Batch oracle applies verbatim."""
+    walking away from −1. Batch oracle applies verbatim. The poll-side
+    rank here sorts the FULL accumulated vocabulary; on a long-lived
+    ingest whose vocab keeps growing, run ``flow_zipf_topn`` instead —
+    its poll cost is bounded at 16·N rows per source forever."""
     from ..operators.text import TOKENS_SPARK, zipf_from_counts
 
     docs = documents_file_stream(spark, sf_dir)
