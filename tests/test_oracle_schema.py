@@ -100,3 +100,27 @@ def test_stream_oracle_arrow_schema_matches_spark(name, spark, duck):
 
     df = registry.STREAM_BUILDERS[name](spark, SF_DIR)
     _assert_parity(name, df, duck.sql(registry.ORACLES[name]))
+
+
+def test_no_oracle_emits_negative_zero(duck):
+    """Negative-zero lint (r9): DuckDB float aggregates can round dust
+    to -0.0 with a run-varying sign; Python compares -0.0 == 0.0 so
+    value asserts pass, but the driver's string canonicalizer
+    distinguishes them — corpus_heaps_law's slope flipped rows red
+    ~50% of fresh-JVM runs before its `+ 0.0` normalization. Any
+    oracle emitting a -0.0 cell is one dust-sign away from the same
+    intermittent red row, so the whole surface is linted here (one
+    DuckDB pass; builders that CAN structurally yield zero must
+    normalize in both engines the way corpus_heaps_law does)."""
+    import math
+
+    offenders = []
+    for name, sql in sorted(registry.ORACLES.items()):
+        for row in duck.sql(sql).fetchall():
+            if any(
+                isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+                for v in row
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"oracles emitting -0.0 cells: {offenders}"
