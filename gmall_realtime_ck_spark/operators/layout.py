@@ -330,22 +330,33 @@ def corpus_pack_sequences(t: dict[str, DataFrame]) -> DataFrame:
     Scale design: the running token total is ``prefix_sum_per_key``
     (operators/relational.py) — the exact two-level scan, NOT a
     ``sum().over(partitionBy(source))`` window, so a source with 10⁹
-    docs cumsums in ≤ 4096-row bucket windows plus one |buckets|-row
+    docs cumsums in ~4096-row bucket windows plus one |buckets|-row
     offset pass instead of dragging the whole source through one
-    reducer. Everything downstream is per-row integer algebra.
-    Zero-token docs are excluded (they occupy no span; both engines
-    filter identically).
+    reducer. The bucket width is scaled to the observed doc_id
+    density from a (min, max, count) scan of the UNTOKENIZED id
+    column (so dense manifest sequence ids and sparse 64-bit content
+    hashes both pack ~4096 rows per bucket, and the stats scan never
+    pays the tokenizer). Everything downstream is per-row integer
+    algebra. Zero-token docs are excluded (they occupy no span; both
+    engines filter identically).
     """
     from .relational import prefix_sum_per_key
     from .text import TOKENS_SPARK
 
     docs = t["documents"]
+    lo, hi, nd = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+    ).first()
+    span = max(int(hi) - int(lo) + 1, 1) if nd else 1
+    width = max(1, min(span, span * 4096 // max(int(nd or 0), 1)))
     per_doc = docs.select(
         "source",
         "doc_id",
         F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("long").alias("ntok"),
     ).filter(F.col("ntok") > 0)
-    run = prefix_sum_per_key(per_doc, ["source"], "doc_id", "ntok", "run_tok")
+    run = prefix_sum_per_key(
+        per_doc, ["source"], "doc_id", "ntok", "run_tok", bucket_size=width
+    )
     start = F.col("run_tok") - F.col("ntok")
     return run.select(
         "source",

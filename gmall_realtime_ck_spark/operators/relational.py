@@ -892,7 +892,7 @@ def prefix_sum_per_key(
     order_col: str,
     val_col: str,
     out_col: str,
-    bucket_size: int = 4096,
+    bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Exact distributed running sum of ``val_col`` in ``order_col``
     order within each key — the classic two-level scan, built so a hot
@@ -909,16 +909,38 @@ def prefix_sum_per_key(
     3. join the offsets back on (keys, bucket) and add.
 
     Identical to the single-window form row-for-row (addition is
-    associative; pinned by tests/test_invariants_new.py::
+    associative, so ANY bucketing yields the same sums; pinned by
+    tests/test_invariants_new.py::
     test_prefix_sum_two_level_equals_window). ``order_col`` must be an
     integral column, unique per key (it drives both the bucket id and
     the within-bucket order). Intermediate column names are derived
     fresh; a pre-existing ``out_col`` is rejected.
+
+    Bucket widths are VALUE-based, so per-bucket row counts track the
+    order key's density: the 4096 default assumes roughly-dense ids
+    (manifest sequence numbers). For sparse ids — 64-bit content
+    hashes, snowflake ids — pass ``bucket_size=None``: the width is
+    then auto-scaled from the global (min, max, count) of
+    ``order_col`` (one O(1)-result driver agg over ``df``, the
+    rel_q22 pattern — pass an explicit width instead when ``df``'s
+    plan is expensive and the caller can derive the stats from a
+    cheaper scan), which keeps ~4096 rows per bucket for dense AND
+    uniformly-spread ids alike. Pathologically CLUSTERED unique ids
+    (half the rows inside one bucket-width value range) still
+    unbalance; a range-partitioner scan would be fully general but
+    makes the bucket id depend on sampled boundaries instead of being
+    a pure deterministic row function, so it is deliberately not used.
     """
     if out_col in df.columns:
         raise ValueError(
             f"prefix_sum_per_key: out_col {out_col!r} already exists in the input"
         )
+    if bucket_size is None:
+        lo, hi, n = df.agg(
+            F.min(order_col), F.max(order_col), F.count(F.lit(1))
+        ).first()
+        span = max(int(hi) - int(lo) + 1, 1) if n else 1
+        bucket_size = max(1, min(span, span * 4096 // max(int(n or 0), 1)))
     b_c, run_c, bt_c, off_c = "_b", "_run_in", "_bt", "_off"
     while any(c in df.columns for c in (b_c, run_c, bt_c, off_c)):
         b_c, run_c, bt_c, off_c = (c + "_" for c in (b_c, run_c, bt_c, off_c))

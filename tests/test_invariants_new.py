@@ -927,6 +927,39 @@ def test_prefix_sum_two_level_equals_window(spark):
     assert len(got) == 10_005
 
 
+def test_prefix_sum_auto_width_on_sparse_ids(spark):
+    """bucket_size=None (the sparse-id path): ids spread like content
+    hashes — unique but covering a huge value range, where the dense
+    4096 default would put ≤1 row per bucket and the offset pass
+    degenerates into the full-key window. The auto width must (a) stay
+    row-for-row equal to the naive window (any bucketing is exact —
+    associativity) and (b) actually coarsen the buckets so the offset
+    pass sees ~n/4096 rows, not n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    # odd multiplier → bijective mod 2^40: unique, uniformly spread ids
+    rows = [("k", (i * 2654435761) % (1 << 40), (i % 7) + 1) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "k string, ord long, v long")
+    out = prefix_sum_per_key(df, ["k"], "ord", "v", "run", bucket_size=None)
+    got = {(r["k"], r["ord"]): r["run"] for r in out.collect()}
+    w = Window.partitionBy("k").orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["ord"]): r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want and len(got) == 20_000
+    # the balance claim, with the impl's own formula on the actual
+    # stats: auto width ≈ span·4096/n ⇒ ~n/4096 ≈ 5 buckets
+    ids = [o for _, o, _ in rows]
+    span = max(ids) - min(ids) + 1
+    width = max(1, min(span, span * 4096 // 20_000))
+    n_buckets = df.select(F.expr(f"ord div {width}").alias("b")).distinct().count()
+    assert n_buckets <= 16, n_buckets  # vs ~20k with the dense default
+
+
 def test_pack_sequences_laws(tables):
     """corpus_pack_sequences packing laws on the real corpus: per
     source (docs in doc_id order) the token stream is gapless
