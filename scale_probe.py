@@ -122,6 +122,11 @@ QUERIES = [
     # (two keyed aggs + 16 conditional sums, no sort anywhere)
     "text_zipf_topn_fit",
     "corpus_heaps_law",
+    # the packing manifest: tokenize scan + the density-scaled
+    # two-level prefix sum — windows ~4096 rows by width construction,
+    # offset pass |buckets| rows/source, so growth should track the
+    # tokenizer scan like the other map-heavy text ops
+    "corpus_pack_sequences",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
