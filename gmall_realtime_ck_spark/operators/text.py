@@ -769,36 +769,41 @@ def corpus_inverted_index(t: dict[str, DataFrame], min_df: int = 5, max_postings
     corpus pipeline emits next to TF-IDF — and the shape BM25 /
     contamination-lookup serving needs.
 
-    Scale: one explode to distinct (token, doc_id) rows, ONE aggregation
-    keyed on token. Postings are capped AFTER the sort inside the
-    aggregate (the smallest ``max_postings`` ids), so the output row per
-    token is bounded no matter how hot the token — the full posting list
-    of a stopword at 100 TB would be corpus-sized; a production index
-    shards hot postings, a stats/serving index truncates, which is the
-    contract here (df keeps the true count). min_df prunes the long
-    hapax tail before it ever shuffles twice (count and postings come
-    from the same agg). Postings are emitted as a comma-joined string —
+    Scale: one explode to distinct (token, doc_id) rows; ``df`` is a
+    keyed count (map-side partials) and the truncated posting list is
+    the two-level salted ``topk_per_key`` (smallest ``max_postings``
+    doc_ids per token). The earlier single-agg form sliced AFTER a
+    ``collect_list`` — output bounded, but the aggregation BUFFER for
+    a stopword token was corpus-sized (every doc_id gathered into one
+    array before the sort); the rank spine bounds the intermediate
+    state too (WindowGroupLimit keeps ≤ max_postings rows per
+    (token, salt) map-side, and no reducer sorts more than ~1/16 of a
+    hot token's postings). A production index shards hot postings; a
+    stats/serving index truncates, which is the contract here (df
+    keeps the true count). min_df prunes the hapax tail at the count
+    agg. Postings are emitted as a comma-joined string —
     hashable/serializable everywhere (list columns are not), same
     information.
     """
+    from .relational import topk_per_key
+
     docs = t["documents"]
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.expr(TOKENS_SPARK.format(c="text")))).alias("token")
     )
-    return (
+    counts = (
         toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
-        )
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
+    top = topk_per_key(toks, ["token"], [F.asc("doc_id")], max_postings, salt_on="doc_id")
+    postings = top.groupBy("token").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings")
+    )
+    return postings.join(counts, "token").select("token", "df", "postings")
 
 
 #: space-saving sketch capacity per partition — must be ≥ HH_K for the

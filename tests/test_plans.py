@@ -385,12 +385,15 @@ def test_anomaly_mad_medians_broadcast(tables):
     assert "SortMergeJoin" not in p
 
 
-def test_inverted_index_single_keyed_shuffle(tables):
-    """token-keyed aggregation; postings capped inside the aggregate
-    (slice after sort), so no second shuffle and no window."""
+def test_inverted_index_bounded_posting_state(tables):
+    """Postings ride the two-level salted topk_per_key, and BOTH rank
+    levels must show the WindowGroupLimit pushdown — that is what
+    bounds the aggregation state map-side (the old single-agg form
+    collect_list'ed a stopword's corpus-sized posting list into one
+    buffer before slicing). df stays a plain keyed count."""
     p = plan_of(tables, "corpus_inverted_index")
-    assert "Window" not in p
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
 def test_kmeans_assignment_is_pure_map(tables):
