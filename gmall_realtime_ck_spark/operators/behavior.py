@@ -237,16 +237,24 @@ def behavior_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     Sankey (this is the "what journeys actually happen" readout behind
     it). Deterministic order inside a path: (ts, event_id).
 
-    Scale: ONE shuffle keyed (user_id, day) builds the path with a
-    partial-aggregatable ``collect_list(struct)`` + in-expression
-    ``array_sort``/``slice``/``transform`` render (no window over
-    events, no Python); per-group state is one user-DAY's events —
-    bounded by the busiest user's single day, tighter than any
-    per-user sessionization. The path-frequency count then shuffles
+    Scale: the path only ever renders the FIRST ``PATH_MAX_STEPS``
+    events, so the smallest-K rows per (user_id, day) under the total
+    order (ts, event_id, event_type) are selected FIRST via the
+    two-level salted ``topk_per_key`` (WindowGroupLimit keeps ≤ K rows
+    per salt map-side; no reducer sorts more than ~1/16 of a bot
+    user-day), and only then does ``collect_list(struct)`` assemble the
+    path — its aggregation buffer is ≤ K structs per group. The earlier
+    single-agg form sliced AFTER the collect: output bounded, but the
+    buffer for a bot user-day was that whole day's events (same hazard
+    class as ``corpus_inverted_index``'s old posting list). Top-K sets
+    under a total order equal the slice of the full sort, so results
+    are identical row-for-row. The path-frequency count then shuffles
     |distinct paths| rows, and the final top-K is a TakeOrdered-style
     window over that aggregate.
     """
     from pyspark.sql import Window
+
+    from .relational import topk_per_key
 
     ev = t["events"].select(
         "user_id",
@@ -255,11 +263,18 @@ def behavior_top_paths(t: dict[str, DataFrame]) -> DataFrame:
         "event_id",
         "event_type",
     )
-    paths = ev.groupBy("user_id", "day").agg(
+    head = topk_per_key(
+        ev,
+        ["user_id", "day"],
+        [F.asc("ts"), F.asc("event_id"), F.asc("event_type")],
+        PATH_MAX_STEPS,
+        salt_on="event_id",
+    )
+    paths = head.groupBy("user_id", "day").agg(
         F.expr(
-            "concat_ws('>', slice(transform(array_sort("
+            "concat_ws('>', transform(array_sort("
             "collect_list(struct(ts, event_id, event_type))), "
-            f"s -> s.event_type), 1, {PATH_MAX_STEPS}))"
+            "s -> s.event_type))"
         ).alias("path")
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_user_days"))

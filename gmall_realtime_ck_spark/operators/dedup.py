@@ -390,13 +390,49 @@ def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
     decile — the curve that quantifies how fast a crawl's marginal
     contribution falls (flat ⇒ keep crawling; cliff ⇒ the source is
     mined out). Pure composition of ``ngram_novelty`` with a decile
-    rollup; the decile NTILE runs over the |docs|-row novelty output.
-    """
-    from pyspark.sql import Window
+    rollup.
 
-    nov = ngram_novelty(t)
-    w = Window.orderBy("doc_id")
-    tiled = nov.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    Scale: the earlier form ran ``ntile(10)`` over the |docs|-row
+    novelty output through ONE unpartitioned window — and ntile, unlike
+    ``row_number() <= k``, has no WindowGroupLimit pushdown, so every
+    document row sorted through a single reducer (the last
+    corpus-sized global-sort site in the repo). The decile is now the
+    exact NTILE closed form over a DISTRIBUTED global rank:
+    ``prefix_sum_per_key`` with no key ranks doc_ids via ~4096-row
+    within-bucket windows plus a |buckets|-row offset pass, and with
+    ``N`` docs, ``q = N div 10``, ``m = N mod 10``, ntile gives the
+    first ``m`` deciles ``q+1`` rows and the rest ``q`` — identical
+    bucket-for-bucket to the window form (pinned by
+    tests/test_invariants_new.py::test_ntile_closed_form_equals_window).
+    The bucket width derives from the raw documents scan's
+    (min, max, count) so the expensive novelty plan is never re-run
+    for stats; ``N`` rides a 1-row broadcast count aggregate.
+    """
+    from .relational import prefix_sum_per_key
+
+    docs = t["documents"]
+    lo, hi, n = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+    ).first()
+    span = max(int(hi) - int(lo) + 1, 1) if n else 1
+    width = max(1, min(span, span * 4096 // max(int(n or 0), 1)))
+    nov = ngram_novelty(t).withColumn("_one", F.lit(1).cast("bigint"))
+    ranked = prefix_sum_per_key(
+        nov, [], "doc_id", "_one", "rank", bucket_size=width
+    ).drop("_one")
+    n_tot = nov.agg(F.count(F.lit(1)).alias("n_total"))
+    tiled = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN rank <= (n_total % 10) * (n_total div 10 + 1)"
+                " THEN (rank - 1) div (n_total div 10 + 1) + 1"
+                " ELSE (n_total % 10) + (rank - (n_total % 10) * (n_total div 10 + 1) - 1)"
+                "      div (n_total div 10) + 1 END"
+            ).cast("bigint"),
+        )
+    )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("novel_shingles").alias("novel_shingles"),

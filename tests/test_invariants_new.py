@@ -960,6 +960,41 @@ def test_prefix_sum_auto_width_on_sparse_ids(spark):
     assert n_buckets <= 16, n_buckets  # vs ~20k with the dense default
 
 
+def test_ntile_closed_form_equals_window(spark):
+    """novelty_decay_curve's decile algebra: the closed-form NTILE over
+    a distributed prefix-sum rank must match the window ntile(10)
+    bucket-for-bucket — on an N not divisible by 10 (the m extra-row
+    deciles), on a tiny N < 10 (q = 0: every doc its own decile), and
+    on SPARSE non-contiguous ids (the rank must come from the bucketed
+    scan, not id arithmetic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    for ids in ([i * 997 + (i % 7) for i in range(257)], [5, 900, 17]):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
+            "_one", F.lit(1).cast("bigint")
+        )
+        n = len(ids)
+        ranked = prefix_sum_per_key(df, [], "doc_id", "_one", "rank", bucket_size=64)
+        got = {
+            r["doc_id"]: (
+                (r["rank"] - 1) // (n // 10 + 1) + 1
+                if r["rank"] <= (n % 10) * (n // 10 + 1)
+                else (n % 10) + (r["rank"] - (n % 10) * (n // 10 + 1) - 1) // (n // 10) + 1
+            )
+            for r in ranked.collect()
+        }
+        want = {
+            r["doc_id"]: r["d"]
+            for r in df.withColumn(
+                "d", F.ntile(10).over(Window.orderBy("doc_id"))
+            ).collect()
+        }
+        assert got == want, (n, got, want)
+
+
 def test_pack_sequences_laws(tables):
     """corpus_pack_sequences packing laws on the real corpus: per
     source (docs in doc_id order) the token stream is gapless

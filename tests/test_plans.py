@@ -180,6 +180,7 @@ BOUNDED_NLJ_OK = {
     "sample_dsir_weights",  # 1-row (n_t, n_r) totals broadcast
     "approx_overlap_kmv",  # |types|² pairing over per-type K-row sketches
     "approx_join_keys_kmv",  # |key columns|² pairing over K-row sketches
+    "text_novelty_decay",  # 1-row doc-count broadcast for the NTILE closed form
 }
 
 
@@ -394,6 +395,32 @@ def test_inverted_index_bounded_posting_state(tables):
     p = plan_of(tables, "corpus_inverted_index")
     assert p.count("WindowGroupLimit") >= 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_top_paths_bounded_collect_state(tables):
+    """The per-user-day path head rides the two-level salted
+    topk_per_key BEFORE collect_list, so both rank levels must show the
+    WindowGroupLimit pushdown — that is what bounds the path
+    aggregation buffer to ≤ PATH_MAX_STEPS structs (the old form
+    collect_list'ed a bot user-day's whole event set into one buffer
+    before slicing)."""
+    p = plan_of(tables, "behavior_top_paths")
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_novelty_decay_no_global_ntile(tables):
+    """The decile must come from the bucketed prefix-sum rank + closed
+    form, NOT an unpartitioned ntile window (ntile has no
+    WindowGroupLimit pushdown, so the old form sorted every document
+    row through one reducer). The only remaining single-partition
+    exchange feeds the |buckets|-row offset pass and the 1-row count
+    (whose crossJoin(broadcast(...)) legitimately plans as a
+    BroadcastNestedLoopJoin of a 1-row side — the repo's tiny-aggregate
+    pattern)."""
+    p = plan_of(tables, "text_novelty_decay")
+    assert "ntile" not in p, p
+    assert "CartesianProduct" not in p
 
 
 def test_kmeans_assignment_is_pure_map(tables):
