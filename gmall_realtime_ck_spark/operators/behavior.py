@@ -96,11 +96,26 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     # 9 doubles collected to the driver and inlined as literals — the
     # scalar-subquery execution (the rel_q22 pattern); bucketing is
     # then a pure map, no join anywhere in the returned plan
-    b = per_user.agg(
-        F.expr("percentile(last_us, array(0.25, 0.5, 0.75))").alias("rb"),
-        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
-        F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mb"),
-    ).first()
+    # exact_percentiles_by_counts over the unpivoted (metric, value)
+    # rows, not the built-in percentile: the global aggregate would
+    # buffer all |users| distinct values of each metric in ONE reducer;
+    # the histogram form distributes them, bit-identically (law-pinned).
+    # Doubles represent these magnitudes exactly (epoch micros < 2^53).
+    from .relational import exact_percentiles_by_counts
+
+    unpiv = per_user.select(
+        F.expr(
+            "stack(3, 'r', cast(last_us as double), 'f', cast(freq as double),"
+            " 'm', cast(monetary_cents as double)) as (metric, mv)"
+        )
+    )
+    bnd = {
+        r["metric"]: [r["q1"], r["q2"], r["q3"]]
+        for r in exact_percentiles_by_counts(
+            unpiv, ["metric"], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+        ).collect()
+    }
+    b = {"rb": bnd.get("r"), "fb": bnd.get("f"), "mb": bnd.get("m")}
 
     def quartile(metric: str, bnds: list[float] | None) -> F.Column:
         # 1 = top quartile; >= each ascending boundary walks it down.
@@ -144,15 +159,21 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     # legs descend from the same parent, and when that parent is a
     # named view (the flow_anomaly_mad memory table) Spark's self-join
     # resolution rejects the shared-lineage equi-join
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    ).withColumnRenamed("event_type", "m_type")
+    # medians via exact_percentiles_by_counts, not the built-in
+    # percentile: a type's whole value→count map would otherwise buffer
+    # in ONE reducer; the histogram form distributes it, bit-identically
+    # (law-pinned)
+    from .relational import exact_percentiles_by_counts
+
+    med = exact_percentiles_by_counts(
+        ev.select("event_type", "value"), ["event_type"], "value", {"med": 0.5}
+    ).select("event_type", "med").withColumnRenamed("event_type", "m_type")
     dev = ev.join(
         F.broadcast(med), F.col("event_type") == F.col("m_type")
     ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    ).withColumnRenamed("event_type", "d_type")
+    mad = exact_percentiles_by_counts(
+        dev.select("event_type", "adev"), ["event_type"], "adev", {"mad": 0.5}
+    ).select("event_type", "mad").withColumnRenamed("event_type", "d_type")
     return (
         dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
         .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))

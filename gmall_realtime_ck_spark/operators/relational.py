@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 # ---------------------------------------------------------------------------
 # shared expression fragments (Spark SQL dialect)
@@ -457,16 +458,24 @@ def event_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     """Exact interpolated percentiles per key — quality-distribution
     analytics for training-data pipelines. Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation formula,
-    so even the double outputs hash-match (verified bit-exact). At
-    100 TB swap to ``percentile_approx`` (t-digest) — same call shape.
+    so even the double outputs hash-match (verified bit-exact).
+
+    Scale: computed via ``exact_percentiles_by_counts``, NOT the
+    built-in ``percentile`` — the built-in's aggregation buffer
+    materializes a type's whole value→count map in ONE reducer
+    (group-row-count entries for this continuous double column), where
+    the histogram form distributes the distinct values across reducers
+    and selects rank brackets with bounded per-key state. Results are
+    bit-identical (law-pinned), so no percentile_approx accuracy trade.
     """
-    ev = t["events"]
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    ev = t["events"].filter(F.col("value").isNotNull())
+    return exact_percentiles_by_counts(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        "value",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+        n_col="n",
+    ).select("event_type", "p50", "p95", "p99", "n")
 
 
 def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
@@ -545,12 +554,14 @@ def ship_latency_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     p50/p90/p99 of days from order date to each line's ship date —
     the fulfillment dashboard next to the interval-join facts. Exact
     interpolated percentiles over integer day counts ((a+b)/2
-    interpolation identical on both engines, the MAD-screen lesson);
-    at 100 TB the same call shape swaps in percentile_approx.
+    interpolation identical on both engines, the MAD-screen lesson).
 
     Scale: the join is the co-partitioned orderkey equi-join; the
-    percentile is a |priorities|-row aggregate over lag days — keyed,
-    partial-aggregatable, no window over raw rows.
+    percentiles ride ``exact_percentiles_by_counts`` over the
+    (priority, days) histogram — the day domain is calendar-bounded,
+    but the histogram form also never funnels a priority's value map
+    through one aggregation buffer the way the built-in does. Results
+    bit-identical (law-pinned).
     """
     o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = t["lineitem"].select("l_orderkey", "l_shipdate")
@@ -558,11 +569,19 @@ def ship_latency_percentiles(t: dict[str, DataFrame]) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
     )
-    return lat.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.expr("cast(round(percentile(days, 0.5) * 100) as bigint)").alias("p50_centidays"),
-        F.expr("cast(round(percentile(days, 0.9) * 100) as bigint)").alias("p90_centidays"),
-        F.expr("cast(round(percentile(days, 0.99) * 100) as bigint)").alias("p99_centidays"),
+    pct = exact_percentiles_by_counts(
+        lat,
+        ["o_orderpriority"],
+        "days",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        n_col="n_lines",
+    )
+    return pct.select(
+        "o_orderpriority",
+        "n_lines",
+        F.expr("cast(round(p50 * 100) as bigint)").alias("p50_centidays"),
+        F.expr("cast(round(p90 * 100) as bigint)").alias("p90_centidays"),
+        F.expr("cast(round(p99 * 100) as bigint)").alias("p99_centidays"),
     )
 
 
@@ -612,8 +631,10 @@ def events_dwell_median(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale: ONE per-user ordered window over events computes the lag
     gaps (keyed on user — the reference's keyed-state partitioning),
-    then a |types|-row exact-percentile aggregate; at 100 TB the
-    percentile swaps for percentile_approx with the same call shape.
+    then the median rides ``exact_percentiles_by_counts`` over the
+    (type, dwell_us) histogram — the built-in ``percentile`` would
+    buffer a type's whole gap→count map in one reducer. Bit-identical
+    (law-pinned).
     """
     from pyspark.sql import Window
 
@@ -631,12 +652,16 @@ def events_dwell_median(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("dwell_us"),
         )
     )
-    return gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
+    pct = exact_percentiles_by_counts(
+        gaps, ["event_type"], "dwell_us", {"med": 0.5}, n_col="n_gaps"
+    )
+    return pct.select(
+        "event_type",
+        "n_gaps",
         # explicit floor: with an even gap count the interpolated median
         # lands on x.5, where Spark's double->bigint cast TRUNCATES but
         # DuckDB's ROUNDS - found as a real off-by-one at sf0.1 (r5)
-        F.expr("cast(floor(percentile(dwell_us, 0.5)) as bigint)").alias("median_dwell_us"),
+        F.expr("cast(floor(med) as bigint)").alias("median_dwell_us"),
     )
 
 
@@ -911,9 +936,11 @@ def prefix_sum_per_key(
     Identical to the single-window form row-for-row (addition is
     associative, so ANY bucketing yields the same sums; pinned by
     tests/test_invariants_new.py::
-    test_prefix_sum_two_level_equals_window). ``order_col`` must be an
-    integral column, unique per key (it drives both the bucket id and
-    the within-bucket order). Intermediate column names are derived
+    test_prefix_sum_two_level_equals_window). ``order_col`` must be
+    numeric and unique per key (it drives both the bucket id and the
+    within-bucket order); fractional columns bucket via
+    ``floor(order_col / width)`` — any monotone map to bucket ids is
+    exact, only balance varies. Intermediate column names are derived
     fresh; a pre-existing ``out_col`` is rejected.
 
     Bucket widths are VALUE-based, so per-bucket row counts track the
@@ -935,16 +962,32 @@ def prefix_sum_per_key(
         raise ValueError(
             f"prefix_sum_per_key: out_col {out_col!r} already exists in the input"
         )
+    fractional = isinstance(df.schema[order_col].dataType, (DoubleType, FloatType))
+    frac_origin = 0.0
     if bucket_size is None:
         lo, hi, n = df.agg(
             F.min(order_col), F.max(order_col), F.count(F.lit(1))
         ).first()
-        span = max(int(hi) - int(lo) + 1, 1) if n else 1
-        bucket_size = max(1, min(span, span * 4096 // max(int(n or 0), 1)))
+        if fractional:
+            # anchor buckets at the observed min so the bucket id stays
+            # ≤ ~n/4096 regardless of the values' magnitude (floor(v/w)
+            # on raw huge values could overflow bigint)
+            frac_origin = float(lo) if n else 0.0
+            span = max(float(hi) - float(lo), 1e-9) if n else 1.0
+            bucket_size = max(span * 4096.0 / max(int(n or 0), 1), 1e-9)
+        else:
+            span = max(int(hi) - int(lo) + 1, 1) if n else 1
+            bucket_size = max(1, min(span, span * 4096 // max(int(n or 0), 1)))
     b_c, run_c, bt_c, off_c = "_b", "_run_in", "_bt", "_off"
     while any(c in df.columns for c in (b_c, run_c, bt_c, off_c)):
         b_c, run_c, bt_c, off_c = (c + "_" for c in (b_c, run_c, bt_c, off_c))
-    bucket = F.expr(f"{order_col} div {bucket_size}")
+    bucket = (
+        F.expr(
+            f"cast(floor(({order_col} - {frac_origin!r}) / {bucket_size!r}) as bigint)"
+        )
+        if fractional
+        else F.expr(f"{order_col} div {bucket_size}")
+    )
     within = Window.partitionBy(*keys, b_c).orderBy(order_col)
     part = df.withColumn(b_c, bucket).withColumn(run_c, F.sum(val_col).over(within))
     btot = part.groupBy(*keys, b_c).agg(F.sum(val_col).alias(bt_c))
@@ -954,11 +997,133 @@ def prefix_sum_per_key(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     boff = btot.withColumn(off_c, F.coalesce(F.sum(bt_c).over(wb), F.lit(0))).drop(bt_c)
+    # rename the offset side's join columns: both sides descend from
+    # `df`, and when that parent is a named view (a streaming memory
+    # table) Spark's self-join resolution rejects the shared-lineage
+    # equi-join (the events_anomaly_mad lesson)
+    jcols = list(keys) + [b_c]
+    rcols = [c + "__r" for c in jcols]
+    while any(c in df.columns for c in rcols):
+        rcols = [c + "_" for c in rcols]
+    for old, new in zip(jcols, rcols):
+        boff = boff.withColumnRenamed(old, new)
+    cond = None
+    for old, new in zip(jcols, rcols):
+        eq = F.col(old) == F.col(new)
+        cond = eq if cond is None else (cond & eq)
     return (
-        part.join(boff, [*keys, b_c])
+        part.join(boff, cond)
+        .drop(*rcols)
         .withColumn(out_col, F.col(run_c) + F.col(off_c))
         .drop(b_c, run_c, off_c)
     )
+
+
+def exact_percentiles_by_counts(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    targets: dict[str, float],
+    n_col: str = "n_total",
+) -> DataFrame:
+    """Exact interpolated percentiles per key, computed DISTRIBUTEDLY
+    from the (keys, value) → count histogram — the scale-safe
+    replacement for Spark's built-in ``percentile``, whose aggregation
+    buffer materializes a group's whole value→count map in ONE reducer
+    (for a continuous double column that is group-row-count entries:
+    the same single-buffer hazard class as the old inverted-index
+    posting list, but in an aggregate nobody sees in the plan).
+
+    Pipeline: (1) value counts — one keyed aggregate with map-side
+    partials, state per reducer bounded by its SHARD of the distinct
+    values, not the group; (2) cumulative counts in value order via the
+    two-level ``prefix_sum_per_key`` (~4096-row bucket windows + a
+    |buckets|-row offset pass); (3) per-key totals joined back;
+    (4) each target percentile selects its bracketing value rows by
+    rank range (a histogram row covers ranks (cum−ct, cum]) with
+    conditional aggregates, then applies Spark's own interpolation
+    formula ``(higher−pos)·v_lo + (pos−lower)·v_hi`` with
+    ``pos = p·(N−1)`` — bit-identical to the built-in (and therefore to
+    the DuckDB ``quantile_cont`` oracles), pinned by
+    tests/test_invariants_new.py::test_exact_percentiles_by_counts_equals_builtin.
+
+    ``targets`` maps output column name → fraction; outputs are double.
+    ``keys=[]`` computes global percentiles (the 1-row total rides a
+    broadcast nested loop — the tiny-aggregate pattern). NULL values
+    must be pre-filtered (the built-in skips them; this helper does not
+    guess).
+    """
+    ct_c = "_pct_ct"
+    while ct_c in df.columns:
+        ct_c += "_"
+    counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias(ct_c))
+    return exact_percentiles_from_counts(counts, keys, val_col, ct_c, targets, n_col)
+
+
+def exact_percentiles_from_counts(
+    counts: DataFrame,
+    keys: list[str],
+    val_col: str,
+    ct_col: str,
+    targets: dict[str, float],
+    n_col: str = "n_total",
+) -> DataFrame:
+    """The selection/interpolation core of ``exact_percentiles_by_counts``
+    over a PRE-COUNTED (keys, value, count) histogram — split out so a
+    streaming pipeline can maintain the histogram as its only streaming
+    aggregate (one keyed state entry per (key, value), distributed
+    across the state store instead of one value→count map per key) and
+    re-run this batch-side algebra per poll, the flow_t_closeness
+    pattern. Batch-only operators inside (windows, joins)."""
+    ct_c, cum_c = ct_col, "_pct_cum"
+    while cum_c in counts.columns:
+        cum_c += "_"
+    cum = prefix_sum_per_key(counts, keys, val_col, ct_c, cum_c, bucket_size=None)
+    n_by_key = counts.groupBy(*keys).agg(F.sum(ct_c).alias(n_col))
+    if not keys:
+        joined = cum.crossJoin(F.broadcast(n_by_key))
+    else:
+        # renamed-key join: both sides descend from `counts`, which may
+        # be a named streaming memory table (see prefix_sum_per_key)
+        rkeys = [k + "__n" for k in keys]
+        while any(k in counts.columns for k in rkeys):
+            rkeys = [k + "_" for k in rkeys]
+        for old, new in zip(keys, rkeys):
+            n_by_key = n_by_key.withColumnRenamed(old, new)
+        cond = None
+        for old, new in zip(keys, rkeys):
+            eq = F.col(old) == F.col(new)
+            cond = eq if cond is None else (cond & eq)
+        joined = cum.join(n_by_key, cond).drop(*rkeys)
+    aggs = []
+    for name, p in targets.items():
+        pos = f"(cast({p!r} as double) * ({n_col} - 1))"
+        lo_rank = f"(cast(floor({pos}) as bigint) + 1)"
+        hi_rank = f"(cast(ceil({pos}) as bigint) + 1)"
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN {cum_c} - {ct_c} < {lo_rank} AND {lo_rank} <= {cum_c}"
+                f" THEN cast({val_col} as double) END)"
+            ).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN {cum_c} - {ct_c} < {hi_rank} AND {hi_rank} <= {cum_c}"
+                f" THEN cast({val_col} as double) END)"
+            ).alias(f"_hi_{name}")
+        )
+    out = joined.groupBy(*keys, n_col).agg(*aggs)
+    finals = [
+        F.expr(
+            f"CASE WHEN floor(cast({p!r} as double) * ({n_col} - 1)) = ceil(cast({p!r} as double) * ({n_col} - 1))"
+            f" THEN _lo_{name}"
+            f" ELSE (ceil(cast({p!r} as double) * ({n_col} - 1)) - cast({p!r} as double) * ({n_col} - 1)) * _lo_{name}"
+            f"    + (cast({p!r} as double) * ({n_col} - 1) - floor(cast({p!r} as double) * ({n_col} - 1))) * _hi_{name}"
+            " END"
+        ).alias(name)
+        for name, p in targets.items()
+    ]
+    return out.select(*keys, n_col, *finals)
 
 
 def kmv_topk_per_key(distinct_kh: DataFrame, key: str, n_alias: str = "n") -> DataFrame:

@@ -1183,9 +1183,15 @@ def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
         "label",
         F.filter(arms, lambda s: s["l"] == F.col("label"))[0]["d"].alias("dist_micro2"),
     )
-    p99 = scored.groupBy("label").agg(
-        F.expr("percentile(dist_micro2, 0.99)").alias("thr")
-    )
+    # exact_percentiles_by_counts, not the built-in percentile: a
+    # label's whole distance→count map would otherwise buffer in ONE
+    # reducer (|label members| entries); the histogram form distributes
+    # it, bit-identically (law-pinned)
+    from .relational import exact_percentiles_by_counts
+
+    p99 = exact_percentiles_by_counts(
+        scored.select("label", "dist_micro2"), ["label"], "dist_micro2", {"thr": 0.99}
+    ).select("label", "thr")
     return (
         scored.join(F.broadcast(p99), "label")
         .select(

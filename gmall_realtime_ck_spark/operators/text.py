@@ -978,18 +978,25 @@ def corpus_length_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     corpus mixer reads before setting truncation/packing budgets (the
     documents-table sibling of ``event_value_percentiles``). Spark
     ``percentile`` and DuckDB ``quantile_cont`` share the linear-
-    interpolation formula. At 100 TB swap to ``percentile_approx``
-    (t-digest, merge-able map-side) — same call shape; exact is kept
-    for the bit-for-bit oracle. One keyed aggregate.
+    interpolation formula.
+
+    Scale: rides ``exact_percentiles_by_counts`` over the
+    (source, n_chars) histogram — the built-in ``percentile`` would
+    buffer a source's whole length→count map in ONE reducer; the
+    histogram form distributes the distinct lengths and keeps per-key
+    state bounded, with bit-identical results (law-pinned) — no
+    percentile_approx accuracy trade needed.
     """
+    from .relational import exact_percentiles_by_counts
+
     d = t["documents"]
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("percentile(n_chars, 0.1)").alias("p10"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90"),
-        F.expr("percentile(n_chars, 0.99)").alias("p99"),
-    )
+    return exact_percentiles_by_counts(
+        d.select("source", "n_chars"),
+        ["source"],
+        "n_chars",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+        n_col="n_docs",
+    ).select("source", "n_docs", "p10", "p50", "p90", "p99")
 
 
 #: n-gram lang-ID profile size: top trigrams kept per language

@@ -609,15 +609,30 @@ def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained value-distribution monitor: the exact
-    per-type percentiles as a live stream (complete mode) — the
-    always-current latency/value dashboard a serving layer polls. At
-    100 TB the same call shape swaps ``percentile`` for
-    ``percentile_approx`` (t-digest state, merge-able). Final table ≡
-    batch result ⇒ the batch oracle applies verbatim."""
-    from ..operators.relational import event_value_percentiles
+    per-type percentiles as a live stream — the always-current
+    latency/value dashboard a serving layer polls. Only the
+    (type, value) → count HISTOGRAM streams (one keyed aggregate in
+    complete mode — a count per distinct (type, value), distributed
+    across the state store, instead of the built-in ``percentile``'s
+    one value→count map per type inside a single state entry), and the
+    exact selection/interpolation algebra
+    (``exact_percentiles_from_counts``) re-runs per poll over the
+    histogram table — the flow_t_closeness pattern. Final result ≡
+    batch ``event_value_percentiles`` bit-for-bit ⇒ the batch oracle
+    applies verbatim."""
+    from ..operators.relational import exact_percentiles_from_counts
 
-    ev = events_file_stream(spark, sf_dir)
-    return _run_to_memory(event_value_percentiles({"events": ev}), "complete")
+    ev = events_file_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("ct"))
+    table = _run_to_memory(hist, "complete")
+    return exact_percentiles_from_counts(
+        table,
+        ["event_type"],
+        "value",
+        "ct",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+        n_col="n",
+    ).select("event_type", "p50", "p95", "p99", "n")
 
 
 def flow_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:

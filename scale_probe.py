@@ -127,6 +127,17 @@ QUERIES = [
     # offset pass |buckets| rows/source, so growth should track the
     # tokenizer scan like the other map-heavy text ops
     "corpus_pack_sequences",
+    # round-9 state-bounding sweep re-probes: the head-sliced path
+    # mining (topk_per_key before collect), the closed-form-NTILE
+    # novelty deciles (prefix-sum rank, no global sort), and the
+    # histogram percentiles (exact_percentiles_by_counts — the
+    # continuous-double `value` column is the worst case: distinct
+    # values ≈ rows, so these curves measure the distributed histogram
+    # spine directly)
+    "behavior_top_paths",
+    "text_novelty_decay",
+    "events_anomaly_mad",
+    "event_value_percentiles",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs

@@ -960,6 +960,46 @@ def test_prefix_sum_auto_width_on_sparse_ids(spark):
     assert n_buckets <= 16, n_buckets  # vs ~20k with the dense default
 
 
+def test_exact_percentiles_by_counts_equals_builtin(spark):
+    """The distributed histogram percentile must equal Spark's built-in
+    `percentile` BIT-FOR-BIT (same interpolation formula, same float
+    op order) — on heavy integer ties, on continuous doubles, keyed and
+    global, across the target range including the exact-index endpoints
+    p=0 and p=1."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        exact_percentiles_by_counts,
+    )
+
+    targets = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p95": 0.95, "p100": 1.0}
+    rows_int = [("a", (i * i) % 13) for i in range(501)] + [
+        ("b", i * 7 % 97) for i in range(40)
+    ] + [("c", 42)]
+    rows_dbl = [("a", ((i * 2654435761) % 1_000_003) / 997.0) for i in range(501)] + [
+        ("b", (i % 17) + 0.125) for i in range(40)
+    ]
+    for rows, typ in ((rows_int, "long"), (rows_dbl, "double")):
+        df = spark.createDataFrame(rows, f"k string, v {typ}")
+        want = {
+            r["k"]: tuple(r[n] for n in targets)
+            for r in df.groupBy("k")
+            .agg(*[F.expr(f"percentile(v, {p})").alias(n) for n, p in targets.items()])
+            .collect()
+        }
+        got = {
+            r["k"]: tuple(r[n] for n in targets)
+            for r in exact_percentiles_by_counts(df, ["k"], "v", targets).collect()
+        }
+        assert got == want, (typ, got, want)
+        # global (keys=[]): the 1-row broadcast path
+        w0 = df.agg(
+            *[F.expr(f"percentile(v, {p})").alias(n) for n, p in targets.items()]
+        ).first()
+        g0 = exact_percentiles_by_counts(df, [], "v", targets).first()
+        assert tuple(g0[n] for n in targets) == tuple(w0[n] for n in targets), typ
+
+
 def test_ntile_closed_form_equals_window(spark):
     """novelty_decay_curve's decile algebra: the closed-form NTILE over
     a distributed prefix-sum rank must match the window ntile(10)

@@ -380,10 +380,15 @@ def test_funnel_joins_are_keyed_no_cartesian(tables):
 
 def test_anomaly_mad_medians_broadcast(tables):
     """Per-type median/MAD tables (|types| rows) broadcast into the
-    events scan — events itself never shuffles for the screen."""
+    events scan, and the medians come from the distributed histogram
+    (exact_percentiles_by_counts) — the built-in percentile's
+    single-buffer value→count map must be gone from the plan. The only
+    sort-merge joins are the helper's internal histogram⋈offset joins,
+    keyed on (type, bucket)."""
     p = plan_of(tables, "events_anomaly_mad")
     assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    assert "percentile(" not in p, "built-in percentile buffer is back"
+    assert "CartesianProduct" not in p
 
 
 def test_inverted_index_bounded_posting_state(tables):
@@ -721,12 +726,15 @@ def test_star_denormalize_broadcasts_all_dims(tables):
 
 def test_label_outliers_scoring_is_map_plus_broadcast(tables):
     """Outlier scoring must be a pure map (inline centroid literals)
-    with only the bounded p99 frame broadcast back — no sort-merge
-    join, no window, no cartesian."""
+    with only the bounded p99 frame broadcast back; the p99 itself
+    comes from the distributed histogram (exact_percentiles_by_counts
+    — its only windows are the ~4096-row prefix-sum buckets), never the
+    built-in percentile's single-buffer aggregate."""
     p = plan_of(tables, "embedding_label_outliers")
-    assert "Window" not in p, p
+    assert "percentile(" not in p, "built-in percentile buffer is back"
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
 
 
 def test_heatmap_is_single_aggregate(tables):
