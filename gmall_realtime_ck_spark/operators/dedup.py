@@ -408,7 +408,7 @@ def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
     (min, max, count) so the expensive novelty plan is never re-run
     for stats; ``N`` rides a 1-row broadcast count aggregate.
     """
-    from .relational import prefix_sum_per_key
+    from .relational import ntile_expr, prefix_sum_per_key
 
     docs = t["documents"]
     lo, hi, n = docs.agg(
@@ -421,17 +421,8 @@ def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
         nov, [], "doc_id", "_one", "rank", bucket_size=width
     ).drop("_one")
     n_tot = nov.agg(F.count(F.lit(1)).alias("n_total"))
-    tiled = (
-        ranked.crossJoin(F.broadcast(n_tot))
-        .withColumn(
-            "decile",
-            F.expr(
-                "CASE WHEN rank <= (n_total % 10) * (n_total div 10 + 1)"
-                " THEN (rank - 1) div (n_total div 10 + 1) + 1"
-                " ELSE (n_total % 10) + (rank - (n_total % 10) * (n_total div 10 + 1) - 1)"
-                "      div (n_total div 10) + 1 END"
-            ).cast("bigint"),
-        )
+    tiled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile", ntile_expr("rank", "n_total", 10)
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),

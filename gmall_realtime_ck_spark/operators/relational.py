@@ -918,6 +918,7 @@ def prefix_sum_per_key(
     val_col: str,
     out_col: str,
     bucket_size: int | None = 4096,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact distributed running sum of ``val_col`` in ``order_col``
     order within each key — the classic two-level scan, built so a hot
@@ -937,11 +938,14 @@ def prefix_sum_per_key(
     associative, so ANY bucketing yields the same sums; pinned by
     tests/test_invariants_new.py::
     test_prefix_sum_two_level_equals_window). ``order_col`` must be
-    numeric and unique per key (it drives both the bucket id and the
-    within-bucket order); fractional columns bucket via
-    ``floor(order_col / width)`` — any monotone map to bucket ids is
-    exact, only balance varies. Intermediate column names are derived
-    fresh; a pre-existing ``out_col`` is rejected.
+    numeric (it drives the bucket id and leads the within-bucket
+    order); fractional columns bucket via ``floor(order_col / width)``
+    — any monotone map to bucket ids is exact, only balance varies.
+    ``tie_cols`` extend the within-bucket order when ``order_col``
+    alone is not unique per key (ties never straddle buckets — equal
+    order values share a bucket id — so the composite rank is exact);
+    (order_col, *tie_cols) must be unique per key. Intermediate column
+    names are derived fresh; a pre-existing ``out_col`` is rejected.
 
     Bucket widths are VALUE-based, so per-bucket row counts track the
     order key's density: the 4096 default assumes roughly-dense ids
@@ -988,7 +992,7 @@ def prefix_sum_per_key(
         if fractional
         else F.expr(f"{order_col} div {bucket_size}")
     )
-    within = Window.partitionBy(*keys, b_c).orderBy(order_col)
+    within = Window.partitionBy(*keys, b_c).orderBy(order_col, *(tie_cols or []))
     part = df.withColumn(b_c, bucket).withColumn(run_c, F.sum(val_col).over(within))
     btot = part.groupBy(*keys, b_c).agg(F.sum(val_col).alias(bt_c))
     wb = (
@@ -1017,6 +1021,27 @@ def prefix_sum_per_key(
         .withColumn(out_col, F.col(run_c) + F.col(off_c))
         .drop(b_c, run_c, off_c)
     )
+
+
+def ntile_expr(rank_col: str, n_col: str, n_buckets: int) -> F.Column:
+    """The exact NTILE closed form from a (1-based) rank and a group
+    size — the distributed replacement for ``ntile(B).over(window)``,
+    which (unlike ``row_number() <= k``) has no WindowGroupLimit
+    pushdown and therefore sorts the whole partition through one
+    reducer. With ``q = N div B`` and ``m = N mod B`` the first ``m``
+    buckets take ``q+1`` rows and the rest ``q`` — bucket-for-bucket
+    identical to the window form (pinned by
+    tests/test_invariants_new.py::test_ntile_closed_form_equals_window).
+    Pair with a distributed rank from ``prefix_sum_per_key``."""
+    b = int(n_buckets)
+    q = f"({n_col} div {b})"
+    m = f"({n_col} % {b})"
+    first = f"({m} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {first}"
+        f" THEN ({rank_col} - 1) div ({q} + 1) + 1"
+        f" ELSE {m} + ({rank_col} - {first} - 1) div {q} + 1 END"
+    ).cast("bigint")
 
 
 def exact_percentiles_by_counts(

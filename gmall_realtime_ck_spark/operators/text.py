@@ -2408,22 +2408,40 @@ def text_ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
     by (avg_nll, doc_id) — identical semantics in Spark and DuckDB.
 
     Scale: the model fit is vocab-sized keyed aggregation; scoring is
-    one keyed join; the ntile window sorts each language partition —
-    CCNet itself computes cutoffs from a sample for exactly this
-    reason, so at 100 TB swap the window for sampled per-lang
-    percentile cutoffs broadcast to a map-only bucketer (the
-    stream-static gate shape flow_perplexity_gate already uses); the
-    rank-exact form here is what makes the output hash-verifiable.
+    one keyed join; the tercile is the exact NTILE closed form
+    (``ntile_expr``) over a DISTRIBUTED per-language rank — the earlier
+    ``ntile(3)`` window sorted each language partition through one
+    reducer (a handful of languages ⇒ effectively the whole corpus
+    through a handful of reducers; ntile has no WindowGroupLimit
+    pushdown). The rank comes from ``prefix_sum_per_key`` bucketed on
+    avg_nll with doc_id as the tie column (equal scores share a bucket,
+    so the composite rank is exact); per-language totals join back
+    keyed. Bucket-for-bucket identical to the window form (law-pinned),
+    so the output stays hash-verifiable — CCNet's sampled-cutoff
+    approximation is not needed to scale.
     """
+    from .relational import ntile_expr, prefix_sum_per_key
+
     docs = t["documents"]
     scored = score_bigram_nll(doc_bigrams(docs), bigram_lm_table(docs))
-    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
-    return ranked.select(
-        "doc_id",
-        "lang",
-        "avg_nll",
-        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "_one", F.lit(1).cast("bigint")
+    )
+    rk = prefix_sum_per_key(
+        ranked, ["lang"], "avg_nll", "_one", "_rk", bucket_size=None,
+        tie_cols=["doc_id"],
+    ).drop("_one")
+    n_by_lang = ranked.groupBy(F.col("lang").alias("_nl_lang")).agg(
+        F.count(F.lit(1)).alias("_n_lang")
+    )
+    return (
+        rk.join(n_by_lang, F.col("lang") == F.col("_nl_lang"))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll",
+            ntile_expr("_rk", "_n_lang", 3).alias("bucket"),
+        )
     ).withColumn(
         "bucket_label",
         F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket").cast("int")),

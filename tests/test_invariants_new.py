@@ -1001,38 +1001,74 @@ def test_exact_percentiles_by_counts_equals_builtin(spark):
 
 
 def test_ntile_closed_form_equals_window(spark):
-    """novelty_decay_curve's decile algebra: the closed-form NTILE over
-    a distributed prefix-sum rank must match the window ntile(10)
-    bucket-for-bucket — on an N not divisible by 10 (the m extra-row
-    deciles), on a tiny N < 10 (q = 0: every doc its own decile), and
+    """ntile_expr over a distributed prefix-sum rank must match the
+    window ntile bucket-for-bucket — at B=10 (novelty deciles) and B=3
+    (CCNet terciles), on an N not divisible by B (the m extra-row
+    buckets), on a tiny N < B (q = 0: every doc its own bucket), and
     on SPARSE non-contiguous ids (the rank must come from the bucketed
     scan, not id arithmetic)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+    from gmall_realtime_ck_spark.operators.relational import (
+        ntile_expr,
+        prefix_sum_per_key,
+    )
 
     for ids in ([i * 997 + (i % 7) for i in range(257)], [5, 900, 17]):
         df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
             "_one", F.lit(1).cast("bigint")
         )
         n = len(ids)
-        ranked = prefix_sum_per_key(df, [], "doc_id", "_one", "rank", bucket_size=64)
-        got = {
-            r["doc_id"]: (
-                (r["rank"] - 1) // (n // 10 + 1) + 1
-                if r["rank"] <= (n % 10) * (n // 10 + 1)
-                else (n % 10) + (r["rank"] - (n % 10) * (n // 10 + 1) - 1) // (n // 10) + 1
-            )
-            for r in ranked.collect()
-        }
-        want = {
-            r["doc_id"]: r["d"]
-            for r in df.withColumn(
-                "d", F.ntile(10).over(Window.orderBy("doc_id"))
-            ).collect()
-        }
-        assert got == want, (n, got, want)
+        ranked = prefix_sum_per_key(
+            df, [], "doc_id", "_one", "rank", bucket_size=64
+        ).withColumn("n_total", F.lit(n).cast("bigint"))
+        for b in (10, 3):
+            got = {
+                r["doc_id"]: r["t"]
+                for r in ranked.withColumn(
+                    "t", ntile_expr("rank", "n_total", b)
+                ).collect()
+            }
+            want = {
+                r["doc_id"]: r["d"]
+                for r in df.withColumn(
+                    "d", F.ntile(b).over(Window.orderBy("doc_id"))
+                ).collect()
+            }
+            assert got == want, (n, b, got, want)
+
+
+def test_prefix_sum_tie_cols_equals_window(spark):
+    """tie_cols (the CCNet-tercile rank path): a NON-unique order
+    column with a unique tie column must rank exactly like the naive
+    window ordered by the composite — including heavy ties (one score
+    shared by many rows) that span would-be bucket widths (ties share
+    a bucket id, so they never straddle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    rows = [("k", float(i % 5) + 0.25, i) for i in range(2_000)] + [
+        ("k2", 1.25, i) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "k string, score double, doc_id long").withColumn(
+        "_one", F.lit(1).cast("bigint")
+    )
+    got = {
+        (r["k"], r["doc_id"]): r["rk"]
+        for r in prefix_sum_per_key(
+            df, ["k"], "score", "_one", "rk", bucket_size=None, tie_cols=["doc_id"]
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("score", "doc_id")
+    want = {
+        (r["k"], r["doc_id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint")).collect()
+    }
+    assert got == want
+    assert len(got) == 2_064
 
 
 def test_pack_sequences_laws(tables):

@@ -428,6 +428,16 @@ def test_novelty_decay_no_global_ntile(tables):
     assert "CartesianProduct" not in p
 
 
+def test_ccnet_buckets_no_global_ntile(tables):
+    """The CCNet tercile must come from the distributed prefix-sum rank
+    + ntile_expr closed form, NOT a per-language ntile window (a
+    handful of languages would drag the whole corpus through a handful
+    of reducers; ntile has no WindowGroupLimit pushdown)."""
+    p = plan_of(tables, "text_ccnet_buckets")
+    assert "ntile" not in p, p
+    assert "CartesianProduct" not in p
+
+
 def test_kmeans_assignment_is_pure_map(tables):
     """Lloyd assignment with driver-literal centroids must plan as a
     pure map over the corpus — no join, no shuffle, no window (the
