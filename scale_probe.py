@@ -138,6 +138,11 @@ QUERIES = [
     "text_novelty_decay",
     "events_anomaly_mad",
     "event_value_percentiles",
+    # the CCNet terciles after the ntile_expr rewire: LM fit (vocab-
+    # keyed aggregate) + score join + the distributed rank — the curve
+    # should track doc_perplexity_kneser_ney's fit cost, with the old
+    # per-language corpus sort gone
+    "text_ccnet_buckets",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
