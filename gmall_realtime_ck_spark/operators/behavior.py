@@ -159,21 +159,42 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     # legs descend from the same parent, and when that parent is a
     # named view (the flow_anomaly_mad memory table) Spark's self-join
     # resolution rejects the shared-lineage equi-join
-    # medians via exact_percentiles_by_counts, not the built-in
-    # percentile: a type's whole value→count map would otherwise buffer
-    # in ONE reducer; the histogram form distributes it, bit-identically
-    # (law-pinned)
-    from .relational import exact_percentiles_by_counts
+    # medians via the distributed histogram (exact_percentiles_from_
+    # counts), not the built-in percentile: a type's whole value→count
+    # map would otherwise buffer in ONE reducer; the histogram form
+    # distributes it, bit-identically (law-pinned). The raw log is
+    # scanned exactly three times (width stats, the value histogram,
+    # the final outlier emit): the MAD's deviation histogram derives
+    # FROM the value histogram (|distinct values| rows — abs(v − med)
+    # re-keys it, counts transfer), and both percentile passes share
+    # ONE stats scan for their bucket widths (adev ⊆ [0, value span]).
+    # Per-call auto-width + a second raw-log pass measured 5× on the
+    # streaming twin's polled memory table.
+    from .relational import exact_percentiles_from_counts
 
-    med = exact_percentiles_by_counts(
-        ev.select("event_type", "value"), ["event_type"], "value", {"med": 0.5}
+    lo, hi, n = ev.agg(F.min("value"), F.max("value"), F.count("value")).first()
+    span = max(float(hi) - float(lo), 1e-9) if n else 1.0
+    width = max(span * 4096.0 / max(int(n or 0), 1), 1e-9)
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct"))
+    med = exact_percentiles_from_counts(
+        hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size=width
     ).select("event_type", "med").withColumnRenamed("event_type", "m_type")
+    adev_hist = (
+        hist.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+            "hct",
+        )
+        .groupBy("event_type", "adev")
+        .agg(F.sum("hct").alias("hct"))
+    )
+    mad = exact_percentiles_from_counts(
+        adev_hist, ["event_type"], "adev", "hct", {"mad": 0.5}, bucket_size=width
+    ).select("event_type", "mad").withColumnRenamed("event_type", "d_type")
     dev = ev.join(
         F.broadcast(med), F.col("event_type") == F.col("m_type")
     ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
-    mad = exact_percentiles_by_counts(
-        dev.select("event_type", "adev"), ["event_type"], "adev", {"mad": 0.5}
-    ).select("event_type", "mad").withColumnRenamed("event_type", "d_type")
     return (
         dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
         .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))

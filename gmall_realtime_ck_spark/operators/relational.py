@@ -569,12 +569,17 @@ def ship_latency_percentiles(t: dict[str, DataFrame]) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
     )
+    # explicit width: the day domain is calendar-bounded (a few
+    # thousand distinct values), so a fixed 64-day bucket keeps the
+    # offset pass at ≤ ~60 rows/priority and skips the auto-width
+    # stats job, which would re-execute the fact join
     pct = exact_percentiles_by_counts(
         lat,
         ["o_orderpriority"],
         "days",
         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
         n_col="n_lines",
+        bucket_size=64,
     )
     return pct.select(
         "o_orderpriority",
@@ -1050,6 +1055,7 @@ def exact_percentiles_by_counts(
     val_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
+    bucket_size: int | float | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per key, computed DISTRIBUTEDLY
     from the (keys, value) → count histogram — the scale-safe
@@ -1076,13 +1082,20 @@ def exact_percentiles_by_counts(
     ``keys=[]`` computes global percentiles (the 1-row total rides a
     broadcast nested loop — the tiny-aggregate pattern). NULL values
     must be pre-filtered (the built-in skips them; this helper does not
-    guess).
+    guess). ``bucket_size=None`` auto-scales the prefix-sum bucket
+    width from a (min, max, count) driver agg over the histogram — one
+    extra job over the upstream plan; callers that already know the
+    value span (or call this twice over the same input, the MAD shape)
+    should pass an explicit width derived from ONE shared stats pass —
+    width only affects balance, never results.
     """
     ct_c = "_pct_ct"
     while ct_c in df.columns:
         ct_c += "_"
     counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias(ct_c))
-    return exact_percentiles_from_counts(counts, keys, val_col, ct_c, targets, n_col)
+    return exact_percentiles_from_counts(
+        counts, keys, val_col, ct_c, targets, n_col, bucket_size
+    )
 
 
 def exact_percentiles_from_counts(
@@ -1092,6 +1105,7 @@ def exact_percentiles_from_counts(
     ct_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
+    bucket_size: int | float | None = None,
 ) -> DataFrame:
     """The selection/interpolation core of ``exact_percentiles_by_counts``
     over a PRE-COUNTED (keys, value, count) histogram — split out so a
@@ -1103,7 +1117,9 @@ def exact_percentiles_from_counts(
     ct_c, cum_c = ct_col, "_pct_cum"
     while cum_c in counts.columns:
         cum_c += "_"
-    cum = prefix_sum_per_key(counts, keys, val_col, ct_c, cum_c, bucket_size=None)
+    cum = prefix_sum_per_key(
+        counts, keys, val_col, ct_c, cum_c, bucket_size=bucket_size
+    )
     n_by_key = counts.groupBy(*keys).agg(F.sum(ct_c).alias(n_col))
     if not keys:
         joined = cum.crossJoin(F.broadcast(n_by_key))
