@@ -2484,18 +2484,19 @@ def win_supplier_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     ((rank−1)/(n−1), rank/n) — identical arithmetic on both engines.
 
     Scale: aggregate-first — revenue per supplier is one keyed shuffle
-    over lineitem with map-side partials; the ranking windows run over
-    the |suppliers|-row aggregate partitioned by nation (≤25 groups
-    here; generally bounded by the nation dimension, never facts).
-    percent_rank/cume_dist need EVERY row's rank, so a top-K
-    mitigation doesn't apply (r8 coarse-key window sweep) — at a
-    |suppliers|/25 per-reducer sort beyond memory, the exact
-    alternative is rank-from-counts: join each supplier against the
-    broadcast per-nation count and compute rank as a count of
-    (revenue, suppkey) pairs below it via a range aggregation.
+    over lineitem with map-side partials. percent_rank/cume_dist need
+    EVERY row's rank, so a top-K mitigation doesn't apply (r8
+    coarse-key window sweep); the rank therefore comes from the
+    distributed ``prefix_sum_per_key`` (revenue-bucketed, suppkey tie
+    column — the rank-from-counts alternative the r8 sweep documented,
+    now implemented) joined with the per-nation count, and both
+    measures are their closed forms over (rank, N): with the UNIQUE
+    (revenue, suppkey) composite order there are no rank ties, so
+    ``percent_rank = (rank−1)/(N−1)`` (0 when N = 1, Spark's
+    single-row convention) and ``cume_dist = rank/N`` — identical to
+    the window functions, and no per-nation reducer ever sorts the
+    whole nation's suppliers.
     """
-    from pyspark.sql import Window
-
     li = t["lineitem"]
     s = t["supplier"]
     n = t["nation"]
@@ -2507,14 +2508,32 @@ def win_supplier_percentiles(t: dict[str, DataFrame]) -> DataFrame:
                  rev["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("_one", F.lit(1).cast("bigint"))
     )
-    w = Window.partitionBy("n_name").orderBy("revenue_cents", "s_suppkey")
-    return enriched.select(
-        "n_name",
-        F.col("s_suppkey").alias("suppkey"),
-        "revenue_cents",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    rk = prefix_sum_per_key(
+        enriched, ["n_name"], "revenue_cents", "_one", "_rk",
+        bucket_size=None, tie_cols=["s_suppkey"],
+    ).drop("_one")
+    n_by_nation = enriched.groupBy(F.col("n_name").alias("_nn")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        rk.join(n_by_nation, F.col("n_name") == F.col("_nn"))
+        .select(
+            "n_name",
+            F.col("s_suppkey").alias("suppkey"),
+            "revenue_cents",
+            F.round(
+                F.expr(
+                    "CASE WHEN _n = 1 THEN 0.0D"
+                    " ELSE cast(_rk - 1 as double) / cast(_n - 1 as double) END"
+                ),
+                6,
+            ).alias("pct_rank"),
+            F.round(
+                F.expr("cast(_rk as double) / cast(_n as double)"), 6
+            ).alias("cume_dist"),
+        )
     )
 
 
@@ -2528,24 +2547,40 @@ def win_ntile_deciles(t: dict[str, DataFrame]) -> DataFrame:
     spend bounds — the marketing "value segmentation" readout one level
     up from the serving layer's flat GMV (TradeStatsMapper GMV by ch).
 
-    Scale: aggregate-first — the NTILE runs over the |customers|-row
+    Scale: aggregate-first — the decile derives from the |customers|-row
     per-customer AGGREGATE (one keyed shuffle with map-side partials),
-    never over orders. The global NTILE is a single-partition window
-    over that aggregate; at 100 TB-of-facts the customer dimension is
-    still ~1e8 rows, and the same report swaps to percent_rank over
-    range-partitioned sort (repartitionByRange) without changing
-    results — the deterministic (spend desc, custkey) order is total
-    either way.
+    never from orders, and the NTILE itself is the exact closed form
+    (``ntile_expr``) over a distributed ``prefix_sum_per_key`` rank —
+    the old single-partition ntile window would drag the whole ~1e8-row
+    customer dimension through one reducer at 100 TB-of-facts.
+    Bucket-for-bucket identical to the window form (law-pinned on the
+    same total (spend desc, custkey) order).
     """
-    from pyspark.sql import Window
-
     o = t["orders"]
     spend = o.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).alias("spend_cents"),
         F.count(F.lit(1)).alias("order_ct"),
     )
-    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
-    tiled = spend.withColumn("decile", F.ntile(DECILES_N).over(w).cast("bigint"))
+    # the NTILE closed form over a distributed rank (ntile_expr +
+    # prefix_sum_per_key) instead of a single-partition ntile window
+    # over every customer: the DESC spend order rides the NEGATED
+    # cents (truncation div is monotone, so bucket ids stay ordered),
+    # custkey as the tie column makes the composite rank exact
+    ranked = prefix_sum_per_key(
+        spend.withColumn("_neg", -F.col("spend_cents")).withColumn(
+            "_one", F.lit(1).cast("bigint")
+        ),
+        [],
+        "_neg",
+        "_one",
+        "_rk",
+        bucket_size=None,
+        tie_cols=["o_custkey"],
+    ).drop("_one", "_neg")
+    n_tot = spend.agg(F.count(F.lit(1)).alias("_n"))
+    tiled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile", ntile_expr("_rk", "_n", DECILES_N)
+    )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("spend_cents").alias("revenue_cents"),

@@ -181,6 +181,7 @@ BOUNDED_NLJ_OK = {
     "approx_overlap_kmv",  # |types|² pairing over per-type K-row sketches
     "approx_join_keys_kmv",  # |key columns|² pairing over K-row sketches
     "text_novelty_decay",  # 1-row doc-count broadcast for the NTILE closed form
+    "win_ntile_deciles",  # 1-row customer-count broadcast for the NTILE closed form
 }
 
 
