@@ -2420,13 +2420,21 @@ def text_ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
     so the output stays hash-verifiable — CCNet's sampled-cutoff
     approximation is not needed to scale.
     """
-    from .relational import ntile_expr, prefix_sum_per_key
-
     docs = t["documents"]
     scored = score_bigram_nll(doc_bigrams(docs), bigram_lm_table(docs))
-    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-        "_one", F.lit(1).cast("bigint")
-    )
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return ccnet_tercile_assign(ranked)
+
+
+def ccnet_tercile_assign(ranked: DataFrame) -> DataFrame:
+    """The CCNet tercile over (doc_id, lang, avg_nll) rows via the
+    distributed rank + NTILE closed form — shared by the batch
+    ``text_ccnet_buckets`` and the streaming ``flow_ccnet_gate`` poll
+    step (the input there is a scored memory table; all internal joins
+    rename their keys, so the shared-lineage resolution holds)."""
+    from .relational import ntile_expr, prefix_sum_per_key
+
+    ranked = ranked.withColumn("_one", F.lit(1).cast("bigint"))
     rk = prefix_sum_per_key(
         ranked, ["lang"], "avg_nll", "_one", "_rk", bucket_size=None,
         tie_cols=["doc_id"],

@@ -1038,18 +1038,21 @@ def flow_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram LM fits ONCE on the static corpus (flow_perplexity_gate's
     model leg), every arriving document scores against it
     stream-static with the per-doc NLL rollup in complete mode, and
-    the head/middle/tail tercile is assigned at poll time by the same
-    per-language ntile window over the collected score table (the
-    post-stream ranking step — flow_funnel's collect-then-aggregate
-    pattern). Model and corpus coincide with the batch operator's, so
-    the text_ccnet_buckets oracle applies verbatim; in production the
-    poll-time window is replaced by sampled percentile cutoffs
-    broadcast into the map (the batch docstring's 100 TB note).
+    the head/middle/tail tercile is assigned at poll time by the
+    shared batch algebra (``operators.text.ccnet_tercile_assign`` —
+    the distributed prefix-sum rank + NTILE closed form, no
+    per-language corpus sort; the post-stream ranking step,
+    flow_funnel's collect-then-aggregate pattern). Model and corpus
+    coincide with the batch operator's, so the text_ccnet_buckets
+    oracle applies verbatim.
     """
-    from pyspark.sql import Window
-
     from ..catalog import load_tables
-    from ..operators.text import bigram_lm_table, doc_bigrams, score_bigram_nll
+    from ..operators.text import (
+        bigram_lm_table,
+        ccnet_tercile_assign,
+        doc_bigrams,
+        score_bigram_nll,
+    )
 
     docs_static = load_tables(spark, sf_dir)["documents"]
     model = bigram_lm_table(docs_static)
@@ -1057,19 +1060,7 @@ def flow_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_stream = doc_bigrams(stream)
     scored = _run_to_memory(score_bigram_nll(bg_stream, model), "complete")
     ranked = scored.join(docs_static.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
-    return ranked.select(
-        "doc_id",
-        "lang",
-        "avg_nll",
-        F.ntile(3).over(w).cast("bigint").alias("bucket"),
-    ).withColumn(
-        "bucket_label",
-        F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.col("bucket").cast("int"),
-        ),
-    )
+    return ccnet_tercile_assign(ranked)
 
 
 def flow_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
