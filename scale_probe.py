@@ -143,6 +143,13 @@ QUERIES = [
     # should track doc_perplexity_kneser_ney's fit cost, with the old
     # per-language corpus sort gone
     "text_ccnet_buckets",
+    # the window-function rewires: spend deciles (global ntile →
+    # ntile_expr over a prefix-sum rank of every customer) and
+    # supplier percent_rank/cume_dist (per-nation windows → closed
+    # forms over the distributed rank) — both previously funneled
+    # their whole dimension through one/few reducers
+    "win_ntile_deciles",
+    "win_supplier_percentiles",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -293,6 +300,9 @@ def synth(k: int) -> str:
         # tables); generated additively so pre-r7 cached dirs upgrade
         # in place instead of regenerating the whole scheme
         ("customer", ("c_custkey", "c_nationkey")),
+        # added r9 (win_supplier_percentiles probes the distributed
+        # percent_rank): suppliers scale with the fact copies
+        ("supplier", ("s_suppkey",)),
     ):
         if os.path.exists(f"{out}/{tbl}.parquet"):
             continue
@@ -304,6 +314,16 @@ def synth(k: int) -> str:
         )
         _copy_atomic(con, sel, f"{out}/{tbl}.parquet")
     con.close()
+    # pure dimensions copied ONCE (never unioned: k copies would
+    # duplicate the primary keys) — nation doesn't grow with the data
+    for dim in ("nation", "region"):
+        if not os.path.exists(f"{out}/{dim}.parquet"):
+            _copy_atomic(
+                con2 := duckdb.connect(),
+                f"SELECT * FROM read_parquet('{BASE}/{dim}.parquet')",
+                f"{out}/{dim}.parquet",
+            )
+            con2.close()
     # marker LAST: its presence now certifies every table above exists
     # complete (atomic renames), so the exists-skips are trustworthy
     open(marker, "w").close()
@@ -350,7 +370,10 @@ def main() -> int:
     TBLS = (
         ["documents"]
         if heaps
-        else ["documents", "embeddings", "events", "orders", "lineitem", "customer"]
+        else [
+            "documents", "embeddings", "events", "orders", "lineitem",
+            "customer", "supplier", "nation", "region",
+        ]
     )
     warm_dir = make_dir(1)
     warm = {t: spark.read.parquet(f"{warm_dir}/{t}.parquet") for t in TBLS}
