@@ -191,11 +191,20 @@ def test_no_cartesian_anywhere(tables, name):
     product or an unkeyed nested-loop join against anything data-sized
     — the shapes that detonate at 100 TB. Nested loops against
     bounded (literal / 1-row-aggregate) build sides are allowlisted
-    explicitly in BOUNDED_NLJ_OK."""
+    explicitly in BOUNDED_NLJ_OK. Since the r9 state-bounding sweep the
+    same sweep also pins the single-reducer aggregate/window shapes
+    out of every plan: the built-in `percentile` (one value→count map
+    per group in ONE buffer — exact_percentiles_by_counts is the
+    distributed form) and `ntile`/`percent_rank`/`cume_dist` windows
+    (no WindowGroupLimit pushdown — ntile_expr / rank-from-counts
+    closed forms over prefix_sum_per_key replace them)."""
     p = plan_of(tables, name)
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
     if name not in BOUNDED_NLJ_OK:
         assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
+    assert "percentile(" not in p, f"{name} plans the single-buffer percentile"
+    for fn in ("ntile(", "percent_rank(", "cume_dist("):
+        assert fn not in p, f"{name} plans a non-pushable ranking window ({fn})"
 
 
 def test_q2_argmin_aggregates_before_window(tables):
