@@ -192,6 +192,10 @@ HEAPS_QUERIES = [
     "corpus_token_gini",
     "text_zipf_fit",
     "text_zipf_topn_fit",
+    # r9 late: the CCNet terciles' bigram LM fit is vocab-keyed, so its
+    # cipher exponent (0.69) overstates natural-corpus growth the same
+    # way the rest of the vocab family's did
+    "text_ccnet_buckets",
 ]
 HEAPS_STREAM_QUERIES = [
     # the full-vocab streaming fit vs its rank-bounded r9 twin — the
