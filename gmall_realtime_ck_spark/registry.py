@@ -125,7 +125,12 @@ _PRIORITY_HEAD = [
     # permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) and any post-r9-freeze additions
-    # (tools/gen_ledger.py::R10_QUEUE). Window history: COVERAGE.md
+    # (tools/gen_ledger.py::R10_QUEUE). The r10 rotation must also
+    # front-load tools/gen_ledger.py::R10_RECERT_REWIRED — the 11
+    # queries the late-r9 state-bounding sweep rewired AFTER their
+    # latest driver rows (law-pinned identical, both-scale sweeps
+    # green, but the standing driver evidence predates the new code).
+    # Window history: COVERAGE.md
     # cross-round ledger.
     # --- (a) R9_QUEUE: post-r8-freeze additions, never driver-checked ---
     "corpus_dup_inflation",

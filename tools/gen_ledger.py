@@ -41,6 +41,31 @@ R10_QUEUE = {
     "corpus_pack_sequences",
 }
 
+#: queries REWIRED by the late-round-9 state-bounding sweep (head-
+#: sliced collects, distributed histogram percentiles, closed-form
+#: ntile/percent_rank/cume_dist over prefix-sum ranks) AFTER their
+#: latest driver hash rows — results law-pinned identical and green in
+#: the round's both-scale full-surface sweeps, but their standing
+#: driver evidence predates the new code, so the round-10 rotation
+#: should place these right after R10_QUEUE, ahead of the stalest
+#: cohort. (Names already inside the r9 window — behavior_top_paths,
+#: corpus_inverted_index, corpus_length_percentiles,
+#: embedding_label_outliers, flow_percentiles — get fresh r9 rows and
+#: are excluded.)
+R10_RECERT_REWIRED = {
+    "event_value_percentiles",
+    "ship_latency_percentiles",
+    "events_dwell_median",
+    "events_anomaly_mad",
+    "flow_anomaly_mad",
+    "user_rfm_segments",
+    "text_novelty_decay",
+    "text_ccnet_buckets",
+    "flow_ccnet_gate",
+    "win_supplier_percentiles",
+    "win_ntile_deciles",
+}
+
 #: operators added DURING round 8 (after its window froze at rotation)
 #: — the head of the round-9 window; each shipped with oracle +
 #: invariant/stream tests + sf0.001/sf0.01/sf0.1 vanilla preflights in
