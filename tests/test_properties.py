@@ -462,3 +462,77 @@ def test_islands_idiom_matches_python_reference(hits):
         """
     ).fetchone()[0]
     assert got == expected, (hits, got, expected)
+
+
+pct_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.one_of(
+            st.integers(min_value=-50, max_value=50),  # heavy int ties
+            st.integers(min_value=-(10**9), max_value=10**9),  # sparse
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=pct_rows, p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]))
+def test_exact_percentiles_property_vs_builtin(spark, rows, p):
+    """exact_percentiles_by_counts ≡ the built-in percentile on random
+    keyed integer data (heavy ties, sparse magnitudes, every target
+    shape incl. the exact-index endpoints) — bit-for-bit, since the
+    helper reproduces Spark's own interpolation float order."""
+    import pyspark.sql.functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        exact_percentiles_by_counts,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    want = {
+        r["k"]: r["q"]
+        for r in df.groupBy("k").agg(F.expr(f"percentile(v, {p})").alias("q")).collect()
+    }
+    got = {
+        r["k"]: r["q"]
+        for r in exact_percentiles_by_counts(df, ["k"], "v", {"q": p}).collect()
+    }
+    assert got == want, (rows, p, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=50,
+        unique=True,
+    ),
+    b=st.integers(min_value=1, max_value=12),
+)
+def test_ntile_expr_property_vs_window(spark, ids, b):
+    """ntile_expr over a prefix-sum rank ≡ the ntile window for any
+    bucket count and any unique id set (sparse, negative, tiny N)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gmall_realtime_ck_spark.operators.relational import (
+        ntile_expr,
+        prefix_sum_per_key,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
+        "_one", F.lit(1).cast("bigint")
+    )
+    ranked = prefix_sum_per_key(
+        df, [], "doc_id", "_one", "rank", bucket_size=None
+    ).withColumn("n", F.lit(len(ids)).cast("bigint"))
+    got = {
+        r["doc_id"]: r["t"]
+        for r in ranked.withColumn("t", ntile_expr("rank", "n", b)).collect()
+    }
+    want = {
+        r["doc_id"]: r["d"]
+        for r in df.withColumn("d", F.ntile(b).over(Window.orderBy("doc_id"))).collect()
+    }
+    assert got == want, (ids, b, got, want)
