@@ -95,26 +95,37 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     )
     # 9 doubles collected to the driver and inlined as literals — the
     # scalar-subquery execution (the rel_q22 pattern); bucketing is
-    # then a pure map, no join anywhere in the returned plan
-    # exact_percentiles_by_counts over the unpivoted (metric, value)
-    # rows, not the built-in percentile: the global aggregate would
-    # buffer all |users| distinct values of each metric in ONE reducer;
-    # the histogram form distributes them, bit-identically (law-pinned).
-    # Doubles represent these magnitudes exactly (epoch micros < 2^53).
+    # then a pure map, no join anywhere in the returned plan.
+    # exact_percentiles_by_counts, not the built-in percentile: the
+    # global aggregate would buffer all |users| distinct values of each
+    # metric in ONE reducer; the histogram form distributes them,
+    # bit-identically (law-pinned). ONE pass PER METRIC (r9 ADVICE #2):
+    # the earlier single stacked pass let the auto bucket width derive
+    # from the COMBINED span of recency (~1e15 epoch micros), frequency
+    # (~1e0) and monetary (~1e5 cents) — recency dominated the width,
+    # every distinct freq/monetary value collapsed into one bucket, and
+    # one offset-window partition re-sorted a metric's whole
+    # distinct-value set. Per-metric auto widths keep each histogram's
+    # buckets near the 4096-row target. NULL metrics (a user whose
+    # purchase values are all NULL sums to NULL monetary) are
+    # pre-filtered per the helper's contract — quantile_cont and the
+    # built-in percentile both skip NULLs. Doubles represent these
+    # magnitudes exactly (epoch micros < 2^53).
     from .relational import exact_percentiles_by_counts
 
-    unpiv = per_user.select(
-        F.expr(
-            "stack(3, 'r', cast(last_us as double), 'f', cast(freq as double),"
-            " 'm', cast(monetary_cents as double)) as (metric, mv)"
+    bnd: dict[str, list[float] | None] = {}
+    for metric, col in (("r", "last_us"), ("f", "freq"), ("m", "monetary_cents")):
+        mdf = per_user.select(F.col(col).cast("double").alias("mv")).filter(
+            F.col("mv").isNotNull()
         )
-    )
-    bnd = {
-        r["metric"]: [r["q1"], r["q2"], r["q3"]]
-        for r in exact_percentiles_by_counts(
-            unpiv, ["metric"], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
-        ).collect()
-    }
+        row = exact_percentiles_by_counts(
+            mdf, [], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+        ).first()
+        bnd[metric] = (
+            [row["q1"], row["q2"], row["q3"]]
+            if row is not None and row["q1"] is not None
+            else None
+        )
     b = {"rb": bnd.get("r"), "fb": bnd.get("f"), "mb": bnd.get("m")}
 
     def quartile(metric: str, bnds: list[float] | None) -> F.Column:
@@ -154,7 +165,19 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     emitted with cent-exact values. Two aggregation passes over events,
     each keyed on event_type; no windows over raw rows.
     """
-    ev = t["events"].select("event_id", "event_type", "value")
+    # NULL values are pre-filtered (r9 ADVICE #1): the built-in
+    # percentile this replaces skips NULLs, and
+    # exact_percentiles_from_counts' contract requires the caller to do
+    # the same — an unfiltered NULL row would get a NULL bucket id that
+    # sorts first in the offset window, inflating every cumulative rank
+    # and N and silently shifting the median/MAD. (The final emit never
+    # surfaced NULL rows — abs(NULL − med) > 3·mad is never true — so
+    # results only change on inputs where the old code was wrong.)
+    ev = (
+        t["events"]
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     # the aggregate sides rename their key before joining back: both
     # legs descend from the same parent, and when that parent is a
     # named view (the flow_anomaly_mad memory table) Spark's self-join
@@ -163,21 +186,23 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
     # counts), not the built-in percentile: a type's whole value→count
     # map would otherwise buffer in ONE reducer; the histogram form
     # distributes it, bit-identically (law-pinned). The raw log is
-    # scanned exactly three times (width stats, the value histogram,
-    # the final outlier emit): the MAD's deviation histogram derives
-    # FROM the value histogram (|distinct values| rows — abs(v − med)
-    # re-keys it, counts transfer), and both percentile passes share
-    # ONE stats scan for their bucket widths (adev ⊆ [0, value span]).
-    # Per-call auto-width + a second raw-log pass measured 5× on the
-    # streaming twin's polled memory table.
+    # scanned exactly twice (the value histogram, the final outlier
+    # emit): the MAD's deviation histogram derives FROM the value
+    # histogram (|distinct values| rows — abs(v − med) re-keys it,
+    # counts transfer), and both percentile passes use the IN-PLAN
+    # auto width (r9 ADVICE #3): the (min, max, count) stats ride a
+    # 1-row broadcast aggregate over each pass's own histogram —
+    # histogram-sized, exchange-reused, and re-derived on every
+    # execution, so the streaming twin's polls bucket against CURRENT
+    # stats instead of a width frozen from the memory table at
+    # pipeline-build time (the earlier eager driver agg's failure
+    # mode: an empty first batch froze a degenerate width for the
+    # stream's life).
     from .relational import exact_percentiles_from_counts
 
-    lo, hi, n = ev.agg(F.min("value"), F.max("value"), F.count("value")).first()
-    span = max(float(hi) - float(lo), 1e-9) if n else 1.0
-    width = max(span * 4096.0 / max(int(n or 0), 1), 1e-9)
     hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct"))
     med = exact_percentiles_from_counts(
-        hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size=width
+        hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size="inplan"
     ).select("event_type", "med").withColumnRenamed("event_type", "m_type")
     adev_hist = (
         hist.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
@@ -190,7 +215,7 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.sum("hct").alias("hct"))
     )
     mad = exact_percentiles_from_counts(
-        adev_hist, ["event_type"], "adev", "hct", {"mad": 0.5}, bucket_size=width
+        adev_hist, ["event_type"], "adev", "hct", {"mad": 0.5}, bucket_size="inplan"
     ).select("event_type", "mad").withColumnRenamed("event_type", "d_type")
     dev = ev.join(
         F.broadcast(med), F.col("event_type") == F.col("m_type")

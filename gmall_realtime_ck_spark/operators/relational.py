@@ -922,7 +922,7 @@ def prefix_sum_per_key(
     order_col: str,
     val_col: str,
     out_col: str,
-    bucket_size: int | None = 4096,
+    bucket_size: int | float | str | None = 4096,
     tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact distributed running sum of ``val_col`` in ``order_col``
@@ -966,6 +966,22 @@ def prefix_sum_per_key(
     unbalance; a range-partitioner scan would be fully general but
     makes the bucket id depend on sampled boundaries instead of being
     a pure deterministic row function, so it is deliberately not used.
+
+    ``bucket_size="inplan"`` (r9 ADVICE #3, the streaming-safe auto
+    width): same (min, max, count)-derived width as ``None``, but
+    computed INSIDE the returned plan — a 1-row global aggregate of
+    ``df`` broadcast into the bucket-id expression — instead of an
+    eager driver agg at BUILD time. A streaming poll step that re-runs
+    a ``None``-width plan keeps the width frozen from whatever the
+    memory table held when the pipeline was built (an empty/small
+    first batch ⇒ a degenerate width ⇒ unbounded window partitions for
+    the stream's whole life; results stay exact — width only affects
+    balance — but the state-bounding goal is silently lost). The
+    in-plan width re-derives on every execution, so each poll buckets
+    against CURRENT stats. Cost: ``df``'s plan feeds both the stats
+    row and the main scan (one extra aggregate; AQE reuses the
+    exchange when ``df`` ends in a shuffle, the histogram shape all
+    current callers have), plus a 1-row broadcast join.
     """
     if out_col in df.columns:
         raise ValueError(
@@ -990,15 +1006,47 @@ def prefix_sum_per_key(
     b_c, run_c, bt_c, off_c = "_b", "_run_in", "_bt", "_off"
     while any(c in df.columns for c in (b_c, run_c, bt_c, off_c)):
         b_c, run_c, bt_c, off_c = (c + "_" for c in (b_c, run_c, bt_c, off_c))
-    bucket = (
-        F.expr(
-            f"cast(floor(({order_col} - {frac_origin!r}) / {bucket_size!r}) as bigint)"
+    if bucket_size == "inplan":
+        lo_c, hi_c, n_c = "_w_lo", "_w_hi", "_w_n"
+        while any(c in df.columns for c in (lo_c, hi_c, n_c)):
+            lo_c, hi_c, n_c = (c + "_" for c in (lo_c, hi_c, n_c))
+        stats = df.agg(
+            F.min(order_col).alias(lo_c),
+            F.max(order_col).alias(hi_c),
+            F.count(F.lit(1)).alias(n_c),
         )
-        if fractional
-        else F.expr(f"{order_col} div {bucket_size}")
-    )
+        if fractional:
+            width = (
+                f"greatest((cast({hi_c} as double) - cast({lo_c} as double))"
+                f" * 4096.0 / greatest({n_c}, 1), 1e-9)"
+            )
+            bucket = F.expr(
+                f"cast(floor((cast({order_col} as double) - cast({lo_c} as double))"
+                f" / {width}) as bigint)"
+            )
+        else:
+            # double arithmetic: span·4096 would overflow bigint for
+            # 64-bit id spans, and width only affects balance
+            span = f"(cast({hi_c} as double) - cast({lo_c} as double) + 1.0)"
+            width = (
+                f"cast(greatest(least({span},"
+                f" {span} * 4096.0 / greatest({n_c}, 1)), 1.0) as bigint)"
+            )
+            bucket = F.expr(f"{order_col} div {width}")
+        pre = df.crossJoin(F.broadcast(stats)).withColumn(b_c, bucket).drop(
+            lo_c, hi_c, n_c
+        )
+    else:
+        bucket = (
+            F.expr(
+                f"cast(floor(({order_col} - {frac_origin!r}) / {bucket_size!r}) as bigint)"
+            )
+            if fractional
+            else F.expr(f"{order_col} div {bucket_size}")
+        )
+        pre = df.withColumn(b_c, bucket)
     within = Window.partitionBy(*keys, b_c).orderBy(order_col, *(tie_cols or []))
-    part = df.withColumn(b_c, bucket).withColumn(run_c, F.sum(val_col).over(within))
+    part = pre.withColumn(run_c, F.sum(val_col).over(within))
     btot = part.groupBy(*keys, b_c).agg(F.sum(val_col).alias(bt_c))
     wb = (
         Window.partitionBy(*keys)
@@ -1037,7 +1085,14 @@ def ntile_expr(rank_col: str, n_col: str, n_buckets: int) -> F.Column:
     buckets take ``q+1`` rows and the rest ``q`` — bucket-for-bucket
     identical to the window form (pinned by
     tests/test_invariants_new.py::test_ntile_closed_form_equals_window).
-    Pair with a distributed rank from ``prefix_sum_per_key``."""
+    Pair with a distributed rank from ``prefix_sum_per_key``.
+
+    When a group has fewer rows than buckets (``q = N div B = 0``) the
+    ELSE branch is proven unreachable — ``m = N`` so ``first = N·1``
+    and every rank ≤ N ≤ first — but its divisor is still guarded with
+    ``greatest(q, 1)`` (r9 ADVICE #4) so the expression never depends
+    on CASE-WHEN laziness to avoid a divide-by-zero under ANSI mode or
+    a future refactor; the guard is inert on the reachable path."""
     b = int(n_buckets)
     q = f"({n_col} div {b})"
     m = f"({n_col} % {b})"
@@ -1045,7 +1100,7 @@ def ntile_expr(rank_col: str, n_col: str, n_buckets: int) -> F.Column:
     return F.expr(
         f"CASE WHEN {rank_col} <= {first}"
         f" THEN ({rank_col} - 1) div ({q} + 1) + 1"
-        f" ELSE {m} + ({rank_col} - {first} - 1) div {q} + 1 END"
+        f" ELSE {m} + ({rank_col} - {first} - 1) div greatest({q}, 1) + 1 END"
     ).cast("bigint")
 
 
@@ -1055,7 +1110,7 @@ def exact_percentiles_by_counts(
     val_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
-    bucket_size: int | float | None = None,
+    bucket_size: int | float | str | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per key, computed DISTRIBUTEDLY
     from the (keys, value) → count histogram — the scale-safe
@@ -1105,7 +1160,7 @@ def exact_percentiles_from_counts(
     ct_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
-    bucket_size: int | float | None = None,
+    bucket_size: int | float | str | None = None,
 ) -> DataFrame:
     """The selection/interpolation core of ``exact_percentiles_by_counts``
     over a PRE-COUNTED (keys, value, count) histogram — split out so a

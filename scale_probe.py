@@ -190,7 +190,9 @@ HEAPS_QUERIES = [
     "text_bigram_topk",
     "text_langid_ngram",
     "corpus_token_gini",
-    "text_zipf_fit",
+    # text_zipf_fit (full vocab) retired r10 — its growth curve vs the
+    # declared top-N fit is recorded in SCALE.md; only the declared
+    # head-slice fit is probed now
     "text_zipf_topn_fit",
     # r9 late: the CCNet terciles' bigram LM fit is vocab-keyed, so its
     # cipher exponent (0.69) overstates natural-corpus growth the same
@@ -198,10 +200,10 @@ HEAPS_QUERIES = [
     "text_ccnet_buckets",
 ]
 HEAPS_STREAM_QUERIES = [
-    # the full-vocab streaming fit vs its rank-bounded r9 twin — the
-    # pair whose divergence under real vocab growth motivated
-    # zipf_topn_from_counts
-    "flow_zipf",
+    # the rank-bounded r9 twin; its full-vocab sibling flow_zipf —
+    # whose divergence under real vocab growth motivated
+    # zipf_topn_from_counts — was retired r10 (SCALE.md keeps the
+    # measured comparison)
     "flow_zipf_topn",
 ]
 HEAPS_SCHEME = "heaps-v1-pareto"

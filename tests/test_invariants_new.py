@@ -960,6 +960,50 @@ def test_prefix_sum_auto_width_on_sparse_ids(spark):
     assert n_buckets <= 16, n_buckets  # vs ~20k with the dense default
 
 
+def test_prefix_sum_inplan_width_equals_window(spark):
+    """bucket_size="inplan" (r10, the streaming-safe auto width behind
+    flow_anomaly_mad / flow_ccnet_gate): the width derives from a
+    1-row broadcast stats aggregate INSIDE the plan, so each execution
+    re-buckets against current stats instead of a build-time snapshot.
+    Must stay row-for-row equal to the naive window on (a) sparse
+    integer ids (the overflow-prone span·4096 path — computed in
+    double in-plan), (b) continuous doubles incl. negatives (the
+    min-anchored fractional path), and (c) an EMPTY input (the exact
+    degenerate first-poll case the mode exists for — the eager None
+    path would have frozen span=1 forever; in-plan just yields an
+    empty frame and re-derives next poll)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    w = Window.partitionBy("k").orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    # (a) sparse ints, two keys of very different density
+    rows_i = [("hot", (i * 2654435761) % (1 << 40), (i % 7) + 1) for i in range(5_000)]
+    rows_i += [("cold", i * 3, 1) for i in range(9)]
+    df_i = spark.createDataFrame(rows_i, "k string, ord long, v long")
+    # (b) continuous doubles spanning negative values (unique per key —
+    # the helper's contract requires (order_col, *tie_cols) unique)
+    rows_d = [("a", i * 0.37 - 500.25, i % 5 + 1) for i in range(3_000)]
+    df_d = spark.createDataFrame(rows_d, "k string, ord double, v long")
+    for df, n_exp in ((df_i, 5_009), (df_d, 3_000)):
+        got = {
+            (r["k"], r["ord"]): r["run"]
+            for r in prefix_sum_per_key(
+                df, ["k"], "ord", "v", "run", bucket_size="inplan"
+            ).collect()
+        }
+        want = {
+            (r["k"], r["ord"]): r["run"]
+            for r in df.withColumn("run", F.sum("v").over(w)).collect()
+        }
+        assert got == want and len(got) == n_exp, len(got)
+    # (c) empty input: no rows, no error, schema intact
+    empty = df_i.filter(F.lit(False))
+    out = prefix_sum_per_key(empty, ["k"], "ord", "v", "run", bucket_size="inplan")
+    assert out.collect() == [] and "run" in out.columns
+
+
 def test_exact_percentiles_by_counts_equals_builtin(spark):
     """The distributed histogram percentile must equal Spark's built-in
     `percentile` BIT-FOR-BIT (same interpolation formula, same float

@@ -182,7 +182,99 @@ BOUNDED_NLJ_OK = {
     "approx_join_keys_kmv",  # |key columns|² pairing over K-row sketches
     "text_novelty_decay",  # 1-row doc-count broadcast for the NTILE closed form
     "win_ntile_deciles",  # 1-row customer-count broadcast for the NTILE closed form
+    "events_anomaly_mad",  # two 1-row in-plan width-stats broadcasts (r10)
+    "text_ccnet_buckets",  # 1-row in-plan width-stats broadcast (r10)
 }
+
+
+#: Queries whose rank-function window runs over a PROVABLY bounded
+#: partition, so the missing WindowGroupLimit/TakeOrderedAndProject is
+#: fine — the partition can never be data-sized. Anything NOT listed
+#: here must show a rank bound in the plan for every rank window
+#: (see test_no_unbounded_rank_window). Justifications:
+RANK_WINDOW_BOUNDED_OK = {
+    "approx_join_keys_kmv",  # rank over a K=1024-row KMV sketch per key column
+    "approx_overlap_kmv",  # rank over a K=1024-row KMV sketch per type
+    "approx_uv_kmv_rollup",  # rank over K-row sketch unions per rollup cell
+    "privacy_t_closeness",  # rank over the |QI classes|·m sensitive grid
+    "sample_contaminated_spans",  # row_number per doc_id over in-doc positions
+    "table_user_quota",  # row_number per (user, day): quota admission needs the
+    #   full ordered partition; bounded by one user's single-day volume
+    "ts_ewma_control",  # row_number per event_type over calendar days
+}
+
+
+def unbounded_rank_windows(plan: str) -> int:
+    """Count rank-function windows in a physical plan that have NO
+    visible rank bound. A `row_number`/`rank`/`dense_rank` window whose
+    partition is data-sized sorts that whole partition through ONE
+    reducer (rank functions run single-pass over the partition — the
+    100 TB scale-killer class the r9 state-bounding sweep hunted, and
+    the r10 full-vocab-Zipf retirement closed). A plan is safe when
+    every rank window has a matching bound the optimizer actually
+    planned: a `WindowGroupLimit` (partitioned rank + `filter(rk <= k)`
+    prunes each partition to top-k BEFORE the sort-based rank) or a
+    `TakeOrderedAndProject` (the global-rank equivalent: distributed
+    top-k below the now-k-row window). Windows computing only
+    aggregates (sum/avg over frames — the prefix-sum bucket scans) are
+    not rank windows and are exempt; `ntile`/`percent_rank`/
+    `cume_dist` have no pushdown at all and are banned outright by
+    test_no_cartesian_anywhere."""
+    nwin = 0
+    for line in plan.splitlines():
+        ls = line.strip()
+        if re.match(r"^[+\-:|* ]*Window ", ls):
+            nwin += len(re.findall(r"\b(?:row_number|rank|dense_rank)\(\)", ls))
+    bound = plan.count("WindowGroupLimit") + plan.count("TakeOrderedAndProject")
+    return max(0, nwin - bound)
+
+
+@pytest.mark.parametrize("name", sorted(registry.BUILDERS))
+def test_no_unbounded_rank_window(tables, name):
+    """Global invariant (VERDICT r9 #3): every declared batch query's
+    rank windows must carry a plan-visible rank bound, or the query
+    must be allowlisted in RANK_WINDOW_BOUNDED_OK with a
+    bounded-partition justification — so the r9/r10 no-unbounded-rank
+    win can't silently erode as operators are added."""
+    if name in RANK_WINDOW_BOUNDED_OK:
+        return
+    p = plan_of(tables, name)
+    assert unbounded_rank_windows(p) == 0, (
+        f"{name} plans a rank window with no WindowGroupLimit/"
+        f"TakeOrderedAndProject bound — either rewrite via topk_per_key/"
+        f"prefix_sum_per_key or allowlist with a bounded-partition proof"
+    )
+
+
+def test_unbounded_rank_detector_fires(tables, spark):
+    """The sweep must actually catch a regression: a deliberately
+    unbounded global rank (no filter, rank projected) and a partitioned
+    rank whose filter uses a non-literal bound (no pushdown possible)
+    must both be flagged; the pushed-down top-k forms must not be."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad_global = df.withColumn("rk", F.row_number().over(Window.orderBy("v")))
+    assert unbounded_rank_windows(plan(bad_global)) == 1
+    bad_col_bound = (
+        df.withColumn("n", F.lit(3) + (F.col("v") % 2))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+        .filter(F.col("rk") <= F.col("n"))
+    )
+    assert unbounded_rank_windows(plan(bad_col_bound)) == 1
+    good_part = df.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    ).filter(F.col("rk") <= 3)
+    assert unbounded_rank_windows(plan(good_part)) == 0
+    good_global = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v"))
+    ).filter(F.col("rk") <= 3)
+    assert unbounded_rank_windows(plan(good_global)) == 0
 
 
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))

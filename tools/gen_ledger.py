@@ -30,6 +30,23 @@ R7_HEAD = {
     "source_overlap",
 }
 
+#: declared queries RETIRED from the registry (their functions survive
+#: as test-only law fixtures; historical driver rows stay in the
+#: CORRECTNESS files). r10: the full-vocabulary Zipf pair — the one
+#: plan whose per-source rank window sorted an entire vocabulary
+#: through one reducer (VERDICT r9 "what's wrong" #1); superseded by
+#: the declared head-slice pair text_zipf_topn_fit / flow_zipf_topn.
+RETIRED = {
+    "text_zipf_fit",
+    "flow_zipf",
+}
+
+#: operators added DURING round 10 (after its window froze at rotation)
+#: — the seed of the round-11 rotation; each ships with oracle +
+#: invariant/stream tests + sf0.001/sf0.01/sf0.1 vanilla preflights in
+#: its own commit.
+R11_QUEUE: set[str] = set()
+
 #: operators added DURING round 9 (after its window froze at rotation)
 #: — the seed of the round-10 rotation; each ships with oracle +
 #: invariant/stream tests + sf0.001/sf0.01/sf0.1 vanilla preflights in
@@ -186,24 +203,26 @@ R5_QUEUE = {
 }
 
 HEADER = [
-    "## Cross-round driver-row ledger (r1–r8 recorded, r9 scheduled)",
+    "## Cross-round driver-row ledger (r1–r9 recorded, r10 scheduled)",
     "",
-    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r0{1..8}.json`",
+    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r0{1..9}.json`",
     "(r1 names mapped through the rename table above; `hash` = full",
     "value-hash green, `rows-only` = declared without an oracle by design,",
-    "`FAIL` = a red row). Round 8 went 50/50 green (eighth consecutive",
-    "zero-red round); after it every declared query has ≥1 green driver",
-    "row except the 5 permanently rows-only-by-design names and the 4",
-    "R9_QUEUE post-freeze additions (all 4 preflighted hash-green on",
-    "vanilla sessions at sf0.01 AND sf0.1, r8, and independently",
-    "re-driven by the r8 judge at both scales: 8/8 green). `r9 window` =",
-    "in the first 50 positions of `queries()` this round: R9_QUEUE (4) +",
-    "the 3 r3-latest re-certs deferred from r8 (win_running_gmv,",
-    "win_sales_cube, xmodal_media_features) + 43 re-certification slots",
-    "for the next-stalest surviving green rows (the 49-name r4-era",
-    "cohort, alphabetical; its last 6 names defer to round 10).",
+    "`FAIL` = a red row). Round 9 went 50/50 green (ninth consecutive",
+    "zero-red round). The full-vocab Zipf pair `text_zipf_fit`/`flow_zipf`",
+    "was RETIRED from the registry in r10 (VERDICT r9 #2 — superseded by",
+    "the head-slice pair; their historical rows live in the CORRECTNESS",
+    "files but no longer print here). `r10 window` = in the first 50",
+    "positions of `queries()` this round, per the r9 verdict's rotation",
+    "plan (#1): R10_QUEUE (4 post-r9-freeze additions, never",
+    "driver-checked) + R10_RECERT_REWIRED (11 queries the late-r9",
+    "state-bounding sweep rewired after their latest driver rows) + 35",
+    "re-certification slots for the stalest surviving green rows (the 4",
+    "remaining r4-era names, then the r5-era cohort alphabetically;",
+    "its last 20 names defer to round 11). The 5 permanently",
+    "rows-only-by-design names are excluded from staleness rotation.",
     "",
-    "| query | driver rows | r9 window |",
+    "| query | driver rows | r10 window |",
     "|---|---|---|",
 ]
 
@@ -220,7 +239,7 @@ def main() -> int:
             rename[m.group(1).strip()] = m.group(2).strip()
 
     rows: dict[str, list[str]] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         path = os.path.join(ROOT, f"CORRECTNESS_r0{r}.json")
         if not os.path.exists(path):
             continue
@@ -245,7 +264,7 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r9 window)" if n in window else "— (r10 queue)" if n in R10_QUEUE else "—"
+            "— (r10 window)" if n in window else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
     open(cov_path, "w").write(head + "\n" + "\n".join(out) + "\n")
