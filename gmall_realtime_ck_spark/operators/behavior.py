@@ -357,7 +357,75 @@ def behavior_top_paths(t: dict[str, DataFrame]) -> DataFrame:
 BASKET_MIN_SUPPORT = 2
 BASKET_TOP_K = 50
 
+def events_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics card
+    the reference's DWS layer feeds a dashboard with: users grouped by
+    first-seen day (their cohort), and for each (cohort, day-offset)
+    cell the count of cohort members active that day plus the
+    retention permille against the cohort's size. The triangle a
+    growth team reads day-1/day-7/day-30 retention off.
+
+    Scale: activity first collapses to DISTINCT (user, day) rows (one
+    keyed aggregate with map-side dedup partials — the shuffle carries
+    user-days, not events); the cohort assignment is a second keyed
+    aggregate on user_id and joins back ON user_id (both sides
+    user-day-sized, co-partitioned by the join key — AQE picks
+    broadcast only if the cohort side is tiny); the cell rollup is one
+    more keyed aggregate, and cohort sizes (≤ |days| rows) broadcast
+    into the final permille map. No windows, no sorts, no Python.
+    """
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    return retention_from_user_days(ev.distinct())
+
+
+def retention_from_user_days(user_days: DataFrame) -> DataFrame:
+    """The retention algebra over DISTINCT (user_id, d) activity rows —
+    shared by the batch ``events_retention_cohorts`` and the
+    ``flow_retention_cohorts`` streaming poll step (the input there is
+    a user-day memory table; every join renames its key first, so the
+    shared-lineage self-join resolution holds — the events_anomaly_mad
+    lesson)."""
+    first = user_days.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    first_r = first.withColumnRenamed("user_id", "_uid")
+    cells = (
+        user_days.join(first_r, F.col("user_id") == F.col("_uid"))
+        .select("cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = first.groupBy(F.col("cohort").alias("_sc")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), F.col("cohort") == F.col("_sc"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users",
+            "cohort_size",
+            F.expr("(1000 * n_users) div cohort_size").alias("retention_permille"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_retention_cohorts": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, ts::DATE AS d FROM events
+        ), first AS (
+            SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort, COUNT(*)::BIGINT AS cohort_size FROM first GROUP BY cohort
+        ), cells AS (
+            SELECT f.cohort, (ud.d - f.cohort)::BIGINT AS day_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM ud JOIN first f USING (user_id) GROUP BY 1, 2
+        )
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, c.day_offset,
+               c.n_users, s.cohort_size,
+               ((1000 * c.n_users) // s.cohort_size)::BIGINT AS retention_permille
+        FROM cells c JOIN sizes s USING (cohort)
+    """,
     "behavior_basket_lift": f"""
         WITH baskets AS (
             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -558,4 +626,5 @@ BUILDERS = {
     "attr_last_touch": attr_last_touch,
     "behavior_top_paths": behavior_top_paths,
     "behavior_basket_lift": basket_lift_pairs,
+    "events_retention_cohorts": events_retention_cohorts,
 }

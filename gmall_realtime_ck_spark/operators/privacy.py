@@ -304,7 +304,98 @@ def pseudonymize_users(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: ε for the differential-privacy count release (Laplace b = Δf/ε = 1/ε
+#: for a count query with sensitivity 1).
+DP_EPSILON = 1.0
+#: noise-quantization levels: the Laplace inverse CDF is precomputed in
+#: Python at these u-levels and inlined as a 256-double LITERAL array
+#: in both engines, so the release is bit-reproducible across
+#: Spark/DuckDB with zero transcendental-ulp risk (ln in two libm
+#: implementations may differ in the last ulp; a shared literal table
+#: cannot). 256 levels quantize the noise CDF to ~0.4% — still a valid
+#: noise mechanism, and the seam to swap is documented below.
+_DP_LEVELS = 256
+
+
+def _dp_noise_table() -> list[float]:
+    import math
+
+    b = 1.0 / DP_EPSILON
+    out = []
+    for h in range(_DP_LEVELS):
+        u = (h + 0.5) / _DP_LEVELS  # (0,1), never exactly 0.5
+        c = u - 0.5
+        out.append(-b * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c)))
+    return out
+
+
+_DP_NOISE = _dp_noise_table()
+_DP_NOISE_SPARK = "array(" + ", ".join(f"cast({v!r} as double)" for v in _DP_NOISE) + ")"
+_DP_NOISE_DUCK = "[" + ", ".join(f"{v!r}::DOUBLE" for v in _DP_NOISE) + "]"
+#: 8-bit md5-derived noise index from the release cell's key — the
+#: DETERMINISTIC-SEED seam: tests and the DuckDB oracle reproduce the
+#: draw exactly; a production release swaps this one expression for a
+#: secure RNG (the rest of the algebra — table lookup, clamp, round —
+#: is unchanged).
+_DP_IDX_SPARK = (
+    "cast(conv(substring(md5(concat(event_type, '|', day)), 1, 2), 16, 10) as int) + 1"
+)
+_DP_IDX_DUCK = "('0x' || substr(md5(event_type || '|' || day), 1, 2))::INT + 1"
+
+
+def dp_noisy_counts(counts: DataFrame) -> DataFrame:
+    """The DP-release algebra over a pre-aggregated (event_type, day,
+    n) counts frame — shared by the batch ``privacy_dp_counts`` and
+    the ``flow_dp_counts`` streaming poll step. Pure map over the
+    |cells| rows: noise lookup, clamp at 0 (counts are non-negative by
+    postprocessing — free under DP), round 6 for cross-engine hashing.
+    """
+    return counts.select(
+        "event_type",
+        "day",
+        F.round(
+            F.greatest(
+                F.col("n") + F.expr(f"element_at({_DP_NOISE_SPARK}, {_DP_IDX_SPARK})"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("noisy_count"),
+    )
+
+
+def dp_count_release(t: dict[str, DataFrame]) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006): the
+    per-(event_type, day) activity counts with Laplace(1/ε) noise —
+    the publishable analytics card a privacy team releases instead of
+    raw counts, and the fourth rung of this module's release ladder
+    (redact → k-anon/l-div/t-close audits → pseudonymize → DP release).
+    Noise draws are quantized-inverse-CDF Laplace seeded from the cell
+    key (see ``_DP_IDX_SPARK`` — the documented deterministic-seed
+    seam; production swaps in a secure RNG), clamped at 0.
+
+    Scale: ONE keyed count with map-side partials over the event scan,
+    then a pure-map noise lookup over the |types|·|days| release cells
+    — nothing else shuffles, nothing sorts, no per-row Python.
+    """
+    ev = t["events"]
+    counts = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dp_noisy_counts(counts)
+
+
 ORACLES: dict[str, str] = {
+    "privacy_dp_counts": f"""
+        WITH counts AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               round(greatest(n + ({_DP_NOISE_DUCK})[{_DP_IDX_DUCK}], 0.0), 6)
+                   AS noisy_count
+        FROM counts
+    """,
     "privacy_pseudonymize": f"""
         SELECT substring(md5('{PSEUDO_PEPPER}:' || user_id::VARCHAR), 1, 16) AS pseudonym,
                COUNT(*) AS n_events,
@@ -397,4 +488,5 @@ BUILDERS = {
     "privacy_l_diversity": l_diversity_audit,
     "privacy_t_closeness": t_closeness_audit,
     "privacy_pseudonymize": pseudonymize_users,
+    "privacy_dp_counts": dp_count_release,
 }

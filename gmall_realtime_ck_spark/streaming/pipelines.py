@@ -669,6 +669,49 @@ def flow_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(k_anonymity_audit({"events": ev}), "complete")
 
 
+def flow_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The differential-privacy count release as a live stream — the
+    publishable per-(type, day) activity card maintained continuously,
+    so a privacy team can release CURRENT counts instead of last
+    night's batch. Only the cell counts stream (one keyed aggregate in
+    complete mode); the DP algebra (privacy.dp_noisy_counts — literal
+    noise-table lookup seeded from the cell key, clamp, round) re-runs
+    per poll over the |types|·|days| release cells. Deterministic seed
+    ⇒ re-releasing a cell draws the SAME noise — exactly the
+    production posture (fresh noise per release would let an observer
+    average the noise away), and why the batch oracle applies
+    verbatim."""
+    from ..operators.privacy import dp_noisy_counts
+
+    ev = events_file_stream(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dp_noisy_counts(_run_to_memory(counts, "complete"))
+
+
+def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention matrix as a live stream — day-N retention
+    maintained continuously as activity arrives, the dashboard card a
+    growth team watches intra-day. Only the DISTINCT (user, day)
+    activity set streams (one keyed aggregate in complete mode — the
+    state is user-days, not events); the cohort/offset/permille
+    algebra (behavior.retention_from_user_days) re-runs per poll over
+    that table — the flow_t_closeness pattern. A late event for an
+    already-seen user-day is absorbed by the distinct state, so the
+    final table equals the batch result ⇒ the batch oracle applies
+    verbatim."""
+    from ..operators.behavior import retention_from_user_days
+
+    ev = events_file_stream(spark, sf_dir).select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    )
+    user_days = ev.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("_ct"))
+    return retention_from_user_days(
+        _run_to_memory(user_days, "complete").drop("_ct")
+    )
+
+
 def flow_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The t-closeness audit as a live stream — per-class sensitive
     distributions maintained continuously so a release gate can check
@@ -1515,6 +1558,8 @@ STREAM_BUILDERS = {
     "flow_percentiles": flow_percentiles,
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
+    "flow_dp_counts": flow_dp_counts,
+    "flow_retention_cohorts": flow_retention_cohorts,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
     "flow_session_windows": flow_session_windows,
@@ -1598,6 +1643,8 @@ def stream_oracles() -> dict[str, str]:
         "flow_simpson_diversity": TXT["corpus_simpson_diversity"],
         "flow_zipf_topn": TXT["text_zipf_topn_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
+        "flow_dp_counts": PRIV["privacy_dp_counts"],
+        "flow_retention_cohorts": BEH["events_retention_cohorts"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

@@ -1144,3 +1144,78 @@ def test_pack_sequences_laws(tables):
             expect = start + ntok
         n_seqs = max(sl for s, d, n, st, sf, sl, o in rows if s == src) + 1
         assert n_seqs == (expect + PACK_CTX - 1) // PACK_CTX, src
+
+
+def test_dp_counts_noise_bounds_and_determinism(tables):
+    """privacy_dp_counts (r10): the release must (a) be deterministic
+    across runs (the seeded draw IS the production posture — fresh
+    noise per re-release would let an observer average it away),
+    (b) keep every |noise| within the quantized-Laplace tail bound
+    b·ln(LEVELS) ≈ 5.545, (c) clamp at 0, and (d) actually perturb —
+    both noise signs must occur across the 150 release cells."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.privacy import (
+        DP_EPSILON,
+        _DP_LEVELS,
+        dp_count_release,
+    )
+
+    ev = tables["events"]
+    truth = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rel1 = {
+        (r["event_type"], r["day"]): r["noisy_count"]
+        for r in dp_count_release(tables).collect()
+    }
+    rel2 = {
+        (r["event_type"], r["day"]): r["noisy_count"]
+        for r in dp_count_release(tables).collect()
+    }
+    assert rel1 == rel2 and set(rel1) == set(truth)
+    bound = (1.0 / DP_EPSILON) * math.log(_DP_LEVELS)
+    signs = set()
+    for k, noisy in rel1.items():
+        assert noisy >= 0.0
+        noise = noisy - truth[k]
+        assert abs(noise) <= bound + 1e-6, (k, noise)
+        if noise > 0:
+            signs.add("+")
+        elif noise < 0:
+            signs.add("-")
+    assert signs == {"+", "-"}, signs
+
+
+def test_retention_cohorts_triangle_laws(tables):
+    """events_retention_cohorts (r10): day-0 retention is exactly 1000
+    permille with n_users == cohort_size (everyone is active on their
+    first-seen day), every cell satisfies 0 < n_users ≤ cohort_size
+    with non-negative offsets, cohort sizes sum to the distinct-user
+    count, and the permille column is the exact integer div."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.behavior import events_retention_cohorts
+
+    rows = events_retention_cohorts(tables).collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["n_users"] <= r["cohort_size"], r
+        assert r["retention_permille"] == (1000 * r["n_users"]) // r["cohort_size"]
+        sizes[r["cohort_day"]] = r["cohort_size"]
+        if r["day_offset"] == 0:
+            assert r["n_users"] == r["cohort_size"], r
+            assert r["retention_permille"] == 1000
+    day0 = {r["cohort_day"] for r in rows if r["day_offset"] == 0}
+    assert day0 == set(sizes), "every cohort must have its day-0 cell"
+    n_users_total = tables["events"].select("user_id").distinct().count()
+    assert sum(sizes.values()) == n_users_total

@@ -45,7 +45,12 @@ RETIRED = {
 #: — the seed of the round-11 rotation; each ships with oracle +
 #: invariant/stream tests + sf0.001/sf0.01/sf0.1 vanilla preflights in
 #: its own commit.
-R11_QUEUE: set[str] = set()
+R11_QUEUE = {
+    "privacy_dp_counts",
+    "flow_dp_counts",
+    "events_retention_cohorts",
+    "flow_retention_cohorts",
+}
 
 #: operators added DURING round 9 (after its window froze at rotation)
 #: — the seed of the round-10 rotation; each ships with oracle +
