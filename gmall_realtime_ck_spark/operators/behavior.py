@@ -105,21 +105,40 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     # (~1e0) and monetary (~1e5 cents) — recency dominated the width,
     # every distinct freq/monetary value collapsed into one bucket, and
     # one offset-window partition re-sorted a metric's whole
-    # distinct-value set. Per-metric auto widths keep each histogram's
-    # buckets near the 4096-row target. NULL metrics (a user whose
-    # purchase values are all NULL sums to NULL monetary) are
-    # pre-filtered per the helper's contract — quantile_cont and the
-    # built-in percentile both skip NULLs. Doubles represent these
-    # magnitudes exactly (epoch micros < 2^53).
+    # distinct-value set. The three widths derive from ONE shared
+    # stats pass (min/max×3 + count in a single aggregate — per-call
+    # auto widths would re-run the per_user aggregation once more per
+    # metric: 6 event scans instead of 4), using the same
+    # span·4096/n formula the helper's auto path applies. NULL metrics
+    # (a user whose purchase values are all NULL sums to NULL
+    # monetary) are pre-filtered per the helper's contract —
+    # quantile_cont and the built-in percentile both skip NULLs.
+    # Doubles represent these magnitudes exactly (epoch micros < 2^53).
     from .relational import exact_percentiles_by_counts
 
+    st = per_user.agg(
+        F.min("last_us"), F.max("last_us"),
+        F.min("freq"), F.max("freq"),
+        F.min("monetary_cents"), F.max("monetary_cents"),
+        F.count(F.lit(1)),
+    ).first()
+    n_users = int(st[6] or 0)
     bnd: dict[str, list[float] | None] = {}
-    for metric, col in (("r", "last_us"), ("f", "freq"), ("m", "monetary_cents")):
+    for metric, col, lo, hi in (
+        ("r", "last_us", st[0], st[1]),
+        ("f", "freq", st[2], st[3]),
+        ("m", "monetary_cents", st[4], st[5]),
+    ):
+        if lo is None or not n_users:  # all-NULL metric / no purchasers
+            bnd[metric] = None
+            continue
+        span = max(float(hi) - float(lo), 1e-9)
+        width = max(span * 4096.0 / n_users, 1e-9)
         mdf = per_user.select(F.col(col).cast("double").alias("mv")).filter(
             F.col("mv").isNotNull()
         )
         row = exact_percentiles_by_counts(
-            mdf, [], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+            mdf, [], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}, bucket_size=width
         ).first()
         bnd[metric] = (
             [row["q1"], row["q2"], row["q3"]]

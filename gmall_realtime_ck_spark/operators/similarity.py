@@ -1186,7 +1186,10 @@ def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
     # exact_percentiles_by_counts, not the built-in percentile: a
     # label's whole distance→count map would otherwise buffer in ONE
     # reducer (|label members| entries); the histogram form distributes
-    # it, bit-identically (law-pinned)
+    # it, bit-identically (law-pinned). NULL contract (r10 audit):
+    # dist_micro2 is non-null by construction — every row's own label
+    # is present in the centroid array it filters, so the [0] access
+    # always resolves
     from .relational import exact_percentiles_by_counts
 
     p99 = exact_percentiles_by_counts(

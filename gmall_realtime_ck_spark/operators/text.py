@@ -986,6 +986,13 @@ def corpus_length_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     histogram form distributes the distinct lengths and keeps per-key
     state bounded, with bit-identical results (law-pinned) — no
     percentile_approx accuracy trade needed.
+
+    NULL contract (r10 audit): ``n_chars`` is non-null by the
+    documents schema contract (driver-generated, length-derived), so
+    no pre-filter is needed here; a NULL-able length column fed to the
+    histogram would need ``.isNotNull()`` first — see
+    ``exact_percentiles_by_counts``'s contract and the r9 ADVICE #1
+    fix in ``events_anomaly_mad``.
     """
     from .relational import exact_percentiles_by_counts
 
