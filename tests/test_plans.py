@@ -277,6 +277,47 @@ def test_unbounded_rank_detector_fires(tables, spark):
     assert unbounded_rank_windows(plan(good_global)) == 0
 
 
+#: Streaming twins whose post-poll plan carries a PROVABLY bounded
+#: BroadcastNestedLoopJoin and/or rank window (same proofs as the
+#: batch allowlists above):
+STREAM_PLAN_BOUNDED_OK = {
+    "flow_anomaly_mad": {"bnlj"},  # two 1-row in-plan width-stats broadcasts
+    "flow_ccnet_gate": {"bnlj"},  # 1-row in-plan width-stats broadcast
+    "flow_overlap_kmv": {"bnlj", "rank"},  # |types|²-pairing over K=1024-row
+    #   sketches; rank over the K-row sketch
+    "flow_t_closeness": {"bnlj", "rank"},  # QI-class grid × m-row sensitive
+    #   domain; rank over the bounded grid
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.STREAM_BUILDERS))
+def test_streaming_post_poll_plan_shapes(spark, name):
+    """The r9/r10 mechanical plan contracts, extended to the STREAMING
+    surface (half the registry): each twin's post-poll batch plan —
+    what re-executes on every poll over the memory table, for the
+    stream's whole life — must plan no cartesian, no data-sized nested
+    loop, no single-buffer percentile, no non-pushable ranking window,
+    and no unbounded rank window. Bounded exceptions carry proofs in
+    STREAM_PLAN_BOUNDED_OK. Building a twin executes its bounded
+    pipeline at sf0.001 (~1-2 s each) — the price of sweeping what
+    actually runs per poll rather than hoping the batch sweep's
+    guarantees transfer."""
+    df = registry.STREAM_BUILDERS[name](spark, "/root/testdata/sf0.001")
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    ok = STREAM_PLAN_BOUNDED_OK.get(name, set())
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+    if "bnlj" not in ok:
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested loop"
+    assert "percentile(" not in p, f"{name} plans the single-buffer percentile"
+    for fn in ("ntile(", "percent_rank(", "cume_dist("):
+        assert fn not in p, f"{name} plans a non-pushable ranking window ({fn})"
+    if "rank" not in ok:
+        assert unbounded_rank_windows(p) == 0, (
+            f"{name}'s post-poll plan has an unbounded rank window"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
 def test_no_cartesian_anywhere(tables, name):
     """Global invariant: no declared batch query may plan a cartesian
