@@ -536,3 +536,54 @@ def test_ntile_expr_property_vs_window(spark, ids, b):
         for r in df.withColumn("d", F.ntile(b).over(Window.orderBy("doc_id"))).collect()
     }
     assert got == want, (ids, b, got, want)
+
+
+prefix_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),  # key
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),  # order value
+        st.integers(min_value=-5, max_value=9),  # summed value
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),  # (key, order) unique — the contract
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=prefix_rows,
+    mode=st.sampled_from(["lit4096", "lit7", "auto", "inplan"]),
+    fractional=st.booleans(),
+)
+def test_prefix_sum_any_width_mode_equals_window(spark, rows, mode, fractional):
+    """prefix_sum_per_key must equal the naive running-sum window
+    row-for-row under EVERY width mode (explicit literal, tiny
+    literal, eager auto, in-plan auto), on random keys/orders/values
+    including negatives, huge sparse ids, and the empty frame — the
+    associativity law the whole percentile/rank family rests on."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    typ = "double" if fractional else "long"
+    data = [(k, float(o) / 3.0 if fractional else o, v) for k, o, v in rows]
+    df = spark.createDataFrame(data, f"k string, ord {typ}, v long")
+    bucket_size = {"lit4096": 4096, "lit7": 7, "auto": None, "inplan": "inplan"}[mode]
+    if fractional and mode in ("lit4096", "lit7"):
+        bucket_size = float(bucket_size)
+    got = {
+        (r["k"], r["ord"]): r["run"]
+        for r in prefix_sum_per_key(
+            df, ["k"], "ord", "v", "run", bucket_size=bucket_size
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r["k"], r["ord"]): r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
