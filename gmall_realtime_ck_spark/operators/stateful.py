@@ -121,28 +121,59 @@ def trade_cart_add_uu(t: dict[str, DataFrame]) -> DataFrame:
 USER_DAY_QUOTA = 2
 
 
+#: prefix-sum bucket width for the quota rank: a day is a FIXED domain
+#: (86 400·10⁶ µs), so the width needs no stats pass — 4096 buckets of
+#: ~21.1 s each bound the offset pass at ≤ 4096 rows per (user, day)
+#: forever, and a within-bucket window holds one user's events from a
+#: ~21-second slice instead of their whole day.
+_QUOTA_BUCKET_US = 86_400_000_000 // 4096
+
+
 def user_event_quota(t: dict[str, DataFrame]) -> DataFrame:
     """Per-key rate limiting: admit at most USER_DAY_QUOTA events per
     (user, day) in deterministic (ts, event_id) order and flag the
     rest — the quota/backpressure screen an ingest layer applies
     per producer (and the batch oracle of the custom stateful
-    streaming twin ``streaming.state.user_quota_stream``). One keyed
-    window; the partition key is (user, day), so state per task is one
-    user-day's events.
+    streaming twin ``streaming.state.user_quota_stream``).
+
+    Scale (r10 — the last data-sized rank-window allowlist entry
+    retired): the flag labels EVERY row, so there is no ``rn <= k``
+    filter for WindowGroupLimit to push down, and the earlier
+    ``row_number`` window sorted each (user, day) partition whole —
+    a bot producer emitting 10⁸ events/day funneled through ONE
+    reducer, exactly the admission-control hot key this operator
+    exists to police. The rank is now the exact distributed
+    ``prefix_sum_per_key`` rank (running count of 1s bucketed on
+    event-time micros with ``event_id`` tie columns — law-pinned equal
+    to the window form incl. ties), with the bucket width fixed from
+    the DAY DOMAIN (``_QUOTA_BUCKET_US``): no stats pass, ≤ 4096
+    offset rows per user-day, and a hot key's sort shrinks to its
+    ~21-second slices.
     """
+    from .relational import prefix_sum_per_key
+
     ev = t["events"]
     day = date_str("ts")
-    return (
-        ev.select("user_id", "event_id", day.alias("cur_date"), "ts")
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("user_id", "cur_date").orderBy("ts", "event_id")
-        ))
-        .select(
-            "user_id",
-            "event_id",
-            "cur_date",
-            (F.col("rn") <= USER_DAY_QUOTA).cast("bigint").alias("admitted"),
-        )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        day.alias("cur_date"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_ts_us"),
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    ranked = prefix_sum_per_key(
+        base,
+        ["user_id", "cur_date"],
+        "_ts_us",
+        "_one",
+        "rn",
+        bucket_size=_QUOTA_BUCKET_US,
+        tie_cols=["event_id"],
+    )
+    return ranked.select(
+        "user_id",
+        "event_id",
+        "cur_date",
+        (F.col("rn") <= USER_DAY_QUOTA).cast("bigint").alias("admitted"),
     )
 
 

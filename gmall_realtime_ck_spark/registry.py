@@ -118,14 +118,19 @@ _PRIORITY_HEAD = [
     #       per-metric percentile passes in user_rfm_segments, and the
     #       guarded ntile_expr divisor reaching win_ntile_deciles /
     #       text_novelty_decay / text_ccnet_buckets / flow_ccnet_gate),
-    #   (c) flow_percentiles — rewired THIS round (r9 ADVICE #3: the
-    #       explicit domain-bound bucket width replaces the build-time
-    #       auto-width snapshot), so its fresh r9 row predates the plan,
-    #   (d) 34 re-certification slots: the 4 remaining r4-era names
+    #   (c) flow_percentiles and table_user_quota — rewired THIS round
+    #       (flow_percentiles: r9 ADVICE #3, the explicit domain-bound
+    #       bucket width replaces the build-time auto-width snapshot;
+    #       table_user_quota: the quota rank moved from the full
+    #       (user, day)-partition row_number window to the distributed
+    #       prefix_sum_per_key rank with a day-domain width — the last
+    #       data-sized rank-window allowlist entry retired), so their
+    #       fresh r9 rows predate the plans,
+    #   (d) 33 re-certification slots: the 4 remaining r4-era names
     #       (deferred from the r9 window per its head note (c)), then
-    #       the r5-era cohort alphabetically; its last 18 names
-    #       (privacy_l_diversity .. xmodal_media_stats) defer to the
-    #       round-11 window.
+    #       the r5-era cohort alphabetically; its last 19 names
+    #       (layout_compaction_bins, privacy_l_diversity ..
+    #       xmodal_media_stats) defer to the round-11 window.
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) are excluded from staleness rotation. After
@@ -150,8 +155,9 @@ _PRIORITY_HEAD = [
     "flow_ccnet_gate",
     "win_supplier_percentiles",
     "win_ntile_deciles",
-    # --- (c) rewired this round (r9 ADVICE #3: explicit stream width) ---
+    # --- (c) rewired this round ---
     "flow_percentiles",
+    "table_user_quota",
     # --- (d) re-certification: the 4 remaining r4-era names ---
     "ts_autocorr_daily",
     "ts_ewma_control",
@@ -187,7 +193,6 @@ _PRIORITY_HEAD = [
     "flow_sq8_encode",
     "flow_t_closeness",
     "graph_hits",
-    "layout_compaction_bins",
 ]
 
 

@@ -198,8 +198,6 @@ RANK_WINDOW_BOUNDED_OK = {
     "approx_uv_kmv_rollup",  # rank over K-row sketch unions per rollup cell
     "privacy_t_closeness",  # rank over the |QI classes|·m sensitive grid
     "sample_contaminated_spans",  # row_number per doc_id over in-doc positions
-    "table_user_quota",  # row_number per (user, day): quota admission needs the
-    #   full ordered partition; bounded by one user's single-day volume
     "ts_ewma_control",  # row_number per event_type over calendar days
 }
 

@@ -221,10 +221,12 @@ HEADER = [
     "positions of `queries()` this round, per the r9 verdict's rotation",
     "plan (#1): R10_QUEUE (4 post-r9-freeze additions, never",
     "driver-checked) + R10_RECERT_REWIRED (11 queries the late-r9",
-    "state-bounding sweep rewired after their latest driver rows) + 35",
+    "state-bounding sweep rewired after their latest driver rows) +",
+    "flow_percentiles and table_user_quota (rewired during r10: the",
+    "explicit stream width and the distributed quota rank) + 33",
     "re-certification slots for the stalest surviving green rows (the 4",
     "remaining r4-era names, then the r5-era cohort alphabetically;",
-    "its last 20 names defer to round 11). The 5 permanently",
+    "its last 19 names defer to round 11). The 5 permanently",
     "rows-only-by-design names are excluded from staleness rotation.",
     "",
     "| query | driver rows | r10 window |",
