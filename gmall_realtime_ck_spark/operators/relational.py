@@ -1026,11 +1026,16 @@ def prefix_sum_per_key(
             )
         else:
             # double arithmetic: span·4096 would overflow bigint for
-            # 64-bit id spans, and width only affects balance
+            # 64-bit id spans, and width only affects balance. The
+            # final cast is clamped at 9·10¹⁸ (< 2⁶³−1): a full
+            # signed-64 span (~1.84·10¹⁹, exactly the 64-bit content
+            # hashes this mode advertises) with few rows would
+            # otherwise CAST_OVERFLOW under ANSI — the streaming
+            # first-poll regime (r10 review finding, verified).
             span = f"(cast({hi_c} as double) - cast({lo_c} as double) + 1.0)"
             width = (
-                f"cast(greatest(least({span},"
-                f" {span} * 4096.0 / greatest({n_c}, 1)), 1.0) as bigint)"
+                f"cast(least(greatest(least({span},"
+                f" {span} * 4096.0 / greatest({n_c}, 1)), 1.0), 9.0e18) as bigint)"
             )
             bucket = F.expr(f"{order_col} div {width}")
         pre = df.crossJoin(F.broadcast(stats)).withColumn(b_c, bucket).drop(

@@ -978,15 +978,20 @@ def test_prefix_sum_inplan_width_equals_window(spark):
     from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
 
     w = Window.partitionBy("k").orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
-    # (a) sparse ints, two keys of very different density
+    # (a) sparse ints, two keys of very different density — plus a key
+    # whose values span nearly the FULL signed-64 range with few rows
+    # (64-bit content hashes on a first poll): span·4096/n exceeds
+    # 2^63 there, and the width cast must clamp instead of raising
+    # CAST_OVERFLOW under ANSI (r10 review finding, verified)
     rows_i = [("hot", (i * 2654435761) % (1 << 40), (i % 7) + 1) for i in range(5_000)]
     rows_i += [("cold", i * 3, 1) for i in range(9)]
+    rows_i += [("wide", (1 << 62) * s + i, 1) for s in (-1, 1) for i in range(3)]
     df_i = spark.createDataFrame(rows_i, "k string, ord long, v long")
     # (b) continuous doubles spanning negative values (unique per key —
     # the helper's contract requires (order_col, *tie_cols) unique)
     rows_d = [("a", i * 0.37 - 500.25, i % 5 + 1) for i in range(3_000)]
     df_d = spark.createDataFrame(rows_d, "k string, ord double, v long")
-    for df, n_exp in ((df_i, 5_009), (df_d, 3_000)):
+    for df, n_exp in ((df_i, 5_015), (df_d, 3_000)):
         got = {
             (r["k"], r["ord"]): r["run"]
             for r in prefix_sum_per_key(

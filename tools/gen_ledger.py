@@ -271,7 +271,9 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r10 window)" if n in window else "—"
+            "— (r10 window)" if n in window
+            else "— (r11 queue)" if n in R11_QUEUE
+            else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
     open(cov_path, "w").write(head + "\n" + "\n".join(out) + "\n")
