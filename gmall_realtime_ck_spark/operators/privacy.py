@@ -332,15 +332,23 @@ def _dp_noise_table() -> list[float]:
 _DP_NOISE = _dp_noise_table()
 _DP_NOISE_SPARK = "array(" + ", ".join(f"cast({v!r} as double)" for v in _DP_NOISE) + ")"
 _DP_NOISE_DUCK = "[" + ", ".join(f"{v!r}::DOUBLE" for v in _DP_NOISE) + "]"
-#: 8-bit md5-derived noise index from the release cell's key — the
-#: DETERMINISTIC-SEED seam: tests and the DuckDB oracle reproduce the
-#: draw exactly; a production release swaps this one expression for a
-#: secure RNG (the rest of the algebra — table lookup, clamp, round —
-#: is unchanged).
+#: secret pepper mixed into the noise index — the PSEUDO_PEPPER
+#: pattern. The draw must be a SECRET-KEYED PRF of the cell key: a
+#: hash of the public key alone would let any observer recompute and
+#: subtract the noise exactly (ε effectively ∞ — r10 ADVICE #1). In
+#: production this value is a real secret (KMS / env injection, never
+#: the release); THIS literal is the test-only reproducibility seam so
+#: the DuckDB oracle and re-runs draw identical noise. Keying per cell
+#: (pepper ‖ type ‖ day) keeps re-releases of the same cell identical,
+#: so an observer cannot average fresh noise away either.
+DP_PEPPER = "dp-pepper-v1"
 _DP_IDX_SPARK = (
-    "cast(conv(substring(md5(concat(event_type, '|', day)), 1, 2), 16, 10) as int) + 1"
+    "cast(conv(substring(md5(concat("
+    f"'{DP_PEPPER}:', event_type, '|', day)), 1, 2), 16, 10) as int) + 1"
 )
-_DP_IDX_DUCK = "('0x' || substr(md5(event_type || '|' || day), 1, 2))::INT + 1"
+_DP_IDX_DUCK = (
+    f"('0x' || substr(md5('{DP_PEPPER}:' || event_type || '|' || day), 1, 2))::INT + 1"
+)
 
 
 def dp_noisy_counts(counts: DataFrame) -> DataFrame:
@@ -369,9 +377,10 @@ def dp_count_release(t: dict[str, DataFrame]) -> DataFrame:
     the publishable analytics card a privacy team releases instead of
     raw counts, and the fourth rung of this module's release ladder
     (redact → k-anon/l-div/t-close audits → pseudonymize → DP release).
-    Noise draws are quantized-inverse-CDF Laplace seeded from the cell
-    key (see ``_DP_IDX_SPARK`` — the documented deterministic-seed
-    seam; production swaps in a secure RNG), clamped at 0.
+    Noise draws are quantized-inverse-CDF Laplace indexed by a
+    peppered PRF of the cell key (see ``DP_PEPPER`` — secret in
+    production, a pinned literal here as the test/oracle
+    reproducibility seam), clamped at 0.
 
     Scale: ONE keyed count with map-side partials over the event scan,
     then a pure-map noise lookup over the |types|·|days| release cells

@@ -675,12 +675,16 @@ def flow_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a privacy team can release CURRENT counts instead of last
     night's batch. Only the cell counts stream (one keyed aggregate in
     complete mode); the DP algebra (privacy.dp_noisy_counts — literal
-    noise-table lookup seeded from the cell key, clamp, round) re-runs
-    per poll over the |types|·|days| release cells. Deterministic seed
-    ⇒ re-releasing a cell draws the SAME noise — exactly the
-    production posture (fresh noise per release would let an observer
-    average the noise away), and why the batch oracle applies
-    verbatim."""
+    noise-table lookup indexed by a peppered PRF of the cell key,
+    clamp, round) re-runs per poll over the |types|·|days| release
+    cells. The per-cell draw is a function of (secret pepper, cell
+    key), so re-releasing a cell draws the SAME noise — the property
+    production needs (fresh noise per release would let an observer
+    average it away). Production keeps the pepper an actual secret
+    (privacy.DP_PEPPER is a pinned literal here ONLY so tests and the
+    DuckDB oracle can reproduce the draw); a public seed would let an
+    observer recompute and subtract the noise (r10 ADVICE #1). Batch
+    oracle applies verbatim."""
     from ..operators.privacy import dp_noisy_counts
 
     ev = events_file_stream(spark, sf_dir)

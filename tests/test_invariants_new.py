@@ -1153,8 +1153,9 @@ def test_pack_sequences_laws(tables):
 
 def test_dp_counts_noise_bounds_and_determinism(tables):
     """privacy_dp_counts (r10): the release must (a) be deterministic
-    across runs (the seeded draw IS the production posture — fresh
-    noise per re-release would let an observer average it away),
+    across runs (a cell's noise is a peppered PRF of its key, so
+    re-releases cannot be averaged away; the pepper is secret in
+    production and a pinned literal only for test/oracle reproducibility),
     (b) keep every |noise| within the quantized-Laplace tail bound
     b·ln(LEVELS) ≈ 5.545, (c) clamp at 0, and (d) actually perturb —
     both noise signs must occur across the 150 release cells."""
