@@ -99,16 +99,17 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     # exact_percentiles_by_counts, not the built-in percentile: the
     # global aggregate would buffer all |users| distinct values of each
     # metric in ONE reducer; the histogram form distributes them,
-    # bit-identically (law-pinned). ONE pass PER METRIC (r9 ADVICE #2):
-    # the earlier single stacked pass let the auto bucket width derive
-    # from the COMBINED span of recency (~1e15 epoch micros), frequency
-    # (~1e0) and monetary (~1e5 cents) — recency dominated the width,
-    # every distinct freq/monetary value collapsed into one bucket, and
-    # one offset-window partition re-sorted a metric's whole
-    # distinct-value set. The three widths derive from ONE shared
-    # stats pass (min/max×3 + count in a single aggregate — per-call
-    # auto widths would re-run the per_user aggregation once more per
-    # metric: 6 event scans instead of 4), using the same
+    # bit-identically (law-pinned). ONE stacked (metric, value) pass
+    # for all three metrics (r10 VERDICT #4): each metric row carries
+    # its OWN bucket width and origin via Column expressions — the r9
+    # failure mode of the earlier stacked form (one combined auto width
+    # dominated by recency's ~1e15 epoch-micro span collapsing
+    # freq/monetary into single buckets) cannot recur, because widths
+    # are per-metric from the shared stats pass, and the origin anchors
+    # each metric's bucket grid at its own lo so ids stay ≤ ~n/4096
+    # regardless of magnitude (r10 ADVICE #3 — unanchored
+    # floor(1.7e15/1e-9) ids blew past 2^63 into the ANSI clamp,
+    # collapsing every row into one bucket). Widths use the same
     # span·4096/n formula the helper's auto path applies. NULL metrics
     # (a user whose purchase values are all NULL sums to NULL
     # monetary) are pre-filtered per the helper's contract —
@@ -123,28 +124,54 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)),
     ).first()
     n_users = int(st[6] or 0)
-    bnd: dict[str, list[float] | None] = {}
+    bnd: dict[str, list[float] | None] = {"r": None, "f": None, "m": None}
+    specs = []  # (metric, source col, lo anchor, bucket width)
     for metric, col, lo, hi in (
         ("r", "last_us", st[0], st[1]),
         ("f", "freq", st[2], st[3]),
         ("m", "monetary_cents", st[4], st[5]),
     ):
         if lo is None or not n_users:  # all-NULL metric / no purchasers
-            bnd[metric] = None
             continue
         span = max(float(hi) - float(lo), 1e-9)
-        width = max(span * 4096.0 / n_users, 1e-9)
-        mdf = per_user.select(F.col(col).cast("double").alias("mv")).filter(
-            F.col("mv").isNotNull()
+        specs.append((metric, col, float(lo), max(span * 4096.0 / n_users, 1e-9)))
+    if specs:
+        stacked = (
+            per_user.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("metric"),
+                                F.col(c).cast("double").alias("mv"),
+                            )
+                            for m, c, _, _ in specs
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.metric", "s.mv")
+            .filter(F.col("mv").isNotNull())
         )
-        row = exact_percentiles_by_counts(
-            mdf, [], "mv", {"q1": 0.25, "q2": 0.5, "q3": 0.75}, bucket_size=width
-        ).first()
-        bnd[metric] = (
-            [row["q1"], row["q2"], row["q3"]]
-            if row is not None and row["q1"] is not None
-            else None
-        )
+        width_expr, origin_expr = None, None
+        for m, _, lo, w in specs:
+            cond = F.col("metric") == F.lit(m)
+            width_expr = (F.when if width_expr is None else width_expr.when)(
+                cond, F.lit(w)
+            )
+            origin_expr = (F.when if origin_expr is None else origin_expr.when)(
+                cond, F.lit(lo)
+            )
+        for row in exact_percentiles_by_counts(
+            stacked,
+            ["metric"],
+            "mv",
+            {"q1": 0.25, "q2": 0.5, "q3": 0.75},
+            bucket_size=width_expr.otherwise(F.lit(1.0)),
+            origin=origin_expr.otherwise(F.lit(0.0)),
+        ).collect():
+            if row["q1"] is not None:
+                bnd[row["metric"]] = [row["q1"], row["q2"], row["q3"]]
     b = {"rb": bnd.get("r"), "fb": bnd.get("f"), "mb": bnd.get("m")}
 
     def quartile(metric: str, bnds: list[float] | None) -> F.Column:

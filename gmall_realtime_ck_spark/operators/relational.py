@@ -18,7 +18,7 @@ Reference parity notes cite /root/reference files as ``file:line``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
@@ -922,8 +922,9 @@ def prefix_sum_per_key(
     order_col: str,
     val_col: str,
     out_col: str,
-    bucket_size: int | float | str | None = 4096,
+    bucket_size: int | float | str | F.Column | None = 4096,
     tie_cols: list[str] | None = None,
+    origin: float | F.Column | None = None,
 ) -> DataFrame:
     """Exact distributed running sum of ``val_col`` in ``order_col``
     order within each key — the classic two-level scan, built so a hot
@@ -982,6 +983,25 @@ def prefix_sum_per_key(
     row and the main scan (one extra aggregate; AQE reuses the
     exchange when ``df`` ends in a shuffle, the histogram shape all
     current callers have), plus a 1-row broadcast join.
+
+    ``origin`` anchors the bucket grid: ids come from
+    ``floor((order_col − origin) / width)``, so passing the column's
+    (per-key) minimum keeps ids ≤ ~n/4096 regardless of the values'
+    MAGNITUDE. Without it, an explicit fractional width pairs with
+    origin 0 — and a caller that derives a tiny width from a
+    degenerate span of epoch-microsecond values (~1.7e15) produces ids
+    past 2⁶³, where the ANSI cast clamp collapses every row into one
+    bucket: results stay exact (bucketing only affects balance) but
+    the state-bounding the width exists for is silently lost
+    (r10 ADVICE #3). The auto paths anchor at the observed min for
+    exactly this reason; explicit-width callers pass the lo they
+    already derived from their shared stats pass. ``bucket_size`` and
+    ``origin`` may also be ``Column`` expressions over ``df``'s own
+    columns — the stacked-metric shape, where ONE pass histograms
+    several metrics and each key row carries its own width/anchor
+    (user_rfm_segments); Column bucketing runs in double (monotone in
+    ``order_col``, ties share a bucket — the two properties the
+    two-level scan needs).
     """
     if out_col in df.columns:
         raise ValueError(
@@ -1006,7 +1026,7 @@ def prefix_sum_per_key(
     b_c, run_c, bt_c, off_c = "_b", "_run_in", "_bt", "_off"
     while any(c in df.columns for c in (b_c, run_c, bt_c, off_c)):
         b_c, run_c, bt_c, off_c = (c + "_" for c in (b_c, run_c, bt_c, off_c))
-    if bucket_size == "inplan":
+    if isinstance(bucket_size, str) and bucket_size == "inplan":
         lo_c, hi_c, n_c = "_w_lo", "_w_hi", "_w_n"
         while any(c in df.columns for c in (lo_c, hi_c, n_c)):
             lo_c, hi_c, n_c = (c + "_" for c in (lo_c, hi_c, n_c))
@@ -1041,13 +1061,26 @@ def prefix_sum_per_key(
         pre = df.crossJoin(F.broadcast(stats)).withColumn(b_c, bucket).drop(
             lo_c, hi_c, n_c
         )
+    elif isinstance(bucket_size, Column) or isinstance(origin, Column):
+        w = bucket_size if isinstance(bucket_size, Column) else F.lit(float(bucket_size))
+        o = origin if isinstance(origin, Column) else F.lit(float(origin or 0.0))
+        bucket = F.floor((F.col(order_col).cast("double") - o) / w).cast("bigint")
+        pre = df.withColumn(b_c, bucket)
     else:
+        if origin is not None:
+            frac_origin = float(origin)
         bucket = (
             F.expr(
                 f"cast(floor(({order_col} - {frac_origin!r}) / {bucket_size!r}) as bigint)"
             )
             if fractional
-            else F.expr(f"{order_col} div {bucket_size}")
+            # origin assumes an anchor ≤ min(order_col) (callers pass an
+            # observed lo), so the subtraction cannot underflow
+            else F.expr(
+                f"({order_col} - {int(origin)}) div {bucket_size}"
+                if origin is not None
+                else f"{order_col} div {bucket_size}"
+            )
         )
         pre = df.withColumn(b_c, bucket)
     within = Window.partitionBy(*keys, b_c).orderBy(order_col, *(tie_cols or []))
@@ -1115,7 +1148,8 @@ def exact_percentiles_by_counts(
     val_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
-    bucket_size: int | float | str | None = None,
+    bucket_size: int | float | str | F.Column | None = None,
+    origin: float | F.Column | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per key, computed DISTRIBUTEDLY
     from the (keys, value) → count histogram — the scale-safe
@@ -1154,7 +1188,7 @@ def exact_percentiles_by_counts(
         ct_c += "_"
     counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias(ct_c))
     return exact_percentiles_from_counts(
-        counts, keys, val_col, ct_c, targets, n_col, bucket_size
+        counts, keys, val_col, ct_c, targets, n_col, bucket_size, origin
     )
 
 
@@ -1165,7 +1199,8 @@ def exact_percentiles_from_counts(
     ct_col: str,
     targets: dict[str, float],
     n_col: str = "n_total",
-    bucket_size: int | float | str | None = None,
+    bucket_size: int | float | str | F.Column | None = None,
+    origin: float | F.Column | None = None,
 ) -> DataFrame:
     """The selection/interpolation core of ``exact_percentiles_by_counts``
     over a PRE-COUNTED (keys, value, count) histogram — split out so a
@@ -1178,7 +1213,7 @@ def exact_percentiles_from_counts(
     while cum_c in counts.columns:
         cum_c += "_"
     cum = prefix_sum_per_key(
-        counts, keys, val_col, ct_c, cum_c, bucket_size=bucket_size
+        counts, keys, val_col, ct_c, cum_c, bucket_size=bucket_size, origin=origin
     )
     n_by_key = counts.groupBy(*keys).agg(F.sum(ct_c).alias(n_col))
     if not keys:

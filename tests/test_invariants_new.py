@@ -1009,6 +1009,73 @@ def test_prefix_sum_inplan_width_equals_window(spark):
     assert out.collect() == [] and "run" in out.columns
 
 
+def test_prefix_sum_column_width_and_origin(spark):
+    """Column-valued bucket_size/origin (r11, the stacked-metric shape
+    behind user_rfm_segments): each key row carries its own width and
+    anchor, so ONE pass can histogram metrics of wildly different
+    magnitudes. Exercised in the exact r10 ADVICE #3 regime — a
+    'recency' key at epoch-microsecond magnitude (~1.7e15) with a
+    DEGENERATE span (every value within 4 µs) and a tiny derived
+    width, where an unanchored floor(mv/width) would blow past 2^63
+    into the ANSI clamp and collapse every row into one bucket. Must
+    (a) equal the naive per-key running sum row-for-row and (b) keep
+    the anchored bucket grid small (ids ≤ ~n/4096-scale), i.e. the
+    state-bounding the width exists for actually holds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import prefix_sum_per_key
+
+    base = 1_700_000_000_000_000.0
+    rows = [("recency", base + (i % 5), 1) for i in range(0, 4_000, 2)]
+    rows += [("freq", float(i % 40), 1) for i in range(1, 4_000, 2)]
+    df = (
+        spark.createDataFrame(rows, "metric string, mv double, ct long")
+        .groupBy("metric", "mv")
+        .agg(F.sum("ct").alias("ct"))
+    )
+    stats = {
+        r["metric"]: (r["lo"], r["hi"], r["n"])
+        for r in df.groupBy("metric")
+        .agg(F.min("mv").alias("lo"), F.max("mv").alias("hi"), F.sum("ct").alias("n"))
+        .collect()
+    }
+    width_expr, origin_expr = None, None
+    for m, (lo, hi, n) in stats.items():
+        span = max(hi - lo, 1e-9)
+        w = max(span * 4096.0 / n, 1e-9)
+        cond = F.col("metric") == F.lit(m)
+        width_expr = (F.when if width_expr is None else width_expr.when)(cond, F.lit(w))
+        origin_expr = (F.when if origin_expr is None else origin_expr.when)(cond, F.lit(lo))
+    out = prefix_sum_per_key(
+        df,
+        ["metric"],
+        "mv",
+        "ct",
+        "cum",
+        bucket_size=width_expr.otherwise(F.lit(1.0)),
+        origin=origin_expr.otherwise(F.lit(0.0)),
+    )
+    got = {(r["metric"], r["mv"]): r["cum"] for r in out.collect()}
+    w = Window.partitionBy("metric").orderBy("mv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r["metric"], r["mv"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("ct").over(w)).collect()
+    }
+    assert got == want and len(got) == 25  # 5 recency + 20 freq values
+    # (b) the anchored grid the helper builds must stay small — the
+    # unanchored id for the recency key would be floor(1.7e15/w) ≫ 2^40
+    grid = df.select(
+        F.floor(
+            (F.col("mv") - origin_expr.otherwise(F.lit(0.0)))
+            / width_expr.otherwise(F.lit(1.0))
+        ).alias("b")
+    )
+    assert grid.agg(F.max("b")).first()[0] <= 4096
+
+
 def test_exact_percentiles_by_counts_equals_builtin(spark):
     """The distributed histogram percentile must equal Spark's built-in
     `percentile` BIT-FOR-BIT (same interpolation formula, same float
