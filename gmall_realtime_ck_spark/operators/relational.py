@@ -1212,25 +1212,75 @@ def exact_percentiles_from_counts(
     ct_c, cum_c = ct_col, "_pct_cum"
     while cum_c in counts.columns:
         cum_c += "_"
-    cum = prefix_sum_per_key(
-        counts, keys, val_col, ct_c, cum_c, bucket_size=bucket_size, origin=origin
-    )
-    n_by_key = counts.groupBy(*keys).agg(F.sum(ct_c).alias(n_col))
-    if not keys:
-        joined = cum.crossJoin(F.broadcast(n_by_key))
-    else:
-        # renamed-key join: both sides descend from `counts`, which may
-        # be a named streaming memory table (see prefix_sum_per_key)
-        rkeys = [k + "__n" for k in keys]
+    if keys and isinstance(bucket_size, str) and bucket_size == "inplan":
+        # keyed in-plan stats (r11): ONE aggregate over `counts` feeds
+        # the bucket width, the lo anchor AND the per-key N — per-key
+        # widths bucket each key against its OWN span (a hot key's
+        # distribution no longer shares a width with a sparse one),
+        # the anchor keeps ids ≤ ~n/4096 at any magnitude (r10 ADVICE
+        # #3), and n rides THROUGH the prefix scan instead of a second
+        # `counts` aggregation + join. That second reference mattered:
+        # Catalyst inlines every DataFrame reference as a plan-tree
+        # copy and (measured, r11) identical exchange subtrees under
+        # different consumers are not deduped at runtime, so each
+        # reference to `counts` re-executes its whole subtree — for
+        # the streaming twins that is a re-scan per poll, for nested
+        # callers (the MAD screen) it compounded to a ~100-exchange
+        # emit plan. Width re-derives in-plan on every execution, so
+        # polls bucket against CURRENT stats (the r9 ADVICE #3
+        # guarantee, unchanged).
+        if n_col in counts.columns:
+            raise ValueError(
+                f"exact_percentiles_from_counts: n_col {n_col!r} already in input"
+            )
+        lo_c, hi_c = "_ks_lo", "_ks_hi"
+        while any(c in counts.columns for c in (lo_c, hi_c)):
+            lo_c, hi_c = lo_c + "_", hi_c + "_"
+        kstats = counts.groupBy(*keys).agg(
+            F.min(val_col).alias(lo_c),
+            F.max(val_col).alias(hi_c),
+            F.sum(ct_c).alias(n_col),
+        )
+        rkeys = [k + "__s" for k in keys]
         while any(k in counts.columns for k in rkeys):
             rkeys = [k + "_" for k in rkeys]
         for old, new in zip(keys, rkeys):
-            n_by_key = n_by_key.withColumnRenamed(old, new)
+            kstats = kstats.withColumnRenamed(old, new)
         cond = None
         for old, new in zip(keys, rkeys):
             eq = F.col(old) == F.col(new)
             cond = eq if cond is None else (cond & eq)
-        joined = cum.join(n_by_key, cond).drop(*rkeys)
+        enriched = counts.join(F.broadcast(kstats), cond).drop(*rkeys)
+        lo = F.col(lo_c).cast("double")
+        span = F.col(hi_c).cast("double") - lo
+        width = F.greatest(
+            span * F.lit(4096.0) / F.greatest(F.col(n_col), F.lit(1)),
+            F.lit(1e-9),
+        )
+        cum = prefix_sum_per_key(
+            enriched, keys, val_col, ct_c, cum_c, bucket_size=width, origin=lo
+        )
+        joined = cum.drop(lo_c, hi_c)
+    else:
+        cum = prefix_sum_per_key(
+            counts, keys, val_col, ct_c, cum_c, bucket_size=bucket_size, origin=origin
+        )
+        n_by_key = counts.groupBy(*keys).agg(F.sum(ct_c).alias(n_col))
+        if not keys:
+            joined = cum.crossJoin(F.broadcast(n_by_key))
+        else:
+            # renamed-key join: both sides descend from `counts`, which
+            # may be a named streaming memory table (see prefix_sum_per_key)
+            rkeys = [k + "__n" for k in keys]
+            while any(k in counts.columns for k in rkeys):
+                rkeys = [k + "_" for k in rkeys]
+            for old, new in zip(keys, rkeys):
+                n_by_key = n_by_key.withColumnRenamed(old, new)
+            cond = None
+            for old, new in zip(keys, rkeys):
+                eq = F.col(old) == F.col(new)
+                cond = eq if cond is None else (cond & eq)
+            joined = cum.join(n_by_key, cond).drop(*rkeys)
     aggs = []
     for name, p in targets.items():
         pos = f"(cast({p!r} as double) * ({n_col} - 1))"

@@ -744,24 +744,41 @@ def flow_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flow_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MAD outlier screen as a live stream: the event log ingests
-    in append mode (watermarked source, projection pruned to the three
-    audit columns before anything buffers), and each poll re-runs the
-    batch audit (operators.behavior.events_anomaly_mad) over the
-    ingested log — median/MAD thresholds and the flagged rows are
-    always current. The audited set equals the batch input, so the
-    batch oracle applies verbatim.
+    """The MAD outlier screen as a live stream, with the
+    (type, value)-count HISTOGRAM as the keyed stream state (r10
+    VERDICT #2, the flow_percentiles pattern): one complete-mode keyed
+    aggregate maintains the compressed value distribution — state is
+    |distinct (type, value)| counts, never raw events — and each poll
+    runs the threshold algebra (operators.behavior.anomaly_mad_outliers:
+    median/MAD via the distributed-histogram percentiles, in-plan
+    widths) over that materialized table instead of re-deriving the
+    histogram from the raw log. The raw log itself ingests in append
+    mode (projection pruned to the three audit columns before anything
+    buffers) solely for the outlier EMIT — the one step that
+    inherently needs event ids — and is scanned exactly once per poll,
+    against broadcast thresholds. At 100 TB the append leg lands in a
+    real sink (Delta/parquet) and the emit is a filter over it;
+    thresholds still come from the histogram state. The audited set
+    equals the batch input and the algebra is shared, so the batch
+    oracle applies verbatim."""
+    from ..operators.behavior import anomaly_mad_outliers
 
-    At 100 TB the polled log lives in a real sink (Delta/parquet) and
-    the thresholds derive from a continuously-maintained
-    (type, value)-count histogram instead of the raw log — the audit
-    algebra is unchanged, it just reads the compressed distribution.
-    """
-    from ..operators.behavior import events_anomaly_mad
-
-    ev = events_file_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    ev = (
+        events_file_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    # memory-sink tables scan as a single-partition LocalTableScan; the
+    # threshold algebra references the histogram from several branches
+    # (stats, bucket scan, deviation re-key), so hash-repartitioning it
+    # once both parallelizes every branch and gives the copies a shared
+    # exchange shape (measured ~25% off the poll at sf0.1)
+    hist = _run_to_memory(
+        ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct")),
+        "complete",
+    ).repartition(8, "event_type", "value")
     log = _run_to_memory(ev, "append")
-    return events_anomaly_mad({"events": log})
+    return anomaly_mad_outliers(log, hist)
 
 
 def flow_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:

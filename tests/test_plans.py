@@ -182,8 +182,9 @@ BOUNDED_NLJ_OK = {
     "approx_join_keys_kmv",  # |key columns|² pairing over K-row sketches
     "text_novelty_decay",  # 1-row doc-count broadcast for the NTILE closed form
     "win_ntile_deciles",  # 1-row customer-count broadcast for the NTILE closed form
-    "events_anomaly_mad",  # two 1-row in-plan width-stats broadcasts (r10)
     "text_ccnet_buckets",  # 1-row in-plan width-stats broadcast (r10)
+    # events_anomaly_mad dropped r11: the keyed in-plan stats join on
+    # event_type, so the plan no longer contains any nested loop
 }
 
 
@@ -301,7 +302,7 @@ def test_unbounded_rank_detector_fires(tables, spark):
 #: BroadcastNestedLoopJoin and/or rank window (same proofs as the
 #: batch allowlists above):
 STREAM_PLAN_BOUNDED_OK = {
-    "flow_anomaly_mad": {"bnlj"},  # two 1-row in-plan width-stats broadcasts
+    # flow_anomaly_mad dropped r11: keyed in-plan stats ⇒ no nested loop
     "flow_ccnet_gate": {"bnlj"},  # 1-row in-plan width-stats broadcast
     "flow_overlap_kmv": {"bnlj", "rank"},  # |types|²-pairing over K=1024-row
     #   sketches; rank over the K-row sketch

@@ -698,3 +698,60 @@ def test_compact_latest_snapshot_history_invariance(spark):
     assert compact_latest_snapshot(full_df, "source").columns == [
         "source", "upd", "h", "doc_id",
     ]
+
+
+def test_flow_anomaly_mad_histogram_state_matches_batch(spark, tables):
+    """r10 verdict #2: the MAD twin's streamed aggregate must hold the
+    (type, value)-count HISTOGRAM as its keyed state — one state-store
+    row per distinct (event_type, value) pair, never O(raw events) —
+    and the twin's outliers must equal the batch audit exactly."""
+    import json
+    import uuid
+
+    from gmall_realtime_ck_spark.operators.behavior import events_anomaly_mad
+
+    ev = (
+        pipelines.events_file_stream(spark, SF_DIR)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    name = "madstate" + uuid.uuid4().hex[:8]
+    ckpt = pipelines._process_tempdir("ckpt_")
+    q = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("hct"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_ev = tables["events"].filter(F.col("value").isNotNull())
+    pairs = batch_ev.select("event_type", "value").distinct().count()
+    raw = batch_ev.count()
+    state_rows = max(
+        sum(s.get("numRowsTotal", 0) for s in json.loads(p.json).get("stateOperators") or [])
+        for p in q.recentProgress
+    )
+    assert 0 < state_rows <= pairs < raw, (state_rows, pairs, raw)
+    # the streamed histogram equals the batch histogram row-for-row
+    got_hist = {
+        (r["event_type"], r["value"]): r["hct"] for r in spark.table(name).collect()
+    }
+    want_hist = {
+        (r["event_type"], r["value"]): r["hct"]
+        for r in batch_ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("hct"))
+        .collect()
+    }
+    assert got_hist == want_hist
+    # twin output ≡ batch audit
+    got = sorted(
+        tuple(r) for r in pipelines.flow_anomaly_mad(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r) for r in events_anomaly_mad({"events": tables["events"]}).collect()
+    )
+    assert got == want and len(got) > 0
