@@ -218,24 +218,59 @@ def unbounded_rank_windows(plan: str) -> int:
     aggregates (sum/avg over frames — the prefix-sum bucket scans) are
     not rank windows and are exempt; `ntile`/`percent_rank`/
     `cume_dist` have no pushdown at all and are banned outright by
-    test_no_cartesian_anywhere."""
-    nwin = 0
-    wgl = 0
-    for line in plan.splitlines():
-        ls = line.strip()
-        if re.match(r"^[+\-:|* ]*Window ", ls):
-            nwin += len(re.findall(r"\b(?:row_number|rank|dense_rank)\(\)", ls))
-        elif "WindowGroupLimit" in ls:
-            # Spark plans a Partial+Final WindowGroupLimit PAIR per
-            # bounded rank window — counting raw nodes double-credits
-            # and masks a second, genuinely unbounded window in the
-            # same plan (r10 review finding, verified by repro). Count
-            # one credit per Final (or per suffix-less node on builds
-            # that print no mode).
-            if "Partial" not in ls:
-                wgl += 1
-    bound = wgl + plan.count("TakeOrderedAndProject")
-    return max(0, nwin - bound)
+    test_no_cartesian_anywhere.
+
+    Bounds are matched STRUCTURALLY (r10 ADVICE #2): a rank window is
+    credited only by a bound node in its OWN subtree — the operator
+    that prunes that window's input — claimed innermost-first so a
+    nested bounded window cannot have its WindowGroupLimit stolen by
+    an enclosing one. Plan-global counting let any unrelated
+    TakeOrderedAndProject (a global ORDER BY + LIMIT elsewhere in the
+    plan) offset the count and mask a genuinely unbounded rank window
+    — the same masking class the Partial/Final double-credit fix
+    closed (a Partial+Final WindowGroupLimit PAIR counts once: only
+    the Final/suffix-less node credits)."""
+    # parse the tree: depth = length of the box-art prefix; a node's
+    # subtree = the consecutive following lines at strictly greater
+    # depth (Spark prints children below their parent, indented)
+    nodes = []  # (depth, kind, rank_fn_count, line_idx)
+    plan_lines = plan.splitlines()
+    for i, line in enumerate(plan_lines):
+        m = re.match(r"^([+\-:|\s]*)(?:\*\(\d+\)\s*)?(.*)$", line)
+        art, body = m.group(1), m.group(2)
+        if re.match(r"^Window ", body):
+            nrk = len(re.findall(r"\b(?:row_number|rank|dense_rank)\(\)", body))
+            if nrk:
+                nodes.append([len(art), "window", nrk, i])
+        elif "WindowGroupLimit" in body and "Partial" not in body:
+            nodes.append([len(art), "bound", 0, i])
+        elif "TakeOrderedAndProject" in body:
+            nodes.append([len(art), "bound", 0, i])
+    unbounded = 0
+    claimed: set[int] = set()
+    # reverse line order = descendants before ancestors
+    for depth, kind, nrk, i in sorted(
+        (n for n in nodes if n[1] == "window"), key=lambda n: -n[3]
+    ):
+        got = None
+        for bd, bk, _, bi in nodes:
+            if bk != "bound" or bi in claimed or bi <= i:
+                continue
+            # still inside the window's subtree? every line between
+            # must stay deeper than the window node
+            lines = plan_lines[i + 1 : bi + 1]
+            if all(
+                len(re.match(r"^([+\-:|\s]*)", ln).group(1)) > depth
+                for ln in lines
+                if ln.strip()
+            ):
+                got = bi
+                break
+        if got is not None:
+            claimed.add(got)
+        else:
+            unbounded += nrk
+    return unbounded
 
 
 @pytest.mark.parametrize("name", sorted(registry.BUILDERS))
@@ -296,6 +331,19 @@ def test_unbounded_rank_detector_fires(tables, spark):
         .withColumn("grk", F.row_number().over(Window.orderBy("v")))
     )
     assert unbounded_rank_windows(plan(masked)) == 1
+    # the structural case (r10 ADVICE #2): an unbounded rank window
+    # whose plan ALSO contains an unrelated global ORDER BY + LIMIT —
+    # the TakeOrderedAndProject sits ABOVE the window (not in its
+    # subtree), so plan-global counting credited it and masked the
+    # unbounded window; subtree matching must still flag it
+    masked_top = (
+        df.withColumn("rk", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+        .orderBy("v")
+        .limit(5)
+    )
+    p_top = plan(masked_top)
+    assert "TakeOrderedAndProject" in p_top
+    assert unbounded_rank_windows(p_top) == 1
 
 
 #: Streaming twins whose post-poll plan carries a PROVABLY bounded
