@@ -101,98 +101,90 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-10 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r9). Composition,
-    # per the r9 verdict's rotation plan (#1):
-    #   (a) the 4 R10_QUEUE post-r9-freeze additions
-    #       (tools/gen_ledger.py::R10_QUEUE) — never driver-checked
-    #       (all 4 preflighted hash-green on vanilla sessions at sf0.01
-    #       AND sf0.1, r9, and independently re-driven by the r9 judge
-    #       at sf0.01: 4/4 green),
-    #   (b) the 11 R10_RECERT_REWIRED names — queries the late-r9
-    #       state-bounding sweep rewired AFTER their latest driver rows
-    #       (law-pinned identical, both-scale sweeps green, 11/11 in
-    #       the r9 judge's independent preflight; several are rewired
-    #       AGAIN this round by the r9 ADVICE fixes: the NULL
-    #       pre-filter in events_anomaly_mad/flow_anomaly_mad, the
-    #       per-metric percentile passes in user_rfm_segments, and the
-    #       guarded ntile_expr divisor reaching win_ntile_deciles /
-    #       text_novelty_decay / text_ccnet_buckets / flow_ccnet_gate),
-    #   (c) flow_percentiles and table_user_quota — rewired THIS round
-    #       (flow_percentiles: r9 ADVICE #3, the explicit domain-bound
-    #       bucket width replaces the build-time auto-width snapshot;
-    #       table_user_quota: the quota rank moved from the full
-    #       (user, day)-partition row_number window to the distributed
-    #       prefix_sum_per_key rank with a day-domain width — the last
-    #       data-sized rank-window allowlist entry retired), so their
-    #       fresh r9 rows predate the plans,
-    #   (d) 33 re-certification slots: the 4 remaining r4-era names
-    #       (deferred from the r9 window per its head note (c)), then
-    #       the r5-era cohort alphabetically; its last 19 names
-    #       (layout_compaction_bins, privacy_l_diversity ..
-    #       xmodal_media_stats) defer to the round-11 window.
+    # --- Round-11 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r10). Composition,
+    # per the r10 verdict's rotation plan (#1):
+    #   (a) the 4 R11_QUEUE post-r10-freeze additions
+    #       (tools/gen_ledger.py::R11_QUEUE) — never driver-checked
+    #       (all 4 preflighted hash-green on vanilla sessions at three
+    #       scales, r10, independently re-preflighted by the r10 judge,
+    #       and re-preflighted r11 after the DP-pepper fix changed the
+    #       two DP releases' noise draws — r10 ADVICE #1),
+    #   (b) the 3 names rewired THIS round: events_anomaly_mad /
+    #       flow_anomaly_mad (the histogram-state streaming twin +
+    #       linearized threshold tree + keyed in-plan percentile stats
+    #       — r10 VERDICT #2) and user_rfm_segments (one stacked
+    #       (metric, value) histogram pass with per-metric Column
+    #       width/origin — r10 VERDICT #4 + ADVICE #3), so their fresh
+    #       r10 rows predate the plans,
+    #   (c) the 19 deferred r5-era re-certs (the r10 window's
+    #       rotation arithmetic stopped 19 short — r10 VERDICT #1):
+    #       layout_compaction_bins .. xmodal_media_stats alphabetical,
+    #   (d) 24 re-certification slots for the stalest surviving green
+    #       rows — the r6-era cohort alphabetically (corpus_hapax_share
+    #       .. text_dedup_exact); its remainder rotates in round 12.
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) are excluded from staleness rotation. After
-    # this round no declared query's plan is newer than its latest
-    # driver evidence, and every declared query's latest green row is
-    # r5+ except the rows-only set and the 18 deferred r5-era names.
+    # this round every declared query has a driver hash row (the 4
+    # queue names land theirs), no declared query's plan is newer than
+    # its latest driver evidence, and every latest green row is r6+
+    # except the rows-only set.
     # Window history: COVERAGE.md cross-round ledger.
-    # --- (a) R10_QUEUE: post-r9-freeze additions, never driver-checked ---
-    "text_zipf_topn_fit",
-    "flow_zipf_topn",
-    "corpus_heaps_law",
-    "corpus_pack_sequences",
-    # --- (b) R10_RECERT_REWIRED: late-r9 state-bounding rewires ---
-    "event_value_percentiles",
-    "ship_latency_percentiles",
-    "events_dwell_median",
+    # --- (a) R11_QUEUE: post-r10-freeze additions, never driver-checked ---
+    "privacy_dp_counts",
+    "flow_dp_counts",
+    "events_retention_cohorts",
+    "flow_retention_cohorts",
+    # --- (b) rewired this round ---
     "events_anomaly_mad",
     "flow_anomaly_mad",
     "user_rfm_segments",
-    "text_novelty_decay",
-    "text_ccnet_buckets",
-    "flow_ccnet_gate",
-    "win_supplier_percentiles",
-    "win_ntile_deciles",
-    # --- (c) rewired this round ---
-    "flow_percentiles",
-    "table_user_quota",
-    # --- (d) re-certification: the 4 remaining r4-era names ---
-    "ts_autocorr_daily",
-    "ts_ewma_control",
-    "ts_seasonal_backtest",
-    "xmodal_exact_dedup",
-    # --- (d) re-certification: r5-era cohort, alphabetical ---
-    "ann_ivf_pq_topk",
-    "ann_label_precision",
-    "ann_pq_adc_topk",
-    "ann_rrf_fusion",
-    "behavior_basket_lift",
-    "corpus_chunk_sliding",
-    "corpus_countmin_tokens",
-    "corpus_pmi_bigrams",
-    "doc_perplexity_heldout",
-    "doc_perplexity_kneser_ney",
-    "embedding_centroid_drift",
-    "embedding_dim_stats",
-    "embedding_hamming_topk",
-    "embedding_kcenter_init",
-    "embedding_matryoshka_eval",
-    "embedding_pca_project",
-    "embedding_sq8_codes",
-    "flow_bloom_contamination",
-    "flow_chunking",
-    "flow_countmin",
-    "flow_cusum",
-    "flow_dsir_gate",
-    "flow_frame_sample",
-    "flow_heavy_tokens",
-    "flow_perplexity_gate",
-    "flow_pseudonymize",
-    "flow_sq8_encode",
-    "flow_t_closeness",
-    "graph_hits",
+    # --- (c) re-certification: the 19 deferred r5-era names ---
+    "layout_compaction_bins",
+    "privacy_l_diversity",
+    "privacy_pseudonymize",
+    "privacy_t_closeness",
+    "sample_bloom_contamination",
+    "sample_dsir_weights",
+    "source_minhash_jaccard",
+    "text_dedup_keep_best",
+    "text_langid_ngram",
+    "text_rake_keyphrases",
+    "traffic_bounce_rate",
+    "ts_cusum_changepoints",
+    "ts_open_lines_daily",
+    "ts_quantile_rollup",
+    "ts_series_similarity",
+    "win_wow_change",
+    "xmodal_audio_windows",
+    "xmodal_frame_sample",
+    "xmodal_media_stats",
+    # --- (d) re-certification: r6-era cohort, alphabetical ---
+    "corpus_hapax_share",
+    "corpus_token_gini",
+    "corpus_tokenizer_fertility",
+    "embedding_recall_at_k",
+    "flow_keyword_pipeline",
+    "flow_repetition",
+    "flow_token_gini",
+    "flow_tokenizer_fertility",
+    "path_transition_entropy",
+    "retention_monthly_churn",
+    "returning_users",
+    "sample_contaminated_spans",
+    "sample_contamination",
+    "sequence_pack_assign",
+    "serving_gmv",
+    "serving_topk_channel",
+    "session_window_events",
+    "sim_label_centroids",
+    "simhash_docs",
+    "stratified_sample",
+    "table_config_routed_split",
+    "table_dedup_first_per_key",
+    "text_clean_manifest",
+    "text_dedup_exact",
 ]
 
 

@@ -165,30 +165,32 @@ def test_ledger_queue_names_resolve():
         ("R10_QUEUE", mod.R10_QUEUE),
         ("R10_RECERT_REWIRED", mod.R10_RECERT_REWIRED),
         ("R11_QUEUE", mod.R11_QUEUE),
+        ("R11_REWIRED", mod.R11_REWIRED),
+        ("R11_RECERT_R5", mod.R11_RECERT_R5),
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-10 rotation contract (VERDICT r9 #1): every mandatory name —
-    # the 4 post-r9-freeze additions (R10_QUEUE, never driver-checked),
-    # the 11 late-r9 state-bounding rewires (R10_RECERT_REWIRED, whose
-    # standing driver evidence predates their current plans), and
-    # flow_percentiles (rewired this round by the r9 ADVICE #3 explicit
-    # stream width) — sits inside the 50-slot window, the window is
-    # exactly 50 names, and the already-re-certified r9 window names
-    # (R9_QUEUE, all green in CORRECTNESS_r09) have rotated out to free
-    # the slots. Post-freeze round-10 additions (R11_QUEUE) must stay
-    # OUT of the head — they queue for the round-11 rotation.
+    # Round-11 rotation contract (VERDICT r10 #1): every mandatory name
+    # — the 4 post-r10-freeze additions (R11_QUEUE, never
+    # driver-checked), the 3 names rewired during r11
+    # (R11_REWIRED: the MAD histogram-state/keyed-stats pair and the
+    # stacked-pass RFM, whose fresh r10 rows predate their current
+    # plans), and the 19 deferred r5-era re-certs (R11_RECERT_R5 —
+    # the r10 window's rotation arithmetic stopped 19 short) — sits
+    # inside the 50-slot window, the window is exactly 50 names, and
+    # the freshly-r10-certified cohorts (R10_QUEUE, and
+    # R10_RECERT_REWIRED except its 3 re-rewired members) have rotated
+    # out to free the slots.
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    assert mod.R10_QUEUE <= head, sorted(mod.R10_QUEUE - head)
-    assert mod.R10_RECERT_REWIRED <= head, sorted(mod.R10_RECERT_REWIRED - head)
-    assert "flow_percentiles" in head
+    assert mod.R11_QUEUE <= head, sorted(mod.R11_QUEUE - head)
+    assert mod.R11_REWIRED <= head, sorted(mod.R11_REWIRED - head)
+    assert mod.R11_RECERT_R5 <= head, sorted(mod.R11_RECERT_R5 - head)
     # Only the RECENTLY-certified cohorts are excluded from the window
     # (burning a slot on a fresh green row wastes it); older historical
-    # queues (R5-R7) may legitimately re-enter as their rows go stale —
-    # e.g. ship_latency_percentiles (R6_HEAD, r6 row) re-certifies in
-    # r10 because the late-r9 state-bounding sweep rewired its plan.
-    assert not (mod.R11_QUEUE & head), sorted(mod.R11_QUEUE & head)
+    # queues (R5-R7) may legitimately re-enter as their rows go stale.
+    assert not (mod.R10_QUEUE & head), sorted(mod.R10_QUEUE & head)
+    assert mod.R10_RECERT_REWIRED & head == mod.R11_REWIRED
     assert not (mod.R9_QUEUE & head), sorted(mod.R9_QUEUE & head)
     assert not (mod.R8_QUEUE & head), sorted(mod.R8_QUEUE & head)

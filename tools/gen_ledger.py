@@ -52,6 +52,43 @@ R11_QUEUE = {
     "flow_retention_cohorts",
 }
 
+#: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
+#: the MAD screen pair (histogram-state streaming twin, linearized
+#: threshold tree, keyed in-plan percentile stats — r10 VERDICT #2)
+#: and the RFM segmentation (one stacked (metric, value) histogram
+#: pass with per-metric Column width/origin — r10 VERDICT #4 +
+#: ADVICE #3); all three sit in the r11 window for re-certification.
+R11_REWIRED = {
+    "events_anomaly_mad",
+    "flow_anomaly_mad",
+    "user_rfm_segments",
+}
+
+#: the 19 r5-era re-certs the round-10 rotation deferred (its 33
+#: re-cert slots ran out 19 short — r10 VERDICT "what's missing" #1);
+#: mandatory in the round-11 window.
+R11_RECERT_R5 = {
+    "layout_compaction_bins",
+    "privacy_l_diversity",
+    "privacy_pseudonymize",
+    "privacy_t_closeness",
+    "sample_bloom_contamination",
+    "sample_dsir_weights",
+    "source_minhash_jaccard",
+    "text_dedup_keep_best",
+    "text_langid_ngram",
+    "text_rake_keyphrases",
+    "traffic_bounce_rate",
+    "ts_cusum_changepoints",
+    "ts_open_lines_daily",
+    "ts_quantile_rollup",
+    "ts_series_similarity",
+    "win_wow_change",
+    "xmodal_audio_windows",
+    "xmodal_frame_sample",
+    "xmodal_media_stats",
+}
+
 #: operators added DURING round 9 (after its window froze at rotation)
 #: — the seed of the round-10 rotation; each ships with oracle +
 #: invariant/stream tests + sf0.001/sf0.01/sf0.1 vanilla preflights in
@@ -208,28 +245,30 @@ R5_QUEUE = {
 }
 
 HEADER = [
-    "## Cross-round driver-row ledger (r1–r9 recorded, r10 scheduled)",
+    "## Cross-round driver-row ledger (r1–r10 recorded, r11 scheduled)",
     "",
-    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r0{1..9}.json`",
+    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..10}.json`",
     "(r1 names mapped through the rename table above; `hash` = full",
     "value-hash green, `rows-only` = declared without an oracle by design,",
-    "`FAIL` = a red row). Round 9 went 50/50 green (ninth consecutive",
+    "`FAIL` = a red row). Round 10 went 50/50 green (tenth consecutive",
     "zero-red round). The full-vocab Zipf pair `text_zipf_fit`/`flow_zipf`",
     "was RETIRED from the registry in r10 (VERDICT r9 #2 — superseded by",
     "the head-slice pair; their historical rows live in the CORRECTNESS",
-    "files but no longer print here). `r10 window` = in the first 50",
-    "positions of `queries()` this round, per the r9 verdict's rotation",
-    "plan (#1): R10_QUEUE (4 post-r9-freeze additions, never",
-    "driver-checked) + R10_RECERT_REWIRED (11 queries the late-r9",
-    "state-bounding sweep rewired after their latest driver rows) +",
-    "flow_percentiles and table_user_quota (rewired during r10: the",
-    "explicit stream width and the distributed quota rank) + 33",
-    "re-certification slots for the stalest surviving green rows (the 4",
-    "remaining r4-era names, then the r5-era cohort alphabetically;",
-    "its last 19 names defer to round 11). The 5 permanently",
-    "rows-only-by-design names are excluded from staleness rotation.",
+    "files but no longer print here). `r11 window` = in the first 50",
+    "positions of `queries()` this round, per the r10 verdict's rotation",
+    "plan (#1): R11_QUEUE (4 post-r10-freeze additions, never",
+    "driver-checked; the two DP releases re-preflighted r11 after the",
+    "DP-pepper fix changed their noise draws) + the 3 names rewired",
+    "during r11 (events_anomaly_mad / flow_anomaly_mad: histogram-state",
+    "twin + linearized threshold tree + keyed in-plan percentile stats;",
+    "user_rfm_segments: one stacked per-metric-width histogram pass) +",
+    "the 19 deferred r5-era re-certs + 24 slots for the stalest",
+    "surviving green rows (the r6-era cohort alphabetically through",
+    "text_dedup_exact; its remainder rotates in round 12). The 5",
+    "permanently rows-only-by-design names are excluded from staleness",
+    "rotation.",
     "",
-    "| query | driver rows | r10 window |",
+    "| query | driver rows | r11 window |",
     "|---|---|---|",
 ]
 
@@ -246,8 +285,8 @@ def main() -> int:
             rename[m.group(1).strip()] = m.group(2).strip()
 
     rows: dict[str, list[str]] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(ROOT, f"CORRECTNESS_r0{r}.json")
+    for r in range(1, 11):
+        path = os.path.join(ROOT, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):
             continue
         for k, v in json.load(open(path)).items():
@@ -271,8 +310,7 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r10 window)" if n in window
-            else "— (r11 queue)" if n in R11_QUEUE
+            "— (r11 window)" if n in window
             else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
