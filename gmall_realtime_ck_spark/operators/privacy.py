@@ -371,6 +371,71 @@ def dp_noisy_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+#: top-K event types per day surfaced on the DP dashboard card
+DP_CARD_TOPK = 5
+
+
+def dp_release_card(noisy: DataFrame) -> DataFrame:
+    """The dashboard drill-through over the DP release — the
+    ``/province``-style per-dimension amount card the reference's
+    publisher renders (PUB/controller/TradeStatsController.java:54-88
+    builds mapData name/value rows per dimension member), re-pointed at
+    the RELEASED noisy counts so the dashboard never touches raw
+    counts: publisher parity for the privacy ladder's top rung. Per
+    day: the top-``DP_CARD_TOPK`` event types by noisy count (ties by
+    type), each with its rank, the day's released total and an exact
+    permille share.
+
+    Determinism across engines: the released values are already
+    round-6 doubles, so totals are summed in exact integer MICROS
+    (``round(x·1e6)`` of the same double is the same integer in both
+    engines — the cents pattern) and the share is
+    ``floor(1000·micros/total)`` (IEEE double division + floor,
+    identical both sides); a parallel double SUM would be
+    summation-order-dependent and hash-unstable.
+
+    Scale: the rank partitions by day over |types|-row release cells
+    and is filtered ``rk <= K``, so the optimizer plans a
+    WindowGroupLimit (plan-visible bound — the rank sweep needs no
+    allowlist entry); day totals are a keyed aggregate over the same
+    release cells, broadcast back. Nothing here ever touches raw
+    events — the card reads the |types|·|days| release table only.
+    """
+    from pyspark.sql import Window
+
+    micros = F.expr("cast(round(noisy_count * 1e6) as bigint)")
+    w = Window.partitionBy("day").orderBy(F.col("noisy_count").desc(), "event_type")
+    tot = (
+        noisy.select("day", micros.alias("nm"))
+        .groupBy(F.col("day").alias("t_day"))
+        .agg(F.sum("nm").alias("day_total_micros"))
+    )
+    ranked = (
+        noisy.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DP_CARD_TOPK)
+        .withColumn("nm", micros)
+    )
+    return (
+        ranked.join(F.broadcast(tot), F.col("day") == F.col("t_day"))
+        .select(
+            "day",
+            "event_type",
+            "noisy_count",
+            "rk",
+            "day_total_micros",
+            F.expr(
+                "cast(floor(1000.0 * nm / greatest(day_total_micros, 1)) as bigint)"
+            ).alias("share_permille"),
+        )
+    )
+
+
+def dp_release_card_query(t: dict[str, DataFrame]) -> DataFrame:
+    """``privacy_dp_release_card`` — the DP release card over the
+    events table (dp_count_release → dp_release_card)."""
+    return dp_release_card(dp_count_release(t))
+
+
 def dp_count_release(t: dict[str, DataFrame]) -> DataFrame:
     """Differentially-private count release (Dwork et al. 2006): the
     per-(event_type, day) activity counts with Laplace(1/ε) noise —
@@ -404,6 +469,33 @@ ORACLES: dict[str, str] = {
                round(greatest(n + ({_DP_NOISE_DUCK})[{_DP_IDX_DUCK}], 0.0), 6)
                    AS noisy_count
         FROM counts
+    """,
+    "privacy_dp_release_card": f"""
+        WITH counts AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), release AS (
+            SELECT event_type, day,
+                   round(greatest(n + ({_DP_NOISE_DUCK})[{_DP_IDX_DUCK}], 0.0), 6)
+                       AS noisy_count
+            FROM counts
+        ), m AS (
+            SELECT *, CAST(round(noisy_count * 1e6) AS BIGINT) AS nm FROM release
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY day
+                       ORDER BY noisy_count DESC, event_type
+                   ) AS rk,
+                   CAST(SUM(nm) OVER (PARTITION BY day) AS BIGINT)
+                       AS day_total_micros
+            FROM m
+        )
+        SELECT day, event_type, noisy_count, rk, day_total_micros,
+               CAST(floor(1000.0 * nm / greatest(day_total_micros, 1)) AS BIGINT)
+                   AS share_permille
+        FROM r WHERE rk <= {DP_CARD_TOPK}
     """,
     "privacy_pseudonymize": f"""
         SELECT substring(md5('{PSEUDO_PEPPER}:' || user_id::VARCHAR), 1, 16) AS pseudonym,
@@ -498,4 +590,5 @@ BUILDERS = {
     "privacy_t_closeness": t_closeness_audit,
     "privacy_pseudonymize": pseudonymize_users,
     "privacy_dp_counts": dp_count_release,
+    "privacy_dp_release_card": dp_release_card_query,
 }

@@ -72,6 +72,17 @@ def channel_uv_topk(traffic_window: DataFrame, date: str | None = None, limit: i
     )
 
 
+def dp_card_for_day(dp_card: DataFrame, date: str | None = None) -> DataFrame:
+    """GET /dp?date=… — the DP-release dashboard card (r11): the
+    ``/province`` mapData shape (TradeStatsController.java:54-88)
+    rendered from the RELEASED noisy counts (operators.privacy.
+    dp_release_card), so the dashboard layer never sees raw counts.
+    Same date-pruning posture as the other endpoints: one day's
+    release cells."""
+    d = _norm_date(date)
+    return dp_card.filter(F.col("day") == d).orderBy("rk")
+
+
 def as_dashboard_json(df: DataFrame) -> list[dict]:
     """The controller's hand-built JSON rows
     (TradeStatsController.java:46-49,73-88) — driver-side only at

@@ -34,9 +34,17 @@ class PublisherService:
     """Route table bound to the two DWS tables the reference serves
     from (trade province window, traffic channel window)."""
 
-    def __init__(self, province_window: DataFrame, traffic_window: DataFrame):
+    def __init__(
+        self,
+        province_window: DataFrame,
+        traffic_window: DataFrame,
+        dp_card: DataFrame | None = None,
+    ):
         self.province_window = province_window
         self.traffic_window = traffic_window
+        #: optional DP-release card (operators.privacy.dp_release_card)
+        #: backing /dp — publisher parity for the privacy ladder (r11)
+        self.dp_card = dp_card
 
     def handle(self, path: str, params: dict[str, list[str]]):
         date = (params.get("date") or [None])[0]
@@ -56,6 +64,28 @@ class PublisherService:
                     {"name": r["province_name"], "value": float(r["total_amount"])}
                     for r in rows
                 ],
+            }
+        if path == "/dp" and self.dp_card is not None:
+            # the /province mapData shape (TradeStatsController.java:
+            # 54-88) over the DP RELEASE: the dashboard renders noisy
+            # counts only — raw per-cell counts never reach this layer
+            rows = serving.as_dashboard_json(
+                serving.dp_card_for_day(self.dp_card, date)
+            )
+            return {
+                "status": 0,
+                "msg": "",
+                "data": {
+                    "mapData": [
+                        {
+                            "name": r["event_type"],
+                            "value": float(r["noisy_count"]),
+                            "sharePermille": int(r["share_permille"]),
+                        }
+                        for r in rows
+                    ],
+                    "valueName": "dp_released_event_counts",
+                },
             }
         if path == "/ch":
             limit = int((params.get("limit") or ["5"])[0])

@@ -694,6 +694,27 @@ def flow_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(_run_to_memory(counts, "complete"))
 
 
+def flow_dp_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP dashboard card as a live stream — the ``/province``-style
+    drill-through over the CURRENT DP release (publisher parity for
+    the privacy ladder, PUB/controller/TradeStatsController.java:54-88)
+    maintained continuously. Identical streaming posture to
+    ``flow_dp_counts``: only the cell counts stream (one keyed
+    aggregate in complete mode); the noise lookup AND the card algebra
+    (privacy.dp_release_card — day-partition top-K with a
+    WindowGroupLimit-bounded rank, integer-micros day totals) re-run
+    per poll over the |types|·|days| release cells. Same peppered PRF
+    draw per cell ⇒ the card re-renders identically between releases;
+    batch oracle applies verbatim."""
+    from ..operators.privacy import dp_noisy_counts, dp_release_card
+
+    ev = events_file_stream(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dp_release_card(dp_noisy_counts(_run_to_memory(counts, "complete")))
+
+
 def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cohort retention matrix as a live stream — day-N retention
     maintained continuously as activity arrives, the dashboard card a
@@ -1580,6 +1601,7 @@ STREAM_BUILDERS = {
     "flow_k_anonymity": flow_k_anonymity,
     "flow_t_closeness": flow_t_closeness,
     "flow_dp_counts": flow_dp_counts,
+    "flow_dp_release_card": flow_dp_release_card,
     "flow_retention_cohorts": flow_retention_cohorts,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
@@ -1665,6 +1687,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_zipf_topn": TXT["text_zipf_topn_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_dp_counts": PRIV["privacy_dp_counts"],
+        "flow_dp_release_card": PRIV["privacy_dp_release_card"],
         "flow_retention_cohorts": BEH["events_retention_cohorts"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],

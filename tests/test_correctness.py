@@ -167,6 +167,7 @@ def test_ledger_queue_names_resolve():
         ("R11_QUEUE", mod.R11_QUEUE),
         ("R11_REWIRED", mod.R11_REWIRED),
         ("R11_RECERT_R5", mod.R11_RECERT_R5),
+        ("R12_QUEUE", mod.R12_QUEUE),
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
@@ -194,3 +195,5 @@ def test_ledger_queue_names_resolve():
     assert mod.R10_RECERT_REWIRED & head == mod.R11_REWIRED
     assert not (mod.R9_QUEUE & head), sorted(mod.R9_QUEUE & head)
     assert not (mod.R8_QUEUE & head), sorted(mod.R8_QUEUE & head)
+    # post-freeze round-11 additions queue for the round-12 rotation
+    assert not (mod.R12_QUEUE & head), sorted(mod.R12_QUEUE & head)

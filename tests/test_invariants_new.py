@@ -1292,3 +1292,45 @@ def test_retention_cohorts_triangle_laws(tables):
     assert day0 == set(sizes), "every cohort must have its day-0 cell"
     n_users_total = tables["events"].select("user_id").distinct().count()
     assert sum(sizes.values()) == n_users_total
+
+
+def test_dp_release_card_consistent_with_release(tables):
+    """privacy_dp_release_card (r11): the dashboard card must be a pure
+    function of the DP RELEASE — every card row's noisy_count equals
+    the released value for its cell (the card never touches raw
+    counts), ranks are 1..K dense per day ordered by (noisy desc,
+    type), the day total is the exact integer-micros sum over the
+    day's FULL release, and the permille share is floor(1000·nm/total)."""
+    from gmall_realtime_ck_spark.operators.privacy import (
+        DP_CARD_TOPK,
+        dp_count_release,
+        dp_release_card,
+    )
+
+    release = {
+        (r["event_type"], r["day"]): r["noisy_count"]
+        for r in dp_count_release(tables).collect()
+    }
+    micros = {k: round(v * 1e6) for k, v in release.items()}
+    day_tot = {}
+    for (et, d), nm in micros.items():
+        day_tot[d] = day_tot.get(d, 0) + int(nm)
+    card = dp_release_card(dp_count_release(tables)).collect()
+    assert card, "empty card"
+    by_day: dict[str, list] = {}
+    for r in card:
+        assert r["noisy_count"] == release[(r["event_type"], r["day"])]
+        assert r["day_total_micros"] == day_tot[r["day"]]
+        nm = int(round(r["noisy_count"] * 1e6))
+        import math
+
+        assert r["share_permille"] == math.floor(
+            1000.0 * nm / max(day_tot[r["day"]], 1)
+        )
+        by_day.setdefault(r["day"], []).append(r)
+    for d, rows in by_day.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= DP_CARD_TOPK
+        keys = [(-r["noisy_count"], r["event_type"]) for r in rows]
+        assert keys == sorted(keys), d

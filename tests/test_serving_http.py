@@ -64,3 +64,66 @@ def test_publisher_endpoints(spark):
         assert raised
     finally:
         server.shutdown()
+
+
+def test_dp_endpoint_serves_release_only(spark, tables):
+    """GET /dp (r11 — publisher parity for the privacy ladder): the
+    /province mapData shape rendered from the DP RELEASE card. The
+    endpoint must (a) serve exactly the card's top-K rows for the
+    requested day in rank order, (b) carry noisy values that match the
+    release (never raw counts — for cells where the noise draw is
+    non-zero the served value differs from the true count), and
+    (c) 404-fall-through when no card table is wired."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.privacy import (
+        dp_count_release,
+        dp_release_card,
+    )
+
+    card = dp_release_card(dp_count_release(tables))
+    day = card.agg(F.min("day")).first()[0]
+    want = sorted(
+        (
+            (r["rk"], r["event_type"], r["noisy_count"], r["share_permille"])
+            for r in card.filter(F.col("day") == day).collect()
+        )
+    )
+    pw = spark.createDataFrame(
+        [("2024-11-28", "Beijing", 1.0)],
+        "cur_date string, province_name string, order_amount double",
+    )
+    tw = spark.createDataFrame(
+        [("2024-11-28", "app", 1)], "cur_date string, ch string, uv_ct long"
+    )
+    server, base = serve_background(PublisherService(pw, tw, dp_card=card))
+    try:
+        status, body = _get(f"{base}/dp?date={day}")
+        assert status == 200 and body["status"] == 0
+        got = body["data"]["mapData"]
+        assert [g["name"] for g in got] == [w[1] for w in want]
+        assert [g["value"] for g in got] == [w[2] for w in want]
+        assert [g["sharePermille"] for g in got] == [w[3] for w in want]
+        # raw counts for the served cells, for the release-only check
+        truth = {
+            r["event_type"]: r["n"]
+            for r in tables["events"]
+            .filter(F.date_format("ts", "yyyy-MM-dd") == day)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert any(g["value"] != float(truth[g["name"]]) for g in got)
+    finally:
+        server.shutdown()
+    # no card wired → route falls through to 404
+    server2, base2 = serve_background(PublisherService(pw, tw))
+    try:
+        try:
+            urllib.request.urlopen(f"{base2}/dp", timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 404
+        assert raised
+    finally:
+        server2.shutdown()

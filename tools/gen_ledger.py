@@ -52,6 +52,17 @@ R11_QUEUE = {
     "flow_retention_cohorts",
 }
 
+#: operators added DURING round 11 (after its window froze at rotation)
+#: — the seed of the round-12 rotation; each ships with oracle +
+#: invariant tests + sf0.001/sf0.01/sf0.1 vanilla preflights in its
+#: own commit. The pair is the publisher drill-through over the DP
+#: release (r10 VERDICT #7): the /province-style per-day top-K card
+#: rendered from RELEASED noisy counts only.
+R12_QUEUE = {
+    "privacy_dp_release_card",
+    "flow_dp_release_card",
+}
+
 #: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
 #: the MAD screen pair (histogram-state streaming twin, linearized
 #: threshold tree, keyed in-plan percentile stats — r10 VERDICT #2)
@@ -311,6 +322,7 @@ def main() -> int:
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
             "— (r11 window)" if n in window
+            else "— (r12 queue)" if n in R12_QUEUE
             else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
