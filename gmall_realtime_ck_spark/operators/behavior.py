@@ -71,6 +71,125 @@ def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def rfm_per_user(events: DataFrame) -> DataFrame:
+    """The per-purchasing-user (recency, frequency, monetary) aggregate
+    behind RFM segmentation — shared by the batch ``user_rfm_segments``
+    and the streaming twin (there it is the keyed stream state: one row
+    per purchasing user). One keyed shuffle over purchases, map-side
+    combinable."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return purchases.groupBy("user_id").agg(
+        # ts is TIMESTAMP_NTZ from parquet; session TZ is UTC, so the
+        # LTZ cast is epoch-faithful and matches DuckDB's epoch_us.
+        # max-then-convert ≡ convert-then-max (unix_micros is strictly
+        # monotone), so the streaming twin may aggregate either form.
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+
+
+def rfm_stacked(per_user: DataFrame) -> DataFrame:
+    """The stacked (metric, value) rows the quartile boundaries are
+    histogrammed over — metric ∈ {r, f, m}, NULL metric values
+    pre-filtered (the percentile helper's contract; quantile_cont and
+    the built-in percentile both skip NULLs)."""
+    return (
+        per_user.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("r").alias("metric"),
+                        F.col("last_us").cast("double").alias("mv"),
+                    ),
+                    F.struct(
+                        F.lit("f").alias("metric"),
+                        F.col("freq").cast("double").alias("mv"),
+                    ),
+                    F.struct(
+                        F.lit("m").alias("metric"),
+                        F.col("monetary_cents").cast("double").alias("mv"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.metric", "s.mv")
+        .filter(F.col("mv").isNotNull())
+    )
+
+
+def rfm_finalize(per_user: DataFrame, rq, fq, mq) -> DataFrame:
+    """The output shape shared by batch and stream: quartile columns
+    (from the given Column expressions) + the r-f-m segment label."""
+    return per_user.select(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        rq.alias("r_quartile"),
+        fq.alias("f_quartile"),
+        mq.alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+def rfm_segments_in_plan(per_user: DataFrame) -> DataFrame:
+    """``user_rfm_segments``'s algebra with the quartile boundaries
+    derived IN-PLAN — no driver-side collect anywhere, so a streaming
+    poll re-executing this plan buckets against the CURRENT per-user
+    aggregate (the batch builder instead inlines the 9 boundaries as
+    literals, the rel_q22 scalar-subquery pattern: fine for a batch
+    run, a frozen-snapshot hazard for a stream's lifetime — the same
+    distinction as the in-plan percentile widths, r9 ADVICE #3).
+
+    One stacked (metric, value) histogram pass with the keyed in-plan
+    stats (per-metric width, lo anchor, N — r11), pivoted to a 1-row
+    boundary frame by 9 conditional aggregates and broadcast into the
+    bucketing map (a nested loop against ONE row — the bounded-NLJ
+    pattern). Boundary values are bit-identical to the batch literals
+    (same percentile algebra, and ``F.lit(double)`` round-trips
+    exactly), and NULL propagation matches: an all-NULL metric yields
+    NULL boundaries here and NULL-vs-literal comparisons there — both
+    produce NULL quartiles for exactly the NULL-metric rows.
+    """
+    from .relational import exact_percentiles_by_counts
+
+    bnd = exact_percentiles_by_counts(
+        rfm_stacked(per_user),
+        ["metric"],
+        "mv",
+        {"q1": 0.25, "q2": 0.5, "q3": 0.75},
+        bucket_size="inplan",
+    )
+    brow = bnd.agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col(q))).alias(f"_{m}{q}")
+            for m in ("r", "f", "m")
+            for q in ("q1", "q2", "q3")
+        ]
+    )
+    j = per_user.crossJoin(F.broadcast(brow))
+
+    def quart(col: str, m: str) -> F.Column:
+        return (
+            F.lit(4)
+            - sum(
+                ((F.col(col) >= F.col(f"_{m}{q}")).cast("int") for q in ("q1", "q2", "q3")),
+                F.lit(0),
+            )
+        ).cast("bigint")
+
+    return rfm_finalize(
+        j, quart("last_us", "r"), quart("freq", "f"), quart("monetary_cents", "m")
+    )
+
+
 def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     """RFM segmentation of purchasing users: value-boundary quartiles
     of recency (latest purchase time), frequency (purchase count) and
@@ -85,14 +204,7 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     1-row literal; bucketing is then a map-side comparison. No global
     sort anywhere at any corpus size.
     """
-    purchases = t["events"].filter(F.col("event_type") == "purchase")
-    per_user = purchases.groupBy("user_id").agg(
-        # ts is TIMESTAMP_NTZ from parquet; session TZ is UTC, so the
-        # LTZ cast is epoch-faithful and matches DuckDB's epoch_us
-        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(cents("value")).alias("monetary_cents"),
-    )
+    per_user = rfm_per_user(t["events"])
     # 9 doubles collected to the driver and inlined as literals — the
     # scalar-subquery execution (the rel_q22 pattern); bucketing is
     # then a pure map, no join anywhere in the returned plan.
@@ -136,22 +248,8 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         span = max(float(hi) - float(lo), 1e-9)
         specs.append((metric, col, float(lo), max(span * 4096.0 / n_users, 1e-9)))
     if specs:
-        stacked = (
-            per_user.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(m).alias("metric"),
-                                F.col(c).cast("double").alias("mv"),
-                            )
-                            for m, c, _, _ in specs
-                        ]
-                    )
-                ).alias("s")
-            )
-            .select("s.metric", "s.mv")
-            .filter(F.col("mv").isNotNull())
+        stacked = rfm_stacked(per_user).filter(
+            F.col("metric").isin([m for m, _, _, _ in specs])
         )
         width_expr, origin_expr = None, None
         for m, _, lo, w in specs:
@@ -183,21 +281,11 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
             - sum(((F.col(metric) >= F.lit(float(x))).cast("int") for x in bnds or [0.0] * 3), F.lit(0))
         ).cast("bigint")
 
-    return per_user.select(
-        "user_id",
-        "freq",
-        "monetary_cents",
-        quartile("last_us", b["rb"]).alias("r_quartile"),
-        quartile("freq", b["fb"]).alias("f_quartile"),
-        quartile("monetary_cents", b["mb"]).alias("m_quartile"),
-    ).withColumn(
-        "segment",
-        F.concat_ws(
-            "-",
-            F.col("r_quartile").cast("string"),
-            F.col("f_quartile").cast("string"),
-            F.col("m_quartile").cast("string"),
-        ),
+    return rfm_finalize(
+        per_user,
+        quartile("last_us", b["rb"]),
+        quartile("freq", b["fb"]),
+        quartile("monetary_cents", b["mb"]),
     )
 
 

@@ -694,6 +694,35 @@ def flow_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(_run_to_memory(counts, "complete"))
 
 
+def flow_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation as a live stream — the customer-value dashboard
+    a CRM team watches intra-day. The keyed stream state is the
+    per-purchasing-user (recency, frequency, monetary) aggregate (one
+    complete-mode keyed aggregate, one state row per purchasing user —
+    behavior.rfm_per_user's algebra on the stream side: max/count/sum
+    are all partial-aggregatable, and max(unix_micros(ts)) ≡
+    unix_micros(max(ts)) by monotonicity). Each poll re-runs the
+    boundary+bucketing algebra with the quartile boundaries derived
+    IN-PLAN (behavior.rfm_segments_in_plan: the stacked histogram pass
+    with keyed in-plan stats → 1-row boundary broadcast) — unlike the
+    batch builder's driver-collected literals, nothing here freezes a
+    build-time snapshot, so a long-lived stream's polls bucket against
+    CURRENT boundaries. Boundary values are bit-identical to the batch
+    literals, so the batch oracle applies verbatim."""
+    from ..operators.behavior import rfm_segments_in_plan
+    from ..operators.relational import cents
+
+    ev = events_file_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    return rfm_segments_in_plan(_run_to_memory(per_user, "complete"))
+
+
 def flow_dp_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DP dashboard card as a live stream — the ``/province``-style
     drill-through over the CURRENT DP release (publisher parity for
@@ -1602,6 +1631,7 @@ STREAM_BUILDERS = {
     "flow_t_closeness": flow_t_closeness,
     "flow_dp_counts": flow_dp_counts,
     "flow_dp_release_card": flow_dp_release_card,
+    "flow_rfm_segments": flow_rfm_segments,
     "flow_retention_cohorts": flow_retention_cohorts,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
@@ -1688,6 +1718,7 @@ def stream_oracles() -> dict[str, str]:
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_dp_counts": PRIV["privacy_dp_counts"],
         "flow_dp_release_card": PRIV["privacy_dp_release_card"],
+        "flow_rfm_segments": BEH["user_rfm_segments"],
         "flow_retention_cohorts": BEH["events_retention_cohorts"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],

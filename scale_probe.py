@@ -150,6 +150,15 @@ QUERIES = [
     # their whole dimension through one/few reducers
     "win_ntile_deciles",
     "win_supplier_percentiles",
+    # round-11 rewires: the MAD screen (linearized threshold tree +
+    # keyed in-plan percentile stats — events_anomaly_mad above is
+    # re-probed for the same reason) and the RFM segmentation's single
+    # stacked (metric, value) histogram pass with per-metric Column
+    # width/origin; plus the DP release card (keyed count + pure-map
+    # noise + a WindowGroupLimit-bounded per-day top-K — should be
+    # scan-bound like the other keyed-count shapes)
+    "user_rfm_segments",
+    "privacy_dp_release_card",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -166,6 +175,14 @@ STREAM_QUERIES = [
     # round-9: poll cost of the head-slice fit is rank-bounded even as
     # the complete-mode vocab state grows linearly (cipher worst case)
     "flow_zipf_topn",
+    # round-11: the MAD twin's poll now reads the streamed
+    # (type, value)-count histogram state + one raw-log emit scan — the
+    # continuous `value` column keeps distinct pairs ≈ rows, so this
+    # curve measures the histogram-state spine at its worst case
+    "flow_anomaly_mad",
+    # round-11 addition: per-purchasing-user state + the fully in-plan
+    # boundary poll (stacked histogram with keyed in-plan stats)
+    "flow_rfm_segments",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

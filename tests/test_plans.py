@@ -352,6 +352,7 @@ def test_unbounded_rank_detector_fires(tables, spark):
 STREAM_PLAN_BOUNDED_OK = {
     # flow_anomaly_mad dropped r11: keyed in-plan stats ⇒ no nested loop
     "flow_ccnet_gate": {"bnlj"},  # 1-row in-plan width-stats broadcast
+    "flow_rfm_segments": {"bnlj"},  # 1-row in-plan boundary broadcast (r11)
     "flow_overlap_kmv": {"bnlj", "rank"},  # |types|²-pairing over K=1024-row
     #   sketches; rank over the K-row sketch
     "flow_t_closeness": {"bnlj", "rank"},  # QI-class grid × m-row sensitive

@@ -755,3 +755,47 @@ def test_flow_anomaly_mad_histogram_state_matches_batch(spark, tables):
         tuple(r) for r in events_anomaly_mad({"events": tables["events"]}).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_flow_rfm_segments_per_user_state_and_inplan_boundaries(spark, tables):
+    """flow_rfm_segments (r11): the streamed aggregate must hold ONE
+    state row per purchasing user (never raw purchase events), and the
+    in-plan boundary path must equal the batch builder's
+    driver-collected literals bit-for-bit — including the quartile
+    assignments they produce."""
+    import json
+    import uuid
+
+    from gmall_realtime_ck_spark.operators.behavior import user_rfm_segments
+    from gmall_realtime_ck_spark.operators.relational import cents
+
+    ev = pipelines.events_file_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    name = "rfmstate" + uuid.uuid4().hex[:8]
+    ckpt = pipelines._process_tempdir("ckpt_")
+    q = (
+        per_user.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    purchases = tables["events"].filter(F.col("event_type") == "purchase")
+    n_users = purchases.select("user_id").distinct().count()
+    n_events = purchases.count()
+    state_rows = max(
+        sum(s.get("numRowsTotal", 0) for s in json.loads(p.json).get("stateOperators") or [])
+        for p in q.recentProgress
+    )
+    assert 0 < state_rows <= n_users < n_events, (state_rows, n_users, n_events)
+    got = sorted(tuple(r) for r in pipelines.flow_rfm_segments(spark, SF_DIR).collect())
+    want = sorted(tuple(r) for r in user_rfm_segments(tables).collect())
+    assert got == want and len(got) == n_users

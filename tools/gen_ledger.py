@@ -55,12 +55,14 @@ R11_QUEUE = {
 #: operators added DURING round 11 (after its window froze at rotation)
 #: — the seed of the round-12 rotation; each ships with oracle +
 #: invariant tests + sf0.001/sf0.01/sf0.1 vanilla preflights in its
-#: own commit. The pair is the publisher drill-through over the DP
-#: release (r10 VERDICT #7): the /province-style per-day top-K card
-#: rendered from RELEASED noisy counts only.
+#: own commit. The card pair is the publisher drill-through over the
+#: DP release (r10 VERDICT #7): the /province-style per-day top-K card
+#: rendered from RELEASED noisy counts only; flow_rfm_segments is the
+#: live RFM twin whose poll derives quartile boundaries fully in-plan.
 R12_QUEUE = {
     "privacy_dp_release_card",
     "flow_dp_release_card",
+    "flow_rfm_segments",
 }
 
 #: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
