@@ -1108,6 +1108,16 @@ def test_exact_percentiles_by_counts_equals_builtin(spark):
             for r in exact_percentiles_by_counts(df, ["k"], "v", targets).collect()
         }
         assert got == want, (typ, got, want)
+        # keyed "inplan" (r11): ONE keyed stats aggregate feeds width,
+        # lo anchor and N — must stay bit-identical to the built-in on
+        # the same inputs (bucketing never affects results)
+        got_ip = {
+            r["k"]: tuple(r[n] for n in targets)
+            for r in exact_percentiles_by_counts(
+                df, ["k"], "v", targets, bucket_size="inplan"
+            ).collect()
+        }
+        assert got_ip == want, (typ, got_ip, want)
         # global (keys=[]): the 1-row broadcast path
         w0 = df.agg(
             *[F.expr(f"percentile(v, {p})").alias(n) for n, p in targets.items()]
