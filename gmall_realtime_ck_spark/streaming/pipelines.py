@@ -744,6 +744,43 @@ def flow_dp_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_release_card(dp_noisy_counts(_run_to_memory(counts, "complete")))
 
 
+def flow_dp_release_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE-ONCE differential privacy — the append-mode counterpart
+    of ``flow_dp_counts``: a day's (event_type, day) counts are emitted
+    exactly once, when the event-time watermark closes the day window,
+    and only then does the noise draw + clamp run. This is the
+    production DP cadence (a release is published once per closed
+    period; the complete-mode twin models a continuously re-rendered
+    dashboard, where the peppered PRF guarantees identical re-draws) —
+    and the append semantics make the release-once property STRUCTURAL:
+    a cell physically cannot be re-emitted, so no post-hoc dedup
+    protects ε. The reference's DWS apps publish on exactly this
+    watermark-closed-window cadence (window fire at watermark passage,
+    SURVEY §7 H2).
+
+    Bounded-run semantics (deterministic ⇒ oracle-able): with a
+    0-second watermark delay the final watermark equals max(ts), so
+    every day strictly before the max event day closes and is released;
+    the max day itself stays open in state (withheld — the still-open
+    period is never published early). The DuckDB oracle applies the
+    same cutoff. Scale: one watermark-windowed keyed count (state = one
+    row per open (day, type) cell, evicted at close) + the pure-map
+    noise lookup over emitted cells."""
+    from ..operators.privacy import dp_noisy_counts
+
+    ev = events_file_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    counts = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    return dp_noisy_counts(_run_to_memory(counts, "append"))
+
+
 def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cohort retention matrix as a live stream — day-N retention
     maintained continuously as activity arrives, the dashboard card a
@@ -1631,6 +1668,7 @@ STREAM_BUILDERS = {
     "flow_t_closeness": flow_t_closeness,
     "flow_dp_counts": flow_dp_counts,
     "flow_dp_release_card": flow_dp_release_card,
+    "flow_dp_release_closed": flow_dp_release_closed,
     "flow_rfm_segments": flow_rfm_segments,
     "flow_retention_cohorts": flow_retention_cohorts,
     "flow_incremental_dedup": flow_incremental_dedup,
@@ -1650,6 +1688,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.behavior import ORACLES as BEH
     from ..operators.dedup import ORACLES as DD
     from ..operators.privacy import ORACLES as PRIV
+    from ..operators.privacy import _DP_IDX_DUCK, _DP_NOISE_DUCK
     from ..operators.multimodal import ORACLES as XMOD
     from ..operators.quality import ORACLES as QUAL
     from ..operators.sampling import ORACLES as SAMP
@@ -1717,6 +1756,23 @@ def stream_oracles() -> dict[str, str]:
         "flow_zipf_topn": TXT["text_zipf_topn_fit"],
         "flow_t_closeness": PRIV["privacy_t_closeness"],
         "flow_dp_counts": PRIV["privacy_dp_counts"],
+        # release-once append twin: only watermark-CLOSED days are
+        # released — with a 0 s delay that is every day strictly before
+        # the max event day (see flow_dp_release_closed's docstring)
+        "flow_dp_release_closed": """
+            WITH counts AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       COUNT(*)::BIGINT AS n
+                FROM events
+                WHERE strftime(ts, '%Y-%m-%d')
+                      < (SELECT strftime(max(ts), '%Y-%m-%d') FROM events)
+                GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   round(greatest(n + (_NOISE_)[_IDX_], 0.0), 6)
+                       AS noisy_count
+            FROM counts
+        """.replace("_NOISE_", _DP_NOISE_DUCK).replace("_IDX_", _DP_IDX_DUCK),
         "flow_dp_release_card": PRIV["privacy_dp_release_card"],
         "flow_rfm_segments": BEH["user_rfm_segments"],
         "flow_retention_cohorts": BEH["events_retention_cohorts"],

@@ -183,6 +183,9 @@ STREAM_QUERIES = [
     # round-11 addition: per-purchasing-user state + the fully in-plan
     # boundary poll (stacked histogram with keyed in-plan stats)
     "flow_rfm_segments",
+    # round-11 addition: release-once DP — watermark-windowed keyed
+    # count (state = open cells only) + pure-map noise over emissions
+    "flow_dp_release_closed",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

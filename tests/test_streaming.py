@@ -799,3 +799,33 @@ def test_flow_rfm_segments_per_user_state_and_inplan_boundaries(spark, tables):
     got = sorted(tuple(r) for r in pipelines.flow_rfm_segments(spark, SF_DIR).collect())
     want = sorted(tuple(r) for r in user_rfm_segments(tables).collect())
     assert got == want and len(got) == n_users
+
+
+def test_flow_dp_release_closed_release_once(spark, tables):
+    """flow_dp_release_closed (r11): the append-mode DP release must
+    (a) emit each closed (type, day) cell exactly once, (b) equal the
+    batch release restricted to closed days — same peppered draw, so
+    ε accounting is shared — and (c) WITHHOLD the still-open max event
+    day entirely (publishing a period early would release a count that
+    can still change, breaking the one-draw-per-cell budget)."""
+    from collections import Counter
+
+    from gmall_realtime_ck_spark.operators.privacy import dp_count_release
+
+    rows = pipelines.flow_dp_release_closed(spark, SF_DIR).collect()
+    assert rows
+    seen = Counter((r["event_type"], r["day"]) for r in rows)
+    assert max(seen.values()) == 1, "a cell was released twice"
+    max_day = (
+        tables["events"]
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd"))
+        .first()[0]
+    )
+    assert all(r["day"] < max_day for r in rows), "open day released"
+    batch = {
+        (r["event_type"], r["day"]): r["noisy_count"]
+        for r in dp_count_release(tables).collect()
+        if r["day"] < max_day
+    }
+    got = {(r["event_type"], r["day"]): r["noisy_count"] for r in rows}
+    assert got == batch

@@ -58,11 +58,13 @@ R11_QUEUE = {
 #: own commit. The card pair is the publisher drill-through over the
 #: DP release (r10 VERDICT #7): the /province-style per-day top-K card
 #: rendered from RELEASED noisy counts only; flow_rfm_segments is the
-#: live RFM twin whose poll derives quartile boundaries fully in-plan.
+#: live RFM twin whose poll derives quartile boundaries fully in-plan;
+#: flow_dp_release_closed is the release-once (append-mode) DP twin.
 R12_QUEUE = {
     "privacy_dp_release_card",
     "flow_dp_release_card",
     "flow_rfm_segments",
+    "flow_dp_release_closed",
 }
 
 #: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
