@@ -400,6 +400,21 @@ def test_canonicalize_invariant_under_row_and_column_permutation(data, rnd):
     assert canonicalize(perm_rows, perm_cols) == base
 
 
+def test_canonicalize_mixed_type_str_collision_pinned():
+    """Round-11 verdict's falsifying example, pinned as a plain
+    regression test (no hypothesis rediscovery needed): int 0 and str
+    '0' share `str()` so a sort key without a type discriminator left
+    them in INPUT order — two permutations of the same result
+    canonicalized differently (canon.py row-sort key)."""
+    from gmall_realtime_ck_spark.canon import canonicalize
+
+    rows = [(None,), (None,), (None,), (0,), ("0",)]
+    base = canonicalize(rows, ["a"])
+    assert canonicalize(list(reversed(rows)), ["a"]) == base
+    # and the two str-colliding cells order by type name, deterministically
+    assert base[1].index((0,)) < base[1].index(("0",))  # "int" < "str"
+
+
 @given(st.sampled_from([[1, 2], (1,), {"k": 1}, {1, 2}, b"\x00", bytearray(b"x")]))
 @settings(max_examples=6, deadline=None)
 def test_canonicalize_rejects_every_nonscalar_kind(bad):
