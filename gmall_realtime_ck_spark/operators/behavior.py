@@ -274,8 +274,14 @@ def user_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
 
     def quartile(metric: str, bnds: list[float] | None) -> F.Column:
         # 1 = top quartile; >= each ascending boundary walks it down.
-        # bnds is None only when there are no purchasers at all — the
-        # output is empty then, any literal works.
+        # bnds is None when there are no purchasers at all (output is
+        # empty then, any literal works) AND when the metric is
+        # all-NULL with purchasers present (the percentile row comes
+        # back NULL); in that second case the [0.0]*3 fallback runs on
+        # non-empty output but stays correct because a NULL metric
+        # makes every >= comparison NULL → the sum is NULL → the
+        # quartile is NULL, matching SQL NULL parity (same note as
+        # rfm_segments_in_plan's docstring).
         return (
             F.lit(4)
             - sum(((F.col(metric) >= F.lit(float(x))).cast("int") for x in bnds or [0.0] * 3), F.lit(0))

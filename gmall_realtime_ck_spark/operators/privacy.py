@@ -17,8 +17,38 @@ and DuckDB compile them identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _resolve_pepper(env_key: str, test_seam: str) -> str:
+    """Resolve a secret pepper at module import: the injected value
+    from ``env_key`` when present (production — KMS/launcher exports
+    it; the literal never appears in the repo or the release), else
+    the pinned ``test_seam`` literal so tests, the DuckDB oracle, and
+    driver re-runs draw identical noise / pseudonyms with zero setup.
+
+    The silent fallback is what r11 ADVICE #1 warns about — a deploy
+    that forgets the export would ship publicly-recomputable noise —
+    so ``GMALL_REQUIRE_PEPPER=1`` (set in production launchers) turns
+    the fallback into a hard failure. Resolution happens ONCE at
+    import, before any SQL text is built, so the Spark expression,
+    the batch oracle, and the streaming oracle all embed the SAME
+    resolved value (a mid-session env change cannot desynchronize
+    the engines).
+    """
+    injected = os.environ.get(env_key)
+    if injected:
+        return injected
+    if os.environ.get("GMALL_REQUIRE_PEPPER") == "1":
+        raise RuntimeError(
+            f"GMALL_REQUIRE_PEPPER=1 but {env_key} is not set — refusing to "
+            "fall back to the public repo-pinned test pepper (its noise "
+            "would be recomputable by any observer)"
+        )
+    return test_seam
 
 # common-dialect patterns (no lookarounds, no backrefs)
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -261,9 +291,11 @@ def t_closeness_from_class_counts(cls_sens: DataFrame) -> DataFrame:
     )
 
 
-#: deterministic pseudonymization pepper — in production this is a
-#: secret from a KMS; the operator's shape is identical
-PSEUDO_PEPPER = "pepper-v1"
+#: deterministic pseudonymization pepper — injected via
+#: ``GMALL_PSEUDO_PEPPER`` in production (KMS-backed), pinned literal
+#: fallback as the test/oracle reproducibility seam (see
+#: ``_resolve_pepper`` for the strict-mode contract)
+PSEUDO_PEPPER = _resolve_pepper("GMALL_PSEUDO_PEPPER", "pepper-v1")
 
 
 def pseudonymize_users(t: dict[str, DataFrame]) -> DataFrame:
@@ -340,15 +372,33 @@ _DP_NOISE_DUCK = "[" + ", ".join(f"{v!r}::DOUBLE" for v in _DP_NOISE) + "]"
 #: the release); THIS literal is the test-only reproducibility seam so
 #: the DuckDB oracle and re-runs draw identical noise. Keying per cell
 #: (pepper ‖ type ‖ day) keeps re-releases of the same cell identical,
-#: so an observer cannot average fresh noise away either.
-DP_PEPPER = "dp-pepper-v1"
-_DP_IDX_SPARK = (
-    "cast(conv(substring(md5(concat("
-    f"'{DP_PEPPER}:', event_type, '|', day)), 1, 2), 16, 10) as int) + 1"
-)
-_DP_IDX_DUCK = (
-    f"('0x' || substr(md5('{DP_PEPPER}:' || event_type || '|' || day), 1, 2))::INT + 1"
-)
+#: so an observer cannot average fresh noise away either. Injected via
+#: ``GMALL_DP_PEPPER`` in production (r11 ADVICE: the seam must exist,
+#: not just be advertised); the pinned literal is the no-env fallback
+#: unless ``GMALL_REQUIRE_PEPPER=1`` forbids it.
+DP_PEPPER = _resolve_pepper("GMALL_DP_PEPPER", "dp-pepper-v1")
+
+
+def dp_idx_spark(pepper: str) -> str:
+    """Spark SQL text for the 1-based noise-table index: a peppered
+    PRF of the (event_type, day) cell key. Kept as a builder (not a
+    baked literal) so the expression provably derives from whatever
+    pepper was RESOLVED — the injection seam's unit tests build it
+    with a non-default pepper and assert the text tracks it."""
+    return (
+        "cast(conv(substring(md5(concat("
+        f"'{pepper}:', event_type, '|', day)), 1, 2), 16, 10) as int) + 1"
+    )
+
+
+def dp_idx_duck(pepper: str) -> str:
+    """DuckDB twin of :func:`dp_idx_spark` — same pepper, same md5
+    input bytes, same 1-based index."""
+    return f"('0x' || substr(md5('{pepper}:' || event_type || '|' || day), 1, 2))::INT + 1"
+
+
+_DP_IDX_SPARK = dp_idx_spark(DP_PEPPER)
+_DP_IDX_DUCK = dp_idx_duck(DP_PEPPER)
 
 
 def dp_noisy_counts(counts: DataFrame) -> DataFrame:

@@ -1208,7 +1208,18 @@ def exact_percentiles_from_counts(
     aggregate (one keyed state entry per (key, value), distributed
     across the state store instead of one value→count map per key) and
     re-run this batch-side algebra per poll, the flow_t_closeness
-    pattern. Batch-only operators inside (windows, joins)."""
+    pattern. Batch-only operators inside (windows, joins).
+
+    CARDINALITY CONTRACT (r11 ADVICE #2): the ``bucket_size="inplan"``
+    path broadcasts its per-key stats frame — ONE ROW PER DISTINCT
+    KEY TUPLE (min, max, n) — exactly like the 1-row global-stats
+    broadcast, but |keys|-sized. Every current caller keys on tiny
+    enums (event_type, the 3 RFM metrics); a caller with
+    high-cardinality keys (user_id-grade) would force a driver-sized
+    broadcast build. For such keys pass an explicit ``bucket_size``
+    (the non-inplan path shuffles the |keys|-row join instead of
+    broadcasting it, and AQE will still pick broadcast when the side
+    is actually small)."""
     ct_c, cum_c = ct_col, "_pct_cum"
     while cum_c in counts.columns:
         cum_c += "_"

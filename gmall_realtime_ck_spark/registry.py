@@ -101,90 +101,81 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-11 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r10). Composition,
-    # per the r10 verdict's rotation plan (#1):
-    #   (a) the 4 R11_QUEUE post-r10-freeze additions
-    #       (tools/gen_ledger.py::R11_QUEUE) — never driver-checked
-    #       (all 4 preflighted hash-green on vanilla sessions at three
-    #       scales, r10, independently re-preflighted by the r10 judge,
-    #       and re-preflighted r11 after the DP-pepper fix changed the
-    #       two DP releases' noise draws — r10 ADVICE #1),
-    #   (b) the 3 names rewired THIS round: events_anomaly_mad /
-    #       flow_anomaly_mad (the histogram-state streaming twin +
-    #       linearized threshold tree + keyed in-plan percentile stats
-    #       — r10 VERDICT #2) and user_rfm_segments (one stacked
-    #       (metric, value) histogram pass with per-metric Column
-    #       width/origin — r10 VERDICT #4 + ADVICE #3), so their fresh
-    #       r10 rows predate the plans,
-    #   (c) the 19 deferred r5-era re-certs (the r10 window's
-    #       rotation arithmetic stopped 19 short — r10 VERDICT #1):
-    #       layout_compaction_bins .. xmodal_media_stats alphabetical,
-    #   (d) 24 re-certification slots for the stalest surviving green
-    #       rows — the r6-era cohort alphabetically (corpus_hapax_share
-    #       .. text_dedup_exact); its remainder rotates in round 12.
+    # --- Round-12 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r11). Composition,
+    # per the r11 verdict's rotation plan (#2):
+    #   (a) the 4 R12_QUEUE post-r11-freeze additions
+    #       (tools/gen_ledger.py::R12_QUEUE) — the only oracled names
+    #       without a driver hash row (all 4 preflighted hash-green on
+    #       vanilla sessions at three scales in their own r11 commits
+    #       and independently re-preflighted by the r11 judge),
+    #   (b) 46 re-certification slots for the stalest surviving green
+    #       rows: the 21-name r6-era cohort remainder
+    #       (text_doc_fingerprint .. xmodal_phash_neardup, alphabetical
+    #       — the r11 window took the cohort through text_dedup_exact)
+    #       then the r7-era cohort alphabetically through
+    #       dws_user_register_window (25 of its 49; the remainder
+    #       rotates in round 13).
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) are excluded from staleness rotation. After
-    # this round every declared query has a driver hash row (the 4
-    # queue names land theirs), no declared query's plan is newer than
-    # its latest driver evidence, and every latest green row is r6+
-    # except the rows-only set.
+    # this round every oracled declared query has a driver hash row
+    # (the 4 queue names land theirs) and every latest green row is
+    # r7+ except the rows-only set.
     # Window history: COVERAGE.md cross-round ledger.
-    # --- (a) R11_QUEUE: post-r10-freeze additions, never driver-checked ---
-    "privacy_dp_counts",
-    "flow_dp_counts",
-    "events_retention_cohorts",
-    "flow_retention_cohorts",
-    # --- (b) rewired this round ---
-    "events_anomaly_mad",
-    "flow_anomaly_mad",
-    "user_rfm_segments",
-    # --- (c) re-certification: the 19 deferred r5-era names ---
-    "layout_compaction_bins",
-    "privacy_l_diversity",
-    "privacy_pseudonymize",
-    "privacy_t_closeness",
-    "sample_bloom_contamination",
-    "sample_dsir_weights",
-    "source_minhash_jaccard",
-    "text_dedup_keep_best",
-    "text_langid_ngram",
-    "text_rake_keyphrases",
-    "traffic_bounce_rate",
-    "ts_cusum_changepoints",
-    "ts_open_lines_daily",
-    "ts_quantile_rollup",
-    "ts_series_similarity",
-    "win_wow_change",
-    "xmodal_audio_windows",
-    "xmodal_frame_sample",
-    "xmodal_media_stats",
-    # --- (d) re-certification: r6-era cohort, alphabetical ---
-    "corpus_hapax_share",
-    "corpus_token_gini",
-    "corpus_tokenizer_fertility",
-    "embedding_recall_at_k",
-    "flow_keyword_pipeline",
-    "flow_repetition",
-    "flow_token_gini",
-    "flow_tokenizer_fertility",
-    "path_transition_entropy",
-    "retention_monthly_churn",
-    "returning_users",
-    "sample_contaminated_spans",
-    "sample_contamination",
-    "sequence_pack_assign",
-    "serving_gmv",
-    "serving_topk_channel",
-    "session_window_events",
-    "sim_label_centroids",
-    "simhash_docs",
-    "stratified_sample",
-    "table_config_routed_split",
-    "table_dedup_first_per_key",
-    "text_clean_manifest",
-    "text_dedup_exact",
+    # --- (a) R12_QUEUE: post-r11-freeze additions, never driver-checked ---
+    "privacy_dp_release_card",
+    "flow_dp_release_card",
+    "flow_rfm_segments",
+    "flow_dp_release_closed",
+    # --- (b) re-certification: r6-era cohort remainder, alphabetical ---
+    "text_doc_fingerprint",
+    "text_lang_id",
+    "text_neardup_clusters",
+    "text_neardup_drop_list",
+    "text_ngram_jaccard_pairs",
+    "text_pii_redaction",
+    "text_quality_score",
+    "trade_cart_add_uu",
+    "trade_cdc_projection",
+    "trade_conditional_delta",
+    "trade_gmv_rollup",
+    "trade_interval_join",
+    "trade_left_outer_orders",
+    "trade_lookup_join_dim",
+    "trade_status_filter",
+    "traffic_daily_uv",
+    "traffic_event_pivot",
+    "traffic_keyword_count",
+    "traffic_log_split",
+    "traffic_new_visitor_repair",
+    "xmodal_phash_neardup",
+    # --- (b cont.) re-certification: r7-era cohort, alphabetical ---
+    "agg_forecast_revenue",
+    "agg_global_uv",
+    "agg_sliding_counts",
+    "agg_tumbling_typed",
+    "approx_uv_kmv",
+    "approx_uv_kmv_rollup",
+    "asof_view_before_purchase",
+    "best_parts_per_region",
+    "best_supplier",
+    "corpus_leakage_safe_split",
+    "corpus_report",
+    "corpus_simpson_diversity",
+    "corpus_tfidf_top_terms",
+    "corpus_train_test_split",
+    "corpus_vocab_stats",
+    "cosine_topk",
+    "customers_top_returned",
+    "datetime_functions",
+    "doc_gopher_rules",
+    "doc_token_count",
+    "doc_winnowing",
+    "dwd_refund_pay_success",
+    "dwd_trade_order_refund",
+    "dws_trade_order_window",
+    "dws_user_register_window",
 ]
 
 

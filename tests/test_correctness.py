@@ -168,32 +168,28 @@ def test_ledger_queue_names_resolve():
         ("R11_REWIRED", mod.R11_REWIRED),
         ("R11_RECERT_R5", mod.R11_RECERT_R5),
         ("R12_QUEUE", mod.R12_QUEUE),
+        ("R13_QUEUE", mod.R13_QUEUE),
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-11 rotation contract (VERDICT r10 #1): every mandatory name
-    # — the 4 post-r10-freeze additions (R11_QUEUE, never
-    # driver-checked), the 3 names rewired during r11
-    # (R11_REWIRED: the MAD histogram-state/keyed-stats pair and the
-    # stacked-pass RFM, whose fresh r10 rows predate their current
-    # plans), and the 19 deferred r5-era re-certs (R11_RECERT_R5 —
-    # the r10 window's rotation arithmetic stopped 19 short) — sits
-    # inside the 50-slot window, the window is exactly 50 names, and
-    # the freshly-r10-certified cohorts (R10_QUEUE, and
-    # R10_RECERT_REWIRED except its 3 re-rewired members) have rotated
-    # out to free the slots.
+    # Round-12 rotation contract (VERDICT r11 #2): the 4 post-r11-freeze
+    # additions (R12_QUEUE — the only oracled names without a driver
+    # hash row) sit inside the 50-slot window, the window is exactly 50
+    # names, and every freshly-r11-certified cohort (R11_QUEUE,
+    # R11_REWIRED, R11_RECERT_R5 — all green in CORRECTNESS_r11) has
+    # rotated out to free re-certification slots for the stalest
+    # surviving rows (the r6-era remainder + the r7-era head).
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    assert mod.R11_QUEUE <= head, sorted(mod.R11_QUEUE - head)
-    assert mod.R11_REWIRED <= head, sorted(mod.R11_REWIRED - head)
-    assert mod.R11_RECERT_R5 <= head, sorted(mod.R11_RECERT_R5 - head)
+    assert mod.R12_QUEUE <= head, sorted(mod.R12_QUEUE - head)
     # Only the RECENTLY-certified cohorts are excluded from the window
     # (burning a slot on a fresh green row wastes it); older historical
     # queues (R5-R7) may legitimately re-enter as their rows go stale.
+    assert not (mod.R11_QUEUE & head), sorted(mod.R11_QUEUE & head)
+    assert not (mod.R11_REWIRED & head), sorted(mod.R11_REWIRED & head)
+    assert not (mod.R11_RECERT_R5 & head), sorted(mod.R11_RECERT_R5 & head)
     assert not (mod.R10_QUEUE & head), sorted(mod.R10_QUEUE & head)
-    assert mod.R10_RECERT_REWIRED & head == mod.R11_REWIRED
     assert not (mod.R9_QUEUE & head), sorted(mod.R9_QUEUE & head)
-    assert not (mod.R8_QUEUE & head), sorted(mod.R8_QUEUE & head)
-    # post-freeze round-11 additions queue for the round-12 rotation
-    assert not (mod.R12_QUEUE & head), sorted(mod.R12_QUEUE & head)
+    # post-freeze round-12 additions queue for the round-13 rotation
+    assert not (mod.R13_QUEUE & head), sorted(mod.R13_QUEUE & head)

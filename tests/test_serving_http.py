@@ -127,3 +127,46 @@ def test_dp_endpoint_serves_release_only(spark, tables):
         assert raised
     finally:
         server2.shutdown()
+
+
+def test_dp_endpoint_never_serves_open_cells(spark, tables):
+    """Release-once contract closed END-TO-END (VERDICT r11 #6): wire
+    the publisher's /dp card from the append-mode CLOSED release
+    (flow_dp_release_closed) — the production topology, where only
+    watermark-closed days ever reach the card — and assert over a live
+    HTTP socket that (a) a closed day serves its released cells, and
+    (b) the still-open max event day serves an EMPTY card: the
+    publisher physically cannot expose a count that can still change,
+    because un-released cells never exist in its backing table.
+    (/province serves exact amounts by design — it is not a DP
+    surface; this pins that the DP surface's openness boundary is the
+    stream's eviction boundary, not dashboard-layer filtering.)"""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.privacy import dp_release_card
+    from gmall_realtime_ck_spark.streaming import pipelines
+    from tests.conftest import SF_DIR
+
+    released = pipelines.flow_dp_release_closed(spark, SF_DIR)
+    card = dp_release_card(released)
+    max_day = (
+        tables["events"].agg(F.date_format(F.max("ts"), "yyyy-MM-dd")).first()[0]
+    )
+    released_days = {r["day"] for r in card.select("day").distinct().collect()}
+    assert max_day not in released_days and released_days
+    closed_day = max(released_days)
+    pw = spark.createDataFrame(
+        [("2024-11-28", "Beijing", 1.0)],
+        "cur_date string, province_name string, order_amount double",
+    )
+    tw = spark.createDataFrame(
+        [("2024-11-28", "app", 1)], "cur_date string, ch string, uv_ct long"
+    )
+    server, base = serve_background(PublisherService(pw, tw, dp_card=card))
+    try:
+        status, body = _get(f"{base}/dp?date={closed_day}")
+        assert status == 200 and body["data"]["mapData"]
+        status, body = _get(f"{base}/dp?date={max_day}")
+        assert status == 200 and body["data"]["mapData"] == []
+    finally:
+        server.shutdown()

@@ -829,3 +829,45 @@ def test_flow_dp_release_closed_release_once(spark, tables):
     }
     got = {(r["event_type"], r["day"]): r["noisy_count"] for r in rows}
     assert got == batch
+
+
+def test_flow_dp_release_closed_midnight_boundary(spark, tmp_path):
+    """r11 ADVICE #3: when max(ts) lands EXACTLY on a day boundary the
+    prior day's window end equals the final watermark, and Spark's
+    append-mode eviction boundary decides whether that day is emitted.
+    Measured (Spark 4.1): eviction is INCLUSIVE on window.end
+    (window.end <= watermark ⇒ emit), so the 00:00:00 event puts the
+    watermark at midnight and the prior day IS released — exactly what
+    the oracle's strict before-max-DAY cutoff predicts (the midnight
+    event's own day has a later window end and stays open). Pin both
+    edges: max(ts) exactly at midnight, and one microsecond before."""
+    import pandas as pd
+
+    def release_days(ts_list):
+        d = tmp_path / ("ev_" + str(len(ts_list)) + ts_list[-1][-2:])
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": [pd.Timestamp(t) for t in ts_list],
+                "user_id": [i % 3 for i in range(len(ts_list))],
+                "event_type": ["view"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+                "props": ["{}"] * len(ts_list),
+            }
+        ).to_parquet(str(d / "events.parquet"))
+        rows = pipelines.flow_dp_release_closed(spark, str(d)).collect()
+        return sorted({r["day"] for r in rows})
+
+    # max ts exactly at midnight: watermark == day-04 window end →
+    # inclusive eviction releases 03 AND 04; day 05 (the event's own
+    # day-window) stays open
+    assert release_days(
+        ["2024-01-03 10:00:00", "2024-01-04 09:00:00", "2024-01-05 00:00:00"]
+    ) == ["2024-01-03", "2024-01-04"]
+    # one microsecond earlier: watermark < day-04 window end → day 04
+    # still open, only 03 released — the same answer the oracle's
+    # strict before-max-day cutoff gives (max day is now the 4th)
+    assert release_days(
+        ["2024-01-03 10:00:00", "2024-01-04 09:00:00", "2024-01-04 23:59:59.999999"]
+    ) == ["2024-01-03"]
