@@ -769,6 +769,86 @@ def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: repeated-line removal: fixed non-overlapping token-block size. 8
+#: tokens ≈ a boilerplate "line" on this flat word-stream corpus (the
+#: driver documents carry no newlines); real corpora would split on
+#: '\n' first and fall back to fixed blocks for unstructured text.
+LINE_TOKENS = 8
+
+
+def line_blocks(docs: DataFrame) -> DataFrame:
+    """Explode every document into its non-overlapping LINE_TOKENS-token
+    blocks — the unit of repeated-line (boilerplate) removal. Emits
+    (doc_id, pos, ntok, btxt, bh): 1-based token position, block token
+    count, block text, md5 block key. Shared by the batch
+    ``text_line_dedup`` and the ``flow_dup_lines`` blacklist twin.
+    Pure column algebra (tokenize once, slice per start offset inside
+    a transform) — whole-stage codegen until the explode, fan-out
+    ceil(tokens/LINE_TOKENS) rows per doc."""
+    tk0 = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    return tk0.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk), {LINE_TOKENS}), "
+                f"s -> struct(s AS pos, size(slice(tk, s, {LINE_TOKENS})) AS ntok, "
+                f"array_join(slice(tk, s, {LINE_TOKENS}), ' ') AS btxt))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.pos").cast("bigint").alias("pos"),
+        F.col("b.ntok").cast("bigint").alias("ntok"),
+        F.col("b.btxt").alias("btxt"),
+        F.md5("b.btxt").alias("bh"),
+    )
+
+
+def line_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-level repeated-line removal (RefinedWeb/CCNet line dedup
+    — Penedo et al. 2023 §3.3, the filter that strips navigation
+    boilerplate repeated across pages): split every doc into
+    non-overlapping LINE_TOKENS-token blocks, count each block's
+    occurrences ACROSS the corpus, drop every instance of any block
+    occurring more than once, and reassemble the surviving text in
+    position order. Emits the per-doc cleaning verdict: block counts,
+    dropped counts, surviving token count, and the md5 of the
+    reassembled text (the scalar the hash gate can compare; downstream
+    consumers re-derive the text the same way).
+
+    Scale: block counting is ONE keyed aggregate on the md5 block key
+    (map-side combine — a boilerplate block repeated 10⁶ times arrives
+    at the reducer as partial counts, not rows); the verdict join back
+    to the exploded blocks shuffles both sides on the same key, so AQE
+    reuses the exchange; reassembly is a per-doc collect_list bounded
+    by document length (array_sort fixes collect_list's
+    nondeterministic arrival order). No windows over raw blocks, no
+    all-pairs anything.
+    """
+    blocks = line_blocks(t["documents"])
+    counts = blocks.groupBy("bh").agg(F.count(F.lit(1)).alias("n_occ"))
+    joined = blocks.join(counts, "bh")
+    kept = F.col("n_occ") == 1
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((~kept).cast("bigint")).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("ntok"))), F.lit(0)).alias(
+            "clean_n_tokens"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN n_occ = 1 "
+                    "THEN struct(pos, btxt) END)), x -> x.btxt)"
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
 _H60_D = H60_DUCK.format(c="tok")
 
 _MINHASH_AGGS_D = ",\n            ".join(
@@ -803,7 +883,41 @@ _MINHASH_CTE = f"""
         )
 """
 
+#: blocks CTE shared by the text_line_dedup oracle and the
+#: flow_dup_lines blacklist oracle — MUST mirror line_blocks() exactly
+_LINE_BLOCKS_CTE = f"""
+        WITH tk0 AS (
+            SELECT doc_id, {{toks}} AS tk FROM documents
+        ), blk AS (
+            SELECT doc_id, (u.pos)::BIGINT AS pos, (u.ntok)::BIGINT AS ntok,
+                   u.btxt AS btxt, md5(u.btxt) AS bh
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) + 1, {LINE_TOKENS}),
+                           s -> {{{{'pos': s,
+                                 'ntok': least({LINE_TOKENS}, len(tk) - s + 1),
+                                 'btxt': array_to_string(tk[s:s + {LINE_TOKENS - 1}], ' ')}}}})) AS u
+                FROM tk0 WHERE len(tk) > 0
+            )
+        ), c AS (
+            SELECT bh, count(*)::BIGINT AS n_occ FROM blk GROUP BY bh
+        )
+"""
+
 ORACLES: dict[str, str] = {
+    "text_line_dedup": _LINE_BLOCKS_CTE.format(toks=_TOKS_D)
+    + """
+        , j AS (
+            SELECT blk.doc_id, blk.pos, blk.ntok, blk.btxt, c.n_occ
+            FROM blk JOIN c USING (bh)
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_blocks,
+               (count(*) FILTER (WHERE n_occ > 1))::BIGINT AS n_dropped,
+               coalesce(sum(ntok) FILTER (WHERE n_occ = 1), 0)::BIGINT AS clean_n_tokens,
+               md5(coalesce(string_agg(btxt, ' ' ORDER BY pos) FILTER (WHERE n_occ = 1), '')) AS clean_md5
+        FROM j GROUP BY doc_id
+    """,
     "text_incremental_dedup": f"""
         WITH hashed AS (
             SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
@@ -1077,6 +1191,7 @@ BUILDERS = {
     "text_neardup_drop_list": neardup_drop_list,
     "text_neardup_clusters": neardup_clusters,
     "text_incremental_dedup": incremental_dedup,
+    "text_line_dedup": line_dedup,
     "text_containment_pairs": containment_pairs,
     "text_levenshtein_pairs": levenshtein_pairs,
     "text_incremental_neardup": incremental_neardup,

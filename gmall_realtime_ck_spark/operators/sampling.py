@@ -901,6 +901,91 @@ def sample_weighted_priority(t: dict[str, DataFrame]) -> DataFrame:
     return picked.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+#: global token budget for quality-ordered corpus selection — an
+#: absolute cap (the "train on the best B tokens" knob), so the same
+#: constant selects ~half the corpus at sf0.001 and a thinner, better
+#: slice as the corpus grows
+TOKEN_BUDGET = 10_000
+
+
+def doc_quality_tokens(docs: DataFrame) -> DataFrame:
+    """Per-doc (quality, token-count) frame shared by the batch
+    ``sample_token_budget`` and its streaming twin: quality = stopword
+    permille (the ``text_quality_score`` naturalness proxy — integer
+    arithmetic, bit-identical both engines)."""
+    from .text import _stop_list_sql
+
+    toks = TOKENS_SPARK.format(c="text")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) > 0 THEN "
+            f"(size(filter({toks}, x -> x in ({_stop_list_sql()}))) * 1000) DIV size({toks}) "
+            "ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("stop_ratio_permille"),
+    )
+
+
+def token_budget_select(d: DataFrame) -> DataFrame:
+    """Quality-ordered token-budget selection over a per-doc
+    (doc_id, n_tokens, stop_ratio_permille) frame: admit documents in
+    (quality DESC, doc_id) order while the running token total stays
+    within ``TOKEN_BUDGET`` — the "spend the training budget on the
+    best tokens" selector (the data-mixing counterpart of DoReMi/DSIR
+    reweighting: hard selection instead of soft weights).
+
+    Scale: the global running sum never rides one ORDER BY window.
+    Quality is a ≤1001-level permille, so the cumsum splits two-phase:
+    (1) within each quality level, the distributed two-level
+    ``prefix_sum_per_key`` scan orders by doc_id (~4096-row bucket
+    windows, in-plan width — streaming-poll safe); (2) ACROSS levels,
+    only the ≤1001-row per-level token totals ride an unpartitioned
+    window (aggregate-sized, the layout-offsets pattern) and the
+    offsets broadcast back into a join keyed on the level. Worst-case
+    window partition is therefore max(4096-row bucket, 1001-row level
+    table) regardless of corpus size. The budget filter pushes into
+    the joined output — no top-k, no rank, no global sort.
+    """
+    from .relational import prefix_sum_per_key
+
+    within = prefix_sum_per_key(
+        d,
+        ["stop_ratio_permille"],
+        "doc_id",
+        "n_tokens",
+        "_cum_in_q",
+        bucket_size="inplan",
+    )
+    lvl = d.groupBy("stop_ratio_permille").agg(F.sum("n_tokens").alias("_lvl_tok"))
+    w = (
+        Window.orderBy(F.desc("stop_ratio_permille"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = lvl.select(
+        F.col("stop_ratio_permille").alias("_q_off_key"),
+        F.coalesce(F.sum("_lvl_tok").over(w), F.lit(0)).alias("_q_off"),
+    )
+    # ≤1001-row broadcast by construction (permille levels), so the
+    # relational.py keyed-broadcast cardinality contract is satisfied
+    return (
+        within.join(
+            F.broadcast(off),
+            F.col("stop_ratio_permille") == F.col("_q_off_key"),
+        )
+        .withColumn("cum_tokens", (F.col("_q_off") + F.col("_cum_in_q")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "stop_ratio_permille", "n_tokens", "cum_tokens")
+    )
+
+
+def sample_token_budget(t: dict[str, DataFrame]) -> DataFrame:
+    """See :func:`token_budget_select` — batch entry over documents."""
+    return token_budget_select(doc_quality_tokens(t["documents"]))
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
@@ -1271,6 +1356,32 @@ ORACLES["lang_confusion_matrix"] = f"""
     GROUP BY lang_label, lang_pred
 """
 
+# Quality-ordered token-budget selection: the single ORDER BY window
+# here is the oracle's privilege — the Spark plan runs the two-phase
+# level-offset scan instead (token_budget_select docstring).
+from .text import _stop_list_sql as _stops_sql
+
+_STOPS_D = _stops_sql()
+ORACLES["sample_token_budget"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               len({_TOKS_D})::BIGINT AS n_tokens,
+               CASE WHEN len({_TOKS_D}) > 0 THEN
+                   (len(list_filter({_TOKS_D}, x -> x IN ({_STOPS_D}))) * 1000)
+                       // len({_TOKS_D})
+               ELSE 0 END AS stop_ratio_permille
+        FROM documents
+    ), s AS (
+        SELECT doc_id, stop_ratio_permille, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY stop_ratio_permille DESC, doc_id
+               )::BIGINT AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, stop_ratio_permille, n_tokens, cum_tokens
+    FROM s WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
 BUILDERS = {
     "corpus_e2e_verdict": corpus_e2e_verdict,
     "corpus_card_by_source": corpus_card_by_source,
@@ -1294,4 +1405,5 @@ BUILDERS = {
     "sample_domain_cap": sample_domain_cap,
     "corpus_dup_inflation": corpus_dup_inflation,
     "sample_epoch_schedule": sample_epoch_schedule,
+    "sample_token_budget": sample_token_budget,
 }

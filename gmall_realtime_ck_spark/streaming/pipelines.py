@@ -680,11 +680,13 @@ def flow_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells. The per-cell draw is a function of (secret pepper, cell
     key), so re-releasing a cell draws the SAME noise — the property
     production needs (fresh noise per release would let an observer
-    average it away). Production keeps the pepper an actual secret
-    (privacy.DP_PEPPER is a pinned literal here ONLY so tests and the
-    DuckDB oracle can reproduce the draw); a public seed would let an
-    observer recompute and subtract the noise (r10 ADVICE #1). Batch
-    oracle applies verbatim."""
+    average it away). Production injects the pepper via
+    ``GMALL_DP_PEPPER`` (strict mode ``GMALL_REQUIRE_PEPPER=1`` — r11
+    ADVICE #1 made the seam real, not advertised); the pinned-literal
+    fallback exists ONLY so tests and the DuckDB oracle can reproduce
+    the draw. A public seed would let an observer recompute and
+    subtract the noise (r10 ADVICE #1). Batch oracle applies
+    verbatim."""
     from ..operators.privacy import dp_noisy_counts
 
     ev = events_file_stream(spark, sf_dir)
@@ -779,6 +781,59 @@ def flow_dp_release_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dp_noisy_counts(_run_to_memory(counts, "append"))
+
+
+def flow_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-line blacklist as a live stream — the cross-corpus
+    state a streaming ingest dedup actually maintains (RefinedWeb line
+    dedup, the ``text_line_dedup`` counterpart): as document shards
+    arrive, every LINE_TOKENS-token block is counted corpus-wide, and
+    each poll emits the CURRENT blacklist (blocks seen more than once,
+    with occurrence counts) for the cleaning stage to broadcast-join
+    against arriving docs.
+
+    Scale: the block explode is stateless map fan-out; the only
+    streaming state is the keyed (block-md5 → count) aggregate — one
+    row per DISTINCT block, partial counts merged map-side (the
+    flow_token_gini vocabulary-state precedent); the poll-side filter
+    reads the materialized count table once. Batch-side blocks CTE
+    oracles the blacklist verbatim."""
+    from ..operators.dedup import line_blocks
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = line_blocks(docs).groupBy("bh").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        _run_to_memory(counts, "complete")
+        .filter(F.col("n_occ") > 1)
+        .select(F.col("bh").alias("block_hash"), F.col("n_occ").alias("n_occurrences"))
+    )
+
+
+def flow_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection as a live stream — the
+    "current best-B-tokens training slice" maintained as shards arrive:
+    a doc admitted at one poll can be displaced by better-quality
+    arrivals at the next, exactly how a budgeted corpus snapshot
+    behaves mid-crawl. State is one row per doc — the per-doc
+    (quality, token-count) aggregate (max-mergeable; each doc arrives
+    once, the flow_rfm_segments per-user-state posture); every poll
+    re-runs the shared two-phase selection (within-quality-level
+    distributed prefix scan + ≤1001-row level offsets —
+    ``sampling.token_budget_select``) over the materialized table, so
+    boundaries derive from CURRENT data and the batch oracle applies
+    verbatim."""
+    from ..operators.sampling import doc_quality_tokens, token_budget_select
+
+    docs = documents_file_stream(spark, sf_dir)
+    per_doc = (
+        doc_quality_tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("stop_ratio_permille").alias("stop_ratio_permille"),
+        )
+    )
+    return token_budget_select(_run_to_memory(per_doc, "complete"))
 
 
 def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1726,8 @@ STREAM_BUILDERS = {
     "flow_dp_release_closed": flow_dp_release_closed,
     "flow_rfm_segments": flow_rfm_segments,
     "flow_retention_cohorts": flow_retention_cohorts,
+    "flow_dup_lines": flow_dup_lines,
+    "flow_token_budget": flow_token_budget,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
     "flow_session_windows": flow_session_windows,
@@ -1685,6 +1742,7 @@ STREAM_BUILDERS = {
 
 
 def stream_oracles() -> dict[str, str]:
+    from ..operators import dedup as _DEDUP_MOD
     from ..operators.behavior import ORACLES as BEH
     from ..operators.dedup import ORACLES as DD
     from ..operators.privacy import ORACLES as PRIV
@@ -1776,6 +1834,13 @@ def stream_oracles() -> dict[str, str]:
         "flow_dp_release_card": PRIV["privacy_dp_release_card"],
         "flow_rfm_segments": BEH["user_rfm_segments"],
         "flow_retention_cohorts": BEH["events_retention_cohorts"],
+        # the live blacklist = the batch blocks CTE's >1-occurrence slice
+        "flow_dup_lines": _DEDUP_MOD._LINE_BLOCKS_CTE.format(toks=_DEDUP_MOD._TOKS_D)
+        + """
+            SELECT bh AS block_hash, n_occ AS n_occurrences
+            FROM c WHERE n_occ > 1
+        """,
+        "flow_token_budget": SAMP["sample_token_budget"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

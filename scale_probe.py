@@ -159,6 +159,15 @@ QUERIES = [
     # scan-bound like the other keyed-count shapes)
     "user_rfm_segments",
     "privacy_dp_release_card",
+    # round-12 additions: repeated-line removal (block-md5 keyed count
+    # + same-key verdict join + per-doc bounded collect — the cipher
+    # keeps cross-copy blocks disjoint, so the blacklist grows
+    # linearly and the curve measures the keyed-count spine) and the
+    # token-budget selection (tokenize scan + within-level prefix scan
+    # + ≤1001-row offsets — should track the tokenizer like
+    # corpus_pack_sequences)
+    "text_line_dedup",
+    "sample_token_budget",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -186,6 +195,12 @@ STREAM_QUERIES = [
     # round-11 addition: release-once DP — watermark-windowed keyed
     # count (state = open cells only) + pure-map noise over emissions
     "flow_dp_release_closed",
+    # round-12 additions: the live blacklist (state = one row per
+    # distinct block — the cipher makes this grow linearly, the worst
+    # case) and the live token-budget slice (state = one row per doc;
+    # poll re-runs the two-phase selection)
+    "flow_dup_lines",
+    "flow_token_budget",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

@@ -67,6 +67,17 @@ R12_QUEUE = {
     "flow_dp_release_closed",
 }
 
+#: operators added DURING round 12 (after its window froze at rotation)
+#: — the seed of the round-13 rotation; each ships with oracle +
+#: invariant tests + sf0.001/sf0.01/sf0.1 vanilla preflights in its
+#: own commit.
+R13_QUEUE: set[str] = {
+    "text_line_dedup",
+    "flow_dup_lines",
+    "sample_token_budget",
+    "flow_token_budget",
+}
+
 #: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
 #: the MAD screen pair (histogram-state streaming twin, linearized
 #: threshold tree, keyed in-plan percentile stats — r10 VERDICT #2)
@@ -260,30 +271,27 @@ R5_QUEUE = {
 }
 
 HEADER = [
-    "## Cross-round driver-row ledger (r1–r10 recorded, r11 scheduled)",
+    "## Cross-round driver-row ledger (r1–r11 recorded, r12 scheduled)",
     "",
-    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..10}.json`",
+    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..11}.json`",
     "(r1 names mapped through the rename table above; `hash` = full",
     "value-hash green, `rows-only` = declared without an oracle by design,",
-    "`FAIL` = a red row). Round 10 went 50/50 green (tenth consecutive",
+    "`FAIL` = a red row). Round 11 went 50/50 green (eleventh consecutive",
     "zero-red round). The full-vocab Zipf pair `text_zipf_fit`/`flow_zipf`",
     "was RETIRED from the registry in r10 (VERDICT r9 #2 — superseded by",
     "the head-slice pair; their historical rows live in the CORRECTNESS",
-    "files but no longer print here). `r11 window` = in the first 50",
-    "positions of `queries()` this round, per the r10 verdict's rotation",
-    "plan (#1): R11_QUEUE (4 post-r10-freeze additions, never",
-    "driver-checked; the two DP releases re-preflighted r11 after the",
-    "DP-pepper fix changed their noise draws) + the 3 names rewired",
-    "during r11 (events_anomaly_mad / flow_anomaly_mad: histogram-state",
-    "twin + linearized threshold tree + keyed in-plan percentile stats;",
-    "user_rfm_segments: one stacked per-metric-width histogram pass) +",
-    "the 19 deferred r5-era re-certs + 24 slots for the stalest",
-    "surviving green rows (the r6-era cohort alphabetically through",
-    "text_dedup_exact; its remainder rotates in round 12). The 5",
-    "permanently rows-only-by-design names are excluded from staleness",
-    "rotation.",
+    "files but no longer print here). `r12 window` = in the first 50",
+    "positions of `queries()` this round, per the r11 verdict's rotation",
+    "plan (#2): R12_QUEUE (4 post-r11-freeze additions, never",
+    "driver-checked — the only oracled names without a driver hash row)",
+    "+ 46 slots for the stalest surviving green rows (the 21-name r6-era",
+    "cohort remainder, text_doc_fingerprint .. xmodal_phash_neardup,",
+    "then the r7-era cohort alphabetically through",
+    "dws_user_register_window — 25 of its 49; the remainder rotates in",
+    "round 13). The 5 permanently rows-only-by-design names are excluded",
+    "from staleness rotation.",
     "",
-    "| query | driver rows | r11 window |",
+    "| query | driver rows | r12 window |",
     "|---|---|---|",
 ]
 
@@ -300,7 +308,7 @@ def main() -> int:
             rename[m.group(1).strip()] = m.group(2).strip()
 
     rows: dict[str, list[str]] = {}
-    for r in range(1, 11):
+    for r in range(1, 12):
         path = os.path.join(ROOT, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):
             continue
@@ -325,8 +333,8 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r11 window)" if n in window
-            else "— (r12 queue)" if n in R12_QUEUE
+            "— (r12 window)" if n in window
+            else "— (r13 queue)" if n in R13_QUEUE
             else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
