@@ -109,12 +109,18 @@ _PRIORITY_HEAD = [
     #       without a driver hash row (all 4 preflighted hash-green on
     #       vanilla sessions at three scales in their own r11 commits
     #       and independently re-preflighted by the r11 judge),
-    #   (b) 46 re-certification slots for the stalest surviving green
+    #   (b) flow_repetition, REWIRED during r12 after its fresh r11 row
+    #       (the ≥1-shingle row filter moved to the equivalent token
+    #       count — the sha-form predicate was pushdown-substituted
+    #       into the shingle lambda; 5.8 → 1.3 s at sf0.1,
+    #       hash-identical; tools/gen_ledger.py::R12_REWIRED), so its
+    #       driver evidence predates the plan,
+    #   (c) 45 re-certification slots for the stalest surviving green
     #       rows: the 21-name r6-era cohort remainder
     #       (text_doc_fingerprint .. xmodal_phash_neardup, alphabetical
     #       — the r11 window took the cohort through text_dedup_exact)
     #       then the r7-era cohort alphabetically through
-    #       dws_user_register_window (25 of its 49; the remainder
+    #       dws_trade_order_window (24 of its 49; the remainder
     #       rotates in round 13).
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
@@ -128,7 +134,9 @@ _PRIORITY_HEAD = [
     "flow_dp_release_card",
     "flow_rfm_segments",
     "flow_dp_release_closed",
-    # --- (b) re-certification: r6-era cohort remainder, alphabetical ---
+    # --- (b) rewired this round ---
+    "flow_repetition",
+    # --- (c) re-certification: r6-era cohort remainder, alphabetical ---
     "text_doc_fingerprint",
     "text_lang_id",
     "text_neardup_clusters",
@@ -150,7 +158,7 @@ _PRIORITY_HEAD = [
     "traffic_log_split",
     "traffic_new_visitor_repair",
     "xmodal_phash_neardup",
-    # --- (b cont.) re-certification: r7-era cohort, alphabetical ---
+    # --- (c cont.) re-certification: r7-era cohort, alphabetical ---
     "agg_forecast_revenue",
     "agg_global_uv",
     "agg_sliding_counts",
@@ -175,7 +183,6 @@ _PRIORITY_HEAD = [
     "dwd_refund_pay_success",
     "dwd_trade_order_refund",
     "dws_trade_order_window",
-    "dws_user_register_window",
 ]
 
 

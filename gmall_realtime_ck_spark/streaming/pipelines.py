@@ -1314,10 +1314,18 @@ def flow_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-pattern shingles_from_tokens documents; measured 9.9 → ~5 s
     # at sf0.1 for this query — the remainder is the shingle concat +
     # array_distinct itself)
-    toked = docs.select("doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
-    sh = toked.select(
-        "doc_id", F.expr(shingles_from_tokens("tk", 3)).alias("sha")
-    ).filter(F.size("sha") >= 1)
+    # The ≥1-shingle row filter is expressed on the TOKEN count
+    # (size(tk) >= 3 ⇔ size(sha) >= 1): a predicate on `sha` would be
+    # pushdown-substituted through BOTH projections, planting the
+    # tokenizer split inside the shingle lambda — the per-element
+    # outer-expression re-evaluation this docstring already warns
+    # about, re-introduced by the optimizer instead of the author
+    # (measured: the sha-filter form ran 4.0 s vs 0.5 s at sf0.1; the
+    # tk-filter pushes as ONE extra linear split, r12).
+    toked = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
+    ).filter(F.size("tk") >= 3)
+    sh = toked.select("doc_id", F.expr(shingles_from_tokens("tk", 3)).alias("sha"))
     out = sh.select(
         "doc_id",
         F.size("sha").cast("bigint").alias("total_shingles"),

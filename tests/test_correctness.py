@@ -168,21 +168,25 @@ def test_ledger_queue_names_resolve():
         ("R11_REWIRED", mod.R11_REWIRED),
         ("R11_RECERT_R5", mod.R11_RECERT_R5),
         ("R12_QUEUE", mod.R12_QUEUE),
+        ("R12_REWIRED", mod.R12_REWIRED),
         ("R13_QUEUE", mod.R13_QUEUE),
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
     # Round-12 rotation contract (VERDICT r11 #2): the 4 post-r11-freeze
     # additions (R12_QUEUE — the only oracled names without a driver
-    # hash row) sit inside the 50-slot window, the window is exactly 50
-    # names, and every freshly-r11-certified cohort (R11_QUEUE,
-    # R11_REWIRED, R11_RECERT_R5 — all green in CORRECTNESS_r11) has
-    # rotated out to free re-certification slots for the stalest
-    # surviving rows (the r6-era remainder + the r7-era head).
+    # hash row) and the one query rewired during r12 (R12_REWIRED —
+    # its fresh r11 row predates the plan) sit inside the 50-slot
+    # window, the window is exactly 50 names, and every
+    # freshly-r11-certified cohort (R11_QUEUE, R11_REWIRED,
+    # R11_RECERT_R5 — all green in CORRECTNESS_r11 and none re-rewired
+    # since) has rotated out to free re-certification slots for the
+    # stalest surviving rows (the r6-era remainder + the r7-era head).
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
     assert mod.R12_QUEUE <= head, sorted(mod.R12_QUEUE - head)
+    assert mod.R12_REWIRED <= head, sorted(mod.R12_REWIRED - head)
     # Only the RECENTLY-certified cohorts are excluded from the window
     # (burning a slot on a fresh green row wastes it); older historical
     # queues (R5-R7) may legitimately re-enter as their rows go stale.

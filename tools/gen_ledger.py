@@ -78,6 +78,19 @@ R13_QUEUE: set[str] = {
     "flow_token_budget",
 }
 
+#: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
+#: flow_repetition's ≥1-shingle row filter moved from the shingle
+#: array to the equivalent token count (size(tk) >= 3): the sha-form
+#: predicate was pushdown-substituted through both projections,
+#: planting the tokenizer split inside the shingle lambda (per-element
+#: re-evaluation; 5.8 → 1.3 s at sf0.1, hash-identical). Slotted into
+#: the r12 window itself (the R11_REWIRED precedent — invalid evidence
+#: outranks merely-stale evidence), evicting the last r7-era re-cert
+#: (dws_user_register_window, which rotates r13 instead).
+R12_REWIRED = {
+    "flow_repetition",
+}
+
 #: queries REWIRED during round 11 AFTER their fresh r10 driver rows —
 #: the MAD screen pair (histogram-state streaming twin, linearized
 #: threshold tree, keyed in-plan percentile stats — r10 VERDICT #2)
@@ -284,10 +297,11 @@ HEADER = [
     "positions of `queries()` this round, per the r11 verdict's rotation",
     "plan (#2): R12_QUEUE (4 post-r11-freeze additions, never",
     "driver-checked — the only oracled names without a driver hash row)",
-    "+ 46 slots for the stalest surviving green rows (the 21-name r6-era",
-    "cohort remainder, text_doc_fingerprint .. xmodal_phash_neardup,",
-    "then the r7-era cohort alphabetically through",
-    "dws_user_register_window — 25 of its 49; the remainder rotates in",
+    "+ flow_repetition (REWIRED during r12 after its fresh r11 row —",
+    "R12_REWIRED) + 45 slots for the stalest surviving green rows (the",
+    "21-name r6-era cohort remainder, text_doc_fingerprint ..",
+    "xmodal_phash_neardup, then the r7-era cohort alphabetically through",
+    "dws_trade_order_window — 24 of its 49; the remainder rotates in",
     "round 13). The 5 permanently rows-only-by-design names are excluded",
     "from staleness rotation.",
     "",
