@@ -432,16 +432,32 @@ def xmodal_phash_neardup(t: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("g"),
     ).withColumn("h", F.expr(H60_SPARK.format(c="g")))
-    vote_aggs = [
-        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
+    # SWAR-packed bit votes (r12): two 32-bit ones-counters per 64-bit
+    # aggregate — 30 aggregation buffers + one count instead of 60
+    # CASE sums (measured 5.6 → 4.6 s for the fingerprint stage at
+    # sf0.1; per-row agg-buffer update cost dominates this stage).
+    # votes_j > 0 ⇔ 2·ones_j > n, so the reconstructed phash is
+    # BIT-IDENTICAL to the ±1-vote form. The 32-bit fields cannot
+    # overflow structurally: one field counts at most the media's gram
+    # count, and a Spark string row caps at 2 GB ⇒ < 2.15e9 grams
+    # < 2³². (16-bit packing is ~20% faster still but silently
+    # overflows past 65k grams — a 64 KB payload — so it is not safe
+    # for real media.)
+    packed_aggs = [
+        F.sum(
+            F.expr(f"((h >> {2 * m}) & 1) | (((h >> {2 * m + 1}) & 1) << 32)")
+        ).alias(f"p{m}")
+        for m in range(SIMHASH_BITS // 2)
     ]
     combine = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN 2 * ((p{j // 2} >> {32 * (j % 2)}) & 4294967295) > n "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
         for j in range(SIMHASH_BITS)
     )
     ph = (
-        grams.groupBy("media_id").agg(*vote_aggs).select("media_id", F.expr(combine).alias("phash"))
+        grams.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"), *packed_aggs)
+        .select("media_id", F.expr(combine).alias("phash"))
     ).localCheckpoint()
     bands = []
     for b in range(SIMHASH_BANDS):
