@@ -1467,3 +1467,37 @@ def test_token_budget_greedy_prefix(tables):
     }
     assert got == want and want
     assert first_excluded_cum is None or first_excluded_cum > TOKEN_BUDGET
+
+
+def test_line_dedup_fully_dropped_doc(spark):
+    """Edge the driver corpus never hits: a document whose EVERY block
+    is corpus-duplicated must survive with an empty reassembly —
+    clean_n_tokens = 0 and clean_md5 = md5('') — not vanish from the
+    output (the doc row is the cleaning VERDICT; downstream joins rely
+    on one row per input doc with tokens)."""
+    import hashlib
+
+    from gmall_realtime_ck_spark.operators.dedup import LINE_TOKENS, line_dedup
+
+    blk = " ".join(f"w{i}" for i in range(LINE_TOKENS))
+    rows = [
+        # doc 0: two copies of the same block → entirely boilerplate
+        (0, f"{blk} {blk}", "en", "s0", 10),
+        # doc 1: one more copy (makes the block corpus-duplicated) plus
+        # a unique tail that must survive
+        (1, f"{blk} unique tail words here", "en", "s0", 10),
+        # doc 2: fully unique → untouched
+        (2, "totally fresh content nothing repeated at all", "en", "s1", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {r["doc_id"]: r for r in line_dedup({"documents": docs}).collect()}
+    assert set(out) == {0, 1, 2}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert out[0]["n_dropped"] == out[0]["n_blocks"] == 2
+    assert out[0]["clean_n_tokens"] == 0 and out[0]["clean_md5"] == empty_md5
+    assert out[1]["n_dropped"] == 1
+    want1 = hashlib.md5(b"unique tail words here").hexdigest()
+    assert out[1]["clean_md5"] == want1 and out[1]["clean_n_tokens"] == 4
+    assert out[2]["n_dropped"] == 0 and out[2]["clean_n_tokens"] == 7
