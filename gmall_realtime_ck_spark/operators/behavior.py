@@ -581,7 +581,76 @@ def retention_from_user_days(user_days: DataFrame) -> DataFrame:
     )
 
 
+def decayed_engagement_from_day_counts(day_counts: DataFrame) -> DataFrame:
+    """The decay algebra over a pre-aggregated (user_id, day, n)
+    activity frame — shared by the batch ``events_decayed_engagement``
+    and the ``flow_decayed_engagement`` poll step (which maintains the
+    day-count frame as its keyed stream state and re-anchors the decay
+    at the CURRENT max day every poll).
+
+    Half-life = one day: an event d days before the corpus max day
+    weighs ``1000000 div 2^d`` micros — INTEGER dyadic weights, so
+    both engines sum bit-identically (a transcendental
+    ``pow(0.5, dt)`` would drift in the last ulp across engines; the
+    r5 lesson behind the repo-wide integer-arithmetic posture).
+    Weights vanish for d ≥ 20 by the same integer division (2^20 >
+    10^6), so the CASE guard exists only to keep the shift in range —
+    a years-old event cannot overflow ``1 << d``.
+
+    Scale: the anchor is a 1-row max aggregate broadcast into the
+    scan (bounded nested loop by construction); everything else is
+    ONE keyed rollup with map-side partials over the |user × day|
+    frame, which is already compressed relative to raw events.
+    """
+    mx = day_counts.agg(F.max("day").alias("_mx_day"))
+    return (
+        day_counts.crossJoin(F.broadcast(mx))
+        .withColumn("_dd", F.datediff(F.col("_mx_day"), F.col("day")))
+        .withColumn(
+            "_w",
+            F.expr(
+                "CASE WHEN _dd >= 20 THEN CAST(0 AS BIGINT) "
+                "ELSE 1000000 div shiftleft(CAST(1 AS BIGINT), _dd) END"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * F.col("_w")).cast("bigint").alias("decayed_micros"),
+        )
+    )
+
+
+def events_decayed_engagement(t: dict[str, DataFrame]) -> DataFrame:
+    """Recency-weighted engagement leaderboard: each user's activity
+    scored with a 1-day-half-life exponential decay anchored at the
+    corpus's newest event day — the "who is active NOW" ranking a
+    growth dashboard shows next to raw lifetime counts (reference
+    serving-layer spirit: DWS rollup + ranked card). Integer dyadic
+    weights keep the score hash-exact across engines; see
+    :func:`decayed_engagement_from_day_counts` for the algebra and
+    scale posture."""
+    ev = t["events"]
+    dc = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return decayed_engagement_from_day_counts(dc)
+
+
 ORACLES: dict[str, str] = {
+    "events_decayed_engagement": """
+        WITH dc AS (
+            SELECT user_id, ts::DATE AS day, COUNT(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), mx AS (
+            SELECT max(day) AS mxd FROM dc
+        )
+        SELECT user_id, SUM(n)::BIGINT AS n_events,
+               SUM(n * (CASE WHEN date_diff('day', day, (SELECT mxd FROM mx)) >= 20 THEN 0
+                        ELSE 1000000 // (1 << date_diff('day', day, (SELECT mxd FROM mx))) END)
+               )::BIGINT AS decayed_micros
+        FROM dc GROUP BY user_id
+    """,
     "events_retention_cohorts": """
         WITH ud AS (
             SELECT DISTINCT user_id, ts::DATE AS d FROM events
@@ -800,4 +869,5 @@ BUILDERS = {
     "behavior_top_paths": behavior_top_paths,
     "behavior_basket_lift": basket_lift_pairs,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_decayed_engagement": events_decayed_engagement,
 }

@@ -836,6 +836,25 @@ def flow_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(_run_to_memory(per_doc, "complete"))
 
 
+def flow_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recency-weighted engagement leaderboard as a live stream —
+    the "active NOW" ranking re-anchored continuously: the keyed
+    stream state is the (user, day) activity count (complete mode —
+    bounded by |users| × |days|, far smaller than raw events), and
+    every poll re-runs the shared integer-dyadic decay algebra
+    (``behavior.decayed_engagement_from_day_counts``) against the
+    CURRENT max day, so yesterday's scores decay as today's events
+    arrive — the semantics a cached batch score cannot give. Batch
+    oracle applies verbatim."""
+    from ..operators.behavior import decayed_engagement_from_day_counts
+
+    ev = events_file_stream(spark, sf_dir)
+    dc = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return decayed_engagement_from_day_counts(_run_to_memory(dc, "complete"))
+
+
 def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cohort retention matrix as a live stream — day-N retention
     maintained continuously as activity arrives, the dashboard card a
@@ -1736,6 +1755,7 @@ STREAM_BUILDERS = {
     "flow_retention_cohorts": flow_retention_cohorts,
     "flow_dup_lines": flow_dup_lines,
     "flow_token_budget": flow_token_budget,
+    "flow_decayed_engagement": flow_decayed_engagement,
     "flow_incremental_dedup": flow_incremental_dedup,
     "flow_sq8_encode": flow_sq8_encode,
     "flow_session_windows": flow_session_windows,
@@ -1849,6 +1869,7 @@ def stream_oracles() -> dict[str, str]:
             FROM c WHERE n_occ > 1
         """,
         "flow_token_budget": SAMP["sample_token_budget"],
+        "flow_decayed_engagement": BEH["events_decayed_engagement"],
         "flow_value_tiers": REL["range_join_value_tiers"],
         "flow_histogram": QUAL["quality_value_histogram"],
         "flow_funnel": BEH["funnel_conversion"],

@@ -168,6 +168,9 @@ QUERIES = [
     # corpus_pack_sequences)
     "text_line_dedup",
     "sample_token_budget",
+    # the decayed-engagement rollup: (user, day) keyed count + a 1-row
+    # anchor broadcast — should track the keyed-count spine
+    "events_decayed_engagement",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -201,6 +204,9 @@ STREAM_QUERIES = [
     # poll re-runs the two-phase selection)
     "flow_dup_lines",
     "flow_token_budget",
+    # live decayed leaderboard: state = (user, day) counts; poll
+    # re-anchors the integer-dyadic decay at the current max day
+    "flow_decayed_engagement",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

@@ -1501,3 +1501,50 @@ def test_line_dedup_fully_dropped_doc(spark):
     want1 = hashlib.md5(b"unique tail words here").hexdigest()
     assert out[1]["clean_md5"] == want1 and out[1]["clean_n_tokens"] == 4
     assert out[2]["n_dropped"] == 0 and out[2]["clean_n_tokens"] == 7
+
+
+def test_decayed_engagement_laws(tables):
+    """events_decayed_engagement (r12): (a) the score is exactly
+    Σ_d n_d · (10⁶ div 2^d) with d anchored at the corpus max day —
+    recomputed independently from a raw collect; (b) a user active
+    ONLY on the max day scores exactly 10⁶ per event (no decay);
+    (c) activity 20+ days old contributes exactly zero (the integer
+    division vanishes before the shift guard is ever needed)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.behavior import (
+        events_decayed_engagement,
+    )
+
+    rows = tables["events"].select(
+        "user_id", F.to_date("ts").alias("d")
+    ).collect()
+    mx = max(r["d"] for r in rows)
+    want: dict[int, list[int]] = {}
+    for r in rows:
+        dd = (mx - r["d"]).days
+        w = 0 if dd >= 20 else 1_000_000 // (1 << dd)
+        n, s = want.get(r["user_id"], [0, 0])
+        want[r["user_id"]] = [n + 1, s + w]
+    got = {
+        r["user_id"]: [r["n_events"], r["decayed_micros"]]
+        for r in events_decayed_engagement(tables).collect()
+    }
+    assert got == want and want
+    # (b)+(c) on a constructed frame: one fresh user, one stale user
+    spark = tables["events"].sparkSession
+    from gmall_realtime_ck_spark.operators.behavior import (
+        decayed_engagement_from_day_counts,
+    )
+
+    dc = spark.createDataFrame(
+        [(1, "2024-03-31", 3), (2, "2024-03-01", 5), (2, "2024-02-01", 7)],
+        "user_id bigint, day string, n bigint",
+    ).select("user_id", F.to_date("day").alias("day"), "n")
+    out = {
+        r["user_id"]: (r["n_events"], r["decayed_micros"])
+        for r in decayed_engagement_from_day_counts(dc).collect()
+    }
+    assert out[1] == (3, 3_000_000)
+    # user 2: 30 days old → 1e6//2^30 = 0 via the d>=20 guard; 59 days → 0
+    assert out[2] == (12, 0)

@@ -76,6 +76,8 @@ R13_QUEUE: set[str] = {
     "flow_dup_lines",
     "sample_token_budget",
     "flow_token_budget",
+    "events_decayed_engagement",
+    "flow_decayed_engagement",
 }
 
 #: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
