@@ -986,6 +986,44 @@ def sample_token_budget(t: dict[str, DataFrame]) -> DataFrame:
     return token_budget_select(doc_quality_tokens(t["documents"]))
 
 
+def corpus_pack_efficiency(t: dict[str, DataFrame]) -> DataFrame:
+    """Context-window utilization report over the packing manifest —
+    the fill-rate diagnostic every training pipeline tracks beside the
+    manifest itself (a fill permille well under 1000 means the GPU
+    batch is padding; the knob is PACK_BUDGET vs the doc-length
+    distribution). Per source: docs, packs, total tokens, nominal
+    capacity (packs × PACK_BUDGET) and integer fill permille. Under
+    this manifest's assignment rule (a doc belongs to the pack where
+    its FIRST token lands), a shard's final pack can overflow the
+    budget, so fill_permille may exceed 1000 — that is a property of
+    the assignment semantics, not an error, and the oracle reproduces
+    it exactly.
+
+    Scale: derives entirely from ``sequence_pack_assign``'s
+    shard-parallel manifest with ONE further keyed rollup (map-side
+    combinable, |sources| output rows); no new scan shapes.
+    """
+    m = sequence_pack_assign(t)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_packs",
+            "total_tokens",
+            (F.col("n_packs") * PACK_BUDGET).cast("bigint").alias("capacity_tokens"),
+            F.expr(f"(total_tokens * 1000) div (n_packs * {PACK_BUDGET})").alias(
+                "fill_permille"
+            ),
+        )
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
@@ -1235,6 +1273,24 @@ ORACLES: dict[str, str] = {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_BUDGET})::BIGINT AS pack_id
         FROM d
     """,
+    "corpus_pack_efficiency": f"""
+        WITH d AS (
+            SELECT doc_id, source, len({_TOKS_D})::BIGINT AS n_tokens FROM documents
+        ), m AS (
+            SELECT source, n_tokens,
+                   (coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {PACK_BUDGET})::BIGINT AS pack_id
+            FROM d
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               (MAX(pack_id) + 1)::BIGINT AS n_packs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               ((MAX(pack_id) + 1) * {PACK_BUDGET})::BIGINT AS capacity_tokens,
+               ((SUM(n_tokens) * 1000) // ((MAX(pack_id) + 1) * {PACK_BUDGET}))::BIGINT AS fill_permille
+        FROM m GROUP BY source
+    """,
     "stratified_sample": f"""
         WITH d AS (
             SELECT doc_id, source,
@@ -1406,4 +1462,5 @@ BUILDERS = {
     "corpus_dup_inflation": corpus_dup_inflation,
     "sample_epoch_schedule": sample_epoch_schedule,
     "sample_token_budget": sample_token_budget,
+    "corpus_pack_efficiency": corpus_pack_efficiency,
 }

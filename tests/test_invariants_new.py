@@ -1548,3 +1548,33 @@ def test_decayed_engagement_laws(tables):
     assert out[1] == (3, 3_000_000)
     # user 2: 30 days old → 1e6//2^30 = 0 via the d>=20 guard; 59 days → 0
     assert out[2] == (12, 0)
+
+
+def test_pack_efficiency_consistent_with_manifest(tables):
+    """corpus_pack_efficiency (r12): the report must be a pure rollup
+    of the packing manifest — per source, recompute docs/packs/tokens/
+    capacity/fill from a collected sequence_pack_assign and require
+    exact equality, including the documented may-exceed-1000 fill
+    semantics (a doc belongs to the pack where its first token lands,
+    so a shard's final pack can overflow PACK_BUDGET)."""
+    from gmall_realtime_ck_spark.operators.sampling import (
+        PACK_BUDGET,
+        corpus_pack_efficiency,
+        sequence_pack_assign,
+    )
+
+    manifest = sequence_pack_assign(tables).collect()
+    want: dict[str, list[int]] = {}
+    for r in manifest:
+        n, packs, tok = want.get(r["source"], [0, 0, 0])
+        want[r["source"]] = [n + 1, max(packs, r["pack_id"] + 1), tok + r["n_tokens"]]
+    got = {r["source"]: r for r in corpus_pack_efficiency(tables).collect()}
+    assert set(got) == set(want)
+    for src, (n_docs, n_packs, total) in want.items():
+        g = got[src]
+        cap = n_packs * PACK_BUDGET
+        assert (g["n_docs"], g["n_packs"], g["total_tokens"]) == (n_docs, n_packs, total)
+        assert g["capacity_tokens"] == cap
+        assert g["fill_permille"] == (total * 1000) // cap
+        # a non-degenerate shard fills most of its capacity
+        assert g["fill_permille"] > 500, src

@@ -78,6 +78,7 @@ R13_QUEUE: set[str] = {
     "flow_token_budget",
     "events_decayed_engagement",
     "flow_decayed_engagement",
+    "corpus_pack_efficiency",
 }
 
 #: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
