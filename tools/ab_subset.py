@@ -38,7 +38,15 @@ BATCH = [
     "text_dedup_exact", "text_bigram_topk", "best_parts_per_region",
     "sample_domain_cap",
 ]
-STREAM = ["flow_funnel", "flow_dsir_gate", "flow_left_outer", "flow_daily_uv"]
+# flow_repetition added r12 (it was rewired that round and the fixed
+# subset had no coverage of it — its 4× regression would have been
+# invisible to this tool). Comparisons across commits remain valid:
+# both arms are always timed by the SAME invoking script, so the
+# subset definition travels with the newer tree.
+STREAM = [
+    "flow_funnel", "flow_dsir_gate", "flow_left_outer", "flow_daily_uv",
+    "flow_repetition",
+]
 
 spark = get_spark(app_name="ab_subset")
 spark.sparkContext.setLogLevel("ERROR")
