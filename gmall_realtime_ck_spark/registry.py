@@ -101,88 +101,81 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-12 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r11). Composition,
-    # per the r11 verdict's rotation plan (#2):
-    #   (a) the 4 R12_QUEUE post-r11-freeze additions
-    #       (tools/gen_ledger.py::R12_QUEUE) — the only oracled names
-    #       without a driver hash row (all 4 preflighted hash-green on
-    #       vanilla sessions at three scales in their own r11 commits
-    #       and independently re-preflighted by the r11 judge),
-    #   (b) flow_repetition, REWIRED during r12 after its fresh r11 row
-    #       (the ≥1-shingle row filter moved to the equivalent token
-    #       count — the sha-form predicate was pushdown-substituted
-    #       into the shingle lambda; 5.8 → 1.3 s at sf0.1,
-    #       hash-identical; tools/gen_ledger.py::R12_REWIRED), so its
-    #       driver evidence predates the plan,
-    #   (c) 45 re-certification slots for the stalest surviving green
-    #       rows: the 21-name r6-era cohort remainder
-    #       (text_doc_fingerprint .. xmodal_phash_neardup, alphabetical
-    #       — the r11 window took the cohort through text_dedup_exact)
-    #       then the r7-era cohort alphabetically through
-    #       dws_trade_order_window (24 of its 49; the remainder
-    #       rotates in round 13).
+    # --- Round-13 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r12). Composition,
+    # per the r12 verdict's rotation plan (#1):
+    #   (a) the 7 R13_QUEUE post-r12-freeze additions
+    #       (tools/gen_ledger.py::R13_QUEUE) — the only oracled names
+    #       without a driver hash row (all 7 preflighted hash-green on
+    #       vanilla sessions at three scales in their own r12 commits
+    #       and independently re-preflighted by the r12 judge),
+    #   (b) 43 re-certification slots for the stalest surviving green
+    #       rows: the 25-name r7-era cohort remainder
+    #       (dws_user_register_window .. text_readability, alphabetical
+    #       — the r12 window took the cohort through
+    #       dws_trade_order_window) then the r8-era cohort
+    #       alphabetically through flow_ohlc (18 of its 48; the
+    #       remainder rotates in round 14).
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) are excluded from staleness rotation. After
     # this round every oracled declared query has a driver hash row
-    # (the 4 queue names land theirs) and every latest green row is
-    # r7+ except the rows-only set.
+    # (the 7 queue names land theirs) and every latest green row is
+    # r8+ except the rows-only set.
     # Window history: COVERAGE.md cross-round ledger.
-    # --- (a) R12_QUEUE: post-r11-freeze additions, never driver-checked ---
-    "privacy_dp_release_card",
-    "flow_dp_release_card",
-    "flow_rfm_segments",
-    "flow_dp_release_closed",
-    # --- (b) rewired this round ---
-    "flow_repetition",
-    # --- (c) re-certification: r6-era cohort remainder, alphabetical ---
-    "text_doc_fingerprint",
-    "text_lang_id",
-    "text_neardup_clusters",
-    "text_neardup_drop_list",
-    "text_ngram_jaccard_pairs",
-    "text_pii_redaction",
-    "text_quality_score",
-    "trade_cart_add_uu",
-    "trade_cdc_projection",
-    "trade_conditional_delta",
-    "trade_gmv_rollup",
-    "trade_interval_join",
-    "trade_left_outer_orders",
-    "trade_lookup_join_dim",
-    "trade_status_filter",
-    "traffic_daily_uv",
-    "traffic_event_pivot",
-    "traffic_keyword_count",
-    "traffic_log_split",
-    "traffic_new_visitor_repair",
-    "xmodal_phash_neardup",
-    # --- (c cont.) re-certification: r7-era cohort, alphabetical ---
-    "agg_forecast_revenue",
-    "agg_global_uv",
-    "agg_sliding_counts",
-    "agg_tumbling_typed",
-    "approx_uv_kmv",
-    "approx_uv_kmv_rollup",
-    "asof_view_before_purchase",
-    "best_parts_per_region",
-    "best_supplier",
-    "corpus_leakage_safe_split",
-    "corpus_report",
-    "corpus_simpson_diversity",
-    "corpus_tfidf_top_terms",
-    "corpus_train_test_split",
-    "corpus_vocab_stats",
-    "cosine_topk",
-    "customers_top_returned",
-    "datetime_functions",
-    "doc_gopher_rules",
-    "doc_token_count",
-    "doc_winnowing",
-    "dwd_refund_pay_success",
-    "dwd_trade_order_refund",
-    "dws_trade_order_window",
+    # --- (a) R13_QUEUE: post-r12-freeze additions, never driver-checked ---
+    "text_line_dedup",
+    "flow_dup_lines",
+    "sample_token_budget",
+    "flow_token_budget",
+    "events_decayed_engagement",
+    "flow_decayed_engagement",
+    "corpus_pack_efficiency",
+    # --- (b) re-certification: r7-era cohort remainder, alphabetical ---
+    "dws_user_register_window",
+    "embedding_semdedup",
+    "flow_kmv",
+    "flow_pii_redaction",
+    "flow_quality_filter",
+    "flow_readability",
+    "join_anti_silent_customers",
+    "join_market_share",
+    "join_nation_traffic",
+    "join_semi_returned_orders",
+    "promo_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "rel_q02_min_cost_supplier",
+    "rel_q11_value_share",
+    "rel_q13_orders_histogram",
+    "rel_q16_supplier_variety",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "repetition_ratio",
+    "source_overlap",
+    "text_bigram_topk",
+    "text_feature_hashing",
+    "text_readability",
+    # --- (b cont.) re-certification: r8-era cohort, alphabetical ---
+    "agg_salted_event_stats",
+    "approx_join_keys_kmv",
+    "approx_overlap_kmv",
+    "attr_last_touch",
+    "cohort_weekly_retention",
+    "corpus_drift_psi",
+    "corpus_heavy_tokens",
+    "doc_perplexity_bigram",
+    "doc_quality_classifier",
+    "embedding_kmeans_assign",
+    "embedding_neardup_pairs",
+    "embedding_neardup_scoped",
+    "flow_cumulate",
+    "flow_daily_uv",
+    "flow_funnel",
+    "flow_interval_join",
+    "flow_left_outer",
+    "flow_ohlc",
 ]
 
 

@@ -170,30 +170,31 @@ def test_ledger_queue_names_resolve():
         ("R12_QUEUE", mod.R12_QUEUE),
         ("R12_REWIRED", mod.R12_REWIRED),
         ("R13_QUEUE", mod.R13_QUEUE),
+        ("R14_QUEUE", mod.R14_QUEUE),
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-12 rotation contract (VERDICT r11 #2): the 4 post-r11-freeze
-    # additions (R12_QUEUE — the only oracled names without a driver
-    # hash row) and the one query rewired during r12 (R12_REWIRED —
-    # its fresh r11 row predates the plan) sit inside the 50-slot
-    # window, the window is exactly 50 names, and every
-    # freshly-r11-certified cohort (R11_QUEUE, R11_REWIRED,
-    # R11_RECERT_R5 — all green in CORRECTNESS_r11 and none re-rewired
+    # Round-13 rotation contract (VERDICT r12 #1): the 7 post-r12-freeze
+    # additions (R13_QUEUE — the only oracled names without a driver
+    # hash row) sit inside the 50-slot window, the window is exactly
+    # 50 names, and every freshly-r12-certified cohort (R12_QUEUE,
+    # R12_REWIRED — all green in CORRECTNESS_r12 and none re-rewired
     # since) has rotated out to free re-certification slots for the
-    # stalest surviving rows (the r6-era remainder + the r7-era head).
+    # stalest surviving rows (the r7-era remainder + the r8-era head).
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    assert mod.R12_QUEUE <= head, sorted(mod.R12_QUEUE - head)
-    assert mod.R12_REWIRED <= head, sorted(mod.R12_REWIRED - head)
+    assert mod.R13_QUEUE <= head, sorted(mod.R13_QUEUE - head)
     # Only the RECENTLY-certified cohorts are excluded from the window
     # (burning a slot on a fresh green row wastes it); older historical
-    # queues (R5-R7) may legitimately re-enter as their rows go stale.
+    # queues (R5-R8) may legitimately re-enter as their rows go stale.
+    assert not (mod.R12_QUEUE & head), sorted(mod.R12_QUEUE & head)
+    assert not (mod.R12_REWIRED & head), sorted(mod.R12_REWIRED & head)
     assert not (mod.R11_QUEUE & head), sorted(mod.R11_QUEUE & head)
     assert not (mod.R11_REWIRED & head), sorted(mod.R11_REWIRED & head)
     assert not (mod.R11_RECERT_R5 & head), sorted(mod.R11_RECERT_R5 & head)
     assert not (mod.R10_QUEUE & head), sorted(mod.R10_QUEUE & head)
     assert not (mod.R9_QUEUE & head), sorted(mod.R9_QUEUE & head)
-    # post-freeze round-12 additions queue for the round-13 rotation
-    assert not (mod.R13_QUEUE & head), sorted(mod.R13_QUEUE & head)
+    # post-freeze round-13 additions (if any) queue for the round-14
+    # rotation
+    assert not (mod.R14_QUEUE & head), sorted(mod.R14_QUEUE & head)

@@ -81,6 +81,12 @@ R13_QUEUE: set[str] = {
     "corpus_pack_efficiency",
 }
 
+#: operators added DURING round 13 (after its window froze at rotation)
+#: — the seed of the round-14 rotation; each ships with oracle +
+#: invariant tests + sf0.001/sf0.01/sf0.1 vanilla preflights in its
+#: own commit.
+R14_QUEUE: set[str] = set()
+
 #: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
 #: flow_repetition's ≥1-shingle row filter moved from the shingle
 #: array to the equivalent token count (size(tk) >= 3): the sha-form
@@ -287,28 +293,26 @@ R5_QUEUE = {
 }
 
 HEADER = [
-    "## Cross-round driver-row ledger (r1–r11 recorded, r12 scheduled)",
+    "## Cross-round driver-row ledger (r1–r12 recorded, r13 scheduled)",
     "",
-    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..11}.json`",
+    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..12}.json`",
     "(r1 names mapped through the rename table above; `hash` = full",
     "value-hash green, `rows-only` = declared without an oracle by design,",
-    "`FAIL` = a red row). Round 11 went 50/50 green (eleventh consecutive",
+    "`FAIL` = a red row). Round 12 went 50/50 green (twelfth consecutive",
     "zero-red round). The full-vocab Zipf pair `text_zipf_fit`/`flow_zipf`",
     "was RETIRED from the registry in r10 (VERDICT r9 #2 — superseded by",
     "the head-slice pair; their historical rows live in the CORRECTNESS",
-    "files but no longer print here). `r12 window` = in the first 50",
-    "positions of `queries()` this round, per the r11 verdict's rotation",
-    "plan (#2): R12_QUEUE (4 post-r11-freeze additions, never",
+    "files but no longer print here). `r13 window` = in the first 50",
+    "positions of `queries()` this round, per the r12 verdict's rotation",
+    "plan (#1): R13_QUEUE (7 post-r12-freeze additions, never",
     "driver-checked — the only oracled names without a driver hash row)",
-    "+ flow_repetition (REWIRED during r12 after its fresh r11 row —",
-    "R12_REWIRED) + 45 slots for the stalest surviving green rows (the",
-    "21-name r6-era cohort remainder, text_doc_fingerprint ..",
-    "xmodal_phash_neardup, then the r7-era cohort alphabetically through",
-    "dws_trade_order_window — 24 of its 49; the remainder rotates in",
-    "round 13). The 5 permanently rows-only-by-design names are excluded",
-    "from staleness rotation.",
+    "+ 43 slots for the stalest surviving green rows (the 25-name r7-era",
+    "cohort remainder, dws_user_register_window .. text_readability,",
+    "then the r8-era cohort alphabetically through flow_ohlc — 18 of its",
+    "48; the remainder rotates in round 14). The 5 permanently",
+    "rows-only-by-design names are excluded from staleness rotation.",
     "",
-    "| query | driver rows | r12 window |",
+    "| query | driver rows | r13 window |",
     "|---|---|---|",
 ]
 
@@ -325,7 +329,7 @@ def main() -> int:
             rename[m.group(1).strip()] = m.group(2).strip()
 
     rows: dict[str, list[str]] = {}
-    for r in range(1, 12):
+    for r in range(1, 13):
         path = os.path.join(ROOT, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):
             continue
@@ -350,8 +354,8 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r12 window)" if n in window
-            else "— (r13 queue)" if n in R13_QUEUE
+            "— (r13 window)" if n in window
+            else "— (r14 queue)" if n in R14_QUEUE
             else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
