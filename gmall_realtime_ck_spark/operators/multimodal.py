@@ -437,12 +437,15 @@ def xmodal_phash_neardup(t: dict[str, DataFrame]) -> DataFrame:
     # CASE sums (measured 5.6 → 4.6 s for the fingerprint stage at
     # sf0.1; per-row agg-buffer update cost dominates this stage).
     # votes_j > 0 ⇔ 2·ones_j > n, so the reconstructed phash is
-    # BIT-IDENTICAL to the ±1-vote form. The 32-bit fields cannot
-    # overflow structurally: one field counts at most the media's gram
-    # count, and a Spark string row caps at 2 GB ⇒ < 2.15e9 grams
-    # < 2³². (16-bit packing is ~20% faster still but silently
-    # overflows past 65k grams — a 64 KB payload — so it is not safe
-    # for real media.)
+    # BIT-IDENTICAL to the ±1-vote form. Overflow bound (ADVICE r12):
+    # each summed row value is ≤ 1 + 2³² (odd bit shifted to position
+    # 32), so the signed-bigint SUM stays under 2⁶³−1 only while the
+    # gram count n < 2³¹ — beyond that ANSI mode (the Spark 4 default)
+    # raises ArithmeticException rather than wrapping. n < 2³¹ holds
+    # structurally: a Spark string row caps at 2 GiB = 2³¹ bytes ⇒
+    # n ≤ 2³¹ − 3 grams per media, and the aggregate is per-media_id.
+    # (16-bit packing is ~20% faster still but silently overflows past
+    # 65k grams — a 64 KB payload — so it is not safe for real media.)
     packed_aggs = [
         F.sum(
             F.expr(f"((h >> {2 * m}) & 1) | (((h >> {2 * m + 1}) & 1) << 32)")

@@ -33,15 +33,36 @@ def _resolve_pepper(env_key: str, test_seam: str) -> str:
     The silent fallback is what r11 ADVICE #1 warns about — a deploy
     that forgets the export would ship publicly-recomputable noise —
     so ``GMALL_REQUIRE_PEPPER=1`` (set in production launchers) turns
-    the fallback into a hard failure. Resolution happens ONCE at
-    import, before any SQL text is built, so the Spark expression,
-    the batch oracle, and the streaming oracle all embed the SAME
-    resolved value (a mid-session env change cannot desynchronize
-    the engines).
+    the fallback into a hard failure. A PRESENT-but-EMPTY env var is a
+    configuration error in every mode (ADVICE r12 #2): the deploy
+    attempted injection and something upstream truncated it — falling
+    back silently would ship the public pepper while the operator
+    believes a secret one is live. Resolution happens ONCE at import,
+    before any SQL text is built, so the Spark expression, the batch
+    oracle, and the streaming oracle all embed the SAME resolved value
+    (a mid-session env change cannot desynchronize the engines).
+
+    Exposure note (ADVICE r12 #2): the resolved pepper is embedded as
+    an inline literal in the generated SQL/expression text, so it
+    surfaces anywhere that text does — ``EXPLAIN`` output, the Spark
+    UI's SQL tab, event logs, and DuckDB query logs. Deployments whose
+    threat model includes plan/log readers must either restrict those
+    surfaces (UI/event-log ACLs — the usual posture, since plans also
+    leak table names and literals) or rotate the pepper on exposure;
+    binding it as a session conf would still surface it in
+    ``SET``/environment dumps, so ACLing the observability surface is
+    the effective control, not literal-vs-parameter plumbing.
     """
     injected = os.environ.get(env_key)
     if injected:
         return injected
+    if injected is not None:  # present but empty — attempted injection
+        raise RuntimeError(
+            f"{env_key} is set but EMPTY — the deploy attempted pepper "
+            "injection and delivered no value; refusing to silently fall "
+            "back to the public repo-pinned test pepper. Unset the "
+            "variable to opt into the test pepper explicitly."
+        )
     if os.environ.get("GMALL_REQUIRE_PEPPER") == "1":
         raise RuntimeError(
             f"GMALL_REQUIRE_PEPPER=1 but {env_key} is not set — refusing to "

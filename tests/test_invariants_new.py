@@ -1305,6 +1305,19 @@ def test_dp_pepper_injection_seam():
         mp.delenv("GMALL_DP_PEPPER", raising=False)
         mp.delenv("GMALL_REQUIRE_PEPPER", raising=False)
         assert P._resolve_pepper("GMALL_DP_PEPPER", "dp-pepper-v1") == "dp-pepper-v1"
+    # (c') ADVICE r12 #2: present-but-EMPTY is an attempted injection
+    # that delivered nothing — a configuration error in EVERY mode,
+    # never a silent fallback to the public test pepper.
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setenv("GMALL_DP_PEPPER", "")
+        mp.delenv("GMALL_REQUIRE_PEPPER", raising=False)
+        with _pytest.raises(RuntimeError, match="EMPTY"):
+            P._resolve_pepper("GMALL_DP_PEPPER", "dp-pepper-v1")
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setenv("GMALL_DP_PEPPER", "")
+        mp.setenv("GMALL_REQUIRE_PEPPER", "1")
+        with _pytest.raises(RuntimeError, match="EMPTY"):
+            P._resolve_pepper("GMALL_DP_PEPPER", "dp-pepper-v1")
     # (d) expression builders track an arbitrary pepper in both engines
     assert "injected-s3cret:" in P.dp_idx_spark("injected-s3cret")
     assert "injected-s3cret:" in P.dp_idx_duck("injected-s3cret")
