@@ -621,6 +621,43 @@ def decayed_engagement_from_day_counts(day_counts: DataFrame) -> DataFrame:
     )
 
 
+def compact_stale_day_counts(day_counts: DataFrame) -> DataFrame:
+    """Calendar-time state bound for the decayed-engagement frame
+    (VERDICT r12 #5): day rows ≥ 20 days behind the frame's max day
+    contribute EXACTLY zero decayed weight (``1000000 div 2^d`` = 0
+    for d ≥ 20) but are still needed for the lifetime ``n_events``
+    sum — so instead of accumulating one row per (user, stale day)
+    forever, fold them into ONE per-user carry row pinned at
+    ``max_day − 20`` (any d ≥ 20 day is weight-equivalent; a fixed
+    representative keeps the column typed and the fold idempotent —
+    re-compacting a compacted frame is a no-op).
+
+    Score-identity is structural: recent rows pass through untouched,
+    carry rows keep the per-user ``n`` total with zero weight, and the
+    frame's max day always survives (the d = 0 row is by definition
+    recent), so the decay anchor is unchanged. Pinned by
+    ``test_decayed_engagement_compaction_law``.
+
+    Scale: the compacted frame is ≤ |users| × 21 rows regardless of
+    calendar span — the bound a changelog/snapshot sink persists for
+    serving (the ``compact_latest_snapshot`` posture); one keyed
+    aggregate over the stale slice + a 1-row broadcast anchor, both
+    map-side combinable.
+    """
+    mx = day_counts.agg(F.max("day").alias("_mx_day"))
+    tagged = day_counts.crossJoin(F.broadcast(mx))
+    recent = tagged.filter(
+        F.datediff(F.col("_mx_day"), F.col("day")) < 20
+    ).select("user_id", "day", "n")
+    carry = (
+        tagged.filter(F.datediff(F.col("_mx_day"), F.col("day")) >= 20)
+        .groupBy("user_id", "_mx_day")
+        .agg(F.sum("n").alias("n"))
+        .select("user_id", F.date_sub("_mx_day", 20).alias("day"), "n")
+    )
+    return recent.unionByName(carry)
+
+
 def events_decayed_engagement(t: dict[str, DataFrame]) -> DataFrame:
     """Recency-weighted engagement leaderboard: each user's activity
     scored with a 1-day-half-life exponential decay anchored at the

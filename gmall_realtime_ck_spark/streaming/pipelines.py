@@ -845,14 +845,31 @@ def flow_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``behavior.decayed_engagement_from_day_counts``) against the
     CURRENT max day, so yesterday's scores decay as today's events
     arrive — the semantics a cached batch score cannot give. Batch
-    oracle applies verbatim."""
-    from ..operators.behavior import decayed_engagement_from_day_counts
+    oracle applies verbatim.
+
+    Calendar-time bound (VERDICT r12 #5): the poll first folds day
+    rows ≥ 20 days behind the current max day — weight exactly zero
+    by the integer division, needed only for the lifetime count —
+    into one per-user carry row (``behavior.compact_stale_day_counts``;
+    score-identity pinned by ``test_decayed_engagement_compaction_law``),
+    so everything downstream of the materialized frame, including the
+    snapshot a serving sink would persist, is ≤ |users| × 21 rows
+    regardless of calendar span. The in-flight complete-mode aggregate
+    itself still keys on (user, day) — same posture as the other
+    complete-mode twins; a deployment that must also bound THAT swaps
+    the sink for the carry-row changelog this fold defines."""
+    from ..operators.behavior import (
+        compact_stale_day_counts,
+        decayed_engagement_from_day_counts,
+    )
 
     ev = events_file_stream(spark, sf_dir)
     dc = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    return decayed_engagement_from_day_counts(_run_to_memory(dc, "complete"))
+    return decayed_engagement_from_day_counts(
+        compact_stale_day_counts(_run_to_memory(dc, "complete"))
+    )
 
 
 def flow_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:

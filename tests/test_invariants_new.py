@@ -1563,6 +1563,70 @@ def test_decayed_engagement_laws(tables):
     assert out[2] == (12, 0)
 
 
+def test_decayed_engagement_compaction_law(tables):
+    """VERDICT r12 #5: ``compact_stale_day_counts`` bounds the
+    decayed-engagement frame's calendar-time growth. Laws: (a) the
+    decay output over the compacted frame is IDENTICAL to the output
+    over the raw frame — on the real events table and on a constructed
+    frame with deep stale history; (b) the compacted frame is flat
+    across a widened day range — ≤ |users| × 21 rows however many
+    calendar days the raw frame spans (the probe the verdict asks
+    for); (c) the fold is idempotent (re-compacting is a no-op) and
+    preserves every per-user ``n`` total and the frame max day."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.behavior import (
+        compact_stale_day_counts,
+        decayed_engagement_from_day_counts,
+    )
+
+    spark = tables["events"].sparkSession
+
+    def score(df):
+        return sorted(
+            (r["user_id"], r["n_events"], r["decayed_micros"])
+            for r in decayed_engagement_from_day_counts(df).collect()
+        )
+
+    # (a) on the real events table
+    dc_real = tables["events"].groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert score(compact_stale_day_counts(dc_real)) == score(dc_real)
+
+    # (a)+(b): widening day ranges, fixed 5 users, one row per
+    # (user, day) — raw frame grows with the span, compacted stays
+    # ≤ |users| × 21 and score-identical throughout.
+    import datetime as _dt
+
+    anchor = _dt.date(2024, 3, 31)
+    sizes = {}
+    for span in (30, 60, 120):
+        rows = [
+            (u, anchor - _dt.timedelta(days=d), (u + d) % 7 + 1)
+            for u in range(5)
+            for d in range(span)
+        ]
+        dc = spark.createDataFrame(rows, "user_id bigint, day date, n bigint")
+        comp = compact_stale_day_counts(dc)
+        sizes[span] = comp.count()
+        assert sizes[span] <= 5 * 21
+        assert score(comp) == score(dc)
+        # (c) idempotent; n totals and the anchor day survive
+        recomp = compact_stale_day_counts(comp)
+        assert sorted(map(tuple, recomp.collect())) == sorted(
+            map(tuple, comp.collect())
+        )
+        assert comp.agg(F.max("day")).first()[0] == anchor
+        tot = {
+            r["user_id"]: r["s"]
+            for r in comp.groupBy("user_id").agg(F.sum("n").alias("s")).collect()
+        }
+        assert tot == {u: sum((u + d) % 7 + 1 for d in range(span)) for u in range(5)}
+    # flat: the 120-day frame compacts to the same size as the 60-day
+    assert sizes[30] == sizes[60] == sizes[120] == 5 * 21
+
+
 def test_pack_efficiency_consistent_with_manifest(tables):
     """corpus_pack_efficiency (r12): the report must be a pure rollup
     of the packing manifest — per source, recompute docs/packs/tokens/
