@@ -369,6 +369,57 @@ def corpus_pack_sequences(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: documents per training shard in the shuffled order — the unit a
+#: loader reads sequentially after the global shuffle
+SHUF_SHARD_DOCS = 256
+
+
+def shuffle_order_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic global training-order shuffle — the layout step
+    between corpus selection and shard writing: every training run
+    needs the SAME pseudo-random document order (reproducibility,
+    mid-run resume, loader/trainer agreement), derived from content
+    alone with no stored seed state. Order key = 60-bit md5 integer of
+    ``'shuf:' || doc_id`` (uniform, engine-exact — the repo's H60
+    seam), position = rank in (h, doc_id) order, shard = position div
+    ``SHUF_SHARD_DOCS`` — contiguous slices of the shuffled order,
+    exactly what a packing/shard-writing job consumes.
+
+    Scale: the global rank never rides one ``row_number() OVER
+    (ORDER BY h)`` reducer — it is the exact two-level
+    ``prefix_sum_per_key`` scan with NO key: ~4096-row bucket windows
+    over the hash space (in-plan width, streaming-poll safe) plus one
+    |buckets|-row offset pass (~n/4096 rows — the only unpartitioned
+    window, aggregate-sized). Shared by the batch
+    ``corpus_shuffle_order`` and the ``flow_shuffle_order`` twin.
+    """
+    from .relational import prefix_sum_per_key
+    from .text import H60_SPARK
+
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            H60_SPARK.format(c="concat('shuf:', cast(doc_id as string))")
+        ).alias("h"),
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    run = prefix_sum_per_key(
+        d, [], "h", "_one", "_run", bucket_size="inplan", tie_cols=["doc_id"]
+    )
+    return run.select(
+        "doc_id",
+        (F.col("_run") - 1).cast("bigint").alias("pos"),
+        F.expr(f"(_run - 1) div {SHUF_SHARD_DOCS}").cast("bigint").alias("shard"),
+    )
+
+
+def corpus_shuffle_order(t: dict[str, DataFrame]) -> DataFrame:
+    """See :func:`shuffle_order_from_docs` — batch entry over the
+    documents table (reference serving-spirit: a deterministic layout
+    manifest, like ``corpus_pack_sequences``, not a query result a
+    user reads)."""
+    return shuffle_order_from_docs(t["documents"])
+
+
 def agg_salted_event_stats(t: dict[str, DataFrame]) -> DataFrame:
     """The salted two-stage aggregate as a first-class query: per-type
     event counts and cents totals computed through ``salted_aggregate``
@@ -391,6 +442,19 @@ def agg_salted_event_stats(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "corpus_shuffle_order": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT)
+                       AS h
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS pos
+            FROM h
+        )
+        SELECT doc_id, pos, (pos // {SHUF_SHARD_DOCS})::BIGINT AS shard FROM r
+    """,
     "agg_salted_event_stats": """
         SELECT event_type, COUNT(*)::BIGINT AS n_events,
                SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
@@ -448,6 +512,7 @@ ORACLES: dict[str, str] = {
 }
 
 BUILDERS = {
+    "corpus_shuffle_order": corpus_shuffle_order,
     "asof_view_before_purchase": asof_view_before_purchase,
     "layout_zorder_orders": layout_zorder_orders,
     "layout_compaction_bins": layout_compaction_bins,

@@ -809,6 +809,68 @@ def flow_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flow_dup_lines_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-line blacklist as a CHANGELOG with a bounded
+    serving story (VERDICT r12 #6) — the production counterpart of
+    ``flow_dup_lines``: complete mode re-emits the ENTIRE blacklist
+    every poll, which a long-lived sink cannot afford; here the block
+    counter runs in UPDATE mode, so each micro-batch emits only the
+    keys whose count changed, stamped with a per-key MONOTONE version
+    — the occurrence count ITSELF (a streaming count only grows, so
+    ``upd = n_occ`` is exactly the ReplacingMergeTree/compacted-topic
+    version column, no extra counter state needed; monotonicity is
+    pinned by ``test_dup_lines_snapshot_changelog_contract``). The
+    serving view is ``compact_latest_snapshot`` over the changelog +
+    the >1-occurrence filter, so a sink that prunes on ``upd`` holds
+    ~1 row per distinct block and the poll cost stays O(distinct
+    blocks) for the run's whole life — the set-sketch contract
+    (``kmv_set_sketch_stream``) applied to a plain keyed count.
+
+    The latest snapshot per key equals the final count, so the
+    compacted view equals the batch blacklist and the
+    ``flow_dup_lines`` oracle applies verbatim.
+
+    Scale: identical state to ``flow_dup_lines`` (one row per
+    DISTINCT block, map-side partial counts); the changelog adds no
+    state — only emission semantics change."""
+    from ..operators.dedup import line_blocks
+
+    docs = documents_file_stream(spark, sf_dir)
+    counts = (
+        line_blocks(docs)
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("upd", F.col("n_occ"))
+    )
+    tbl = _run_to_memory(counts, "update")
+    return (
+        compact_latest_snapshot(tbl, "bh")
+        .filter(F.col("n_occ") > 1)
+        .select(F.col("bh").alias("block_hash"), F.col("n_occ").alias("n_occurrences"))
+    )
+
+
+def flow_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic training-order shuffle maintained live — the
+    "current shard layout" a resumable ingest keeps as document shards
+    arrive: every poll re-derives the full (position, shard)
+    assignment from the CURRENT doc set (an arriving doc shifts the
+    positions of later-hashing docs — the semantics of a global
+    shuffle, which is why production pipelines freeze the order per
+    snapshot; this twin IS that snapshot, always current). State is
+    one row per doc_id (max-mergeable distinct aggregate — the
+    ``flow_token_budget`` per-doc posture); the poll re-runs the
+    shared no-key two-level rank (``layout.shuffle_order_from_docs``,
+    in-plan bucket width so each poll buckets against current stats).
+    Final table equals the batch manifest ⇒ the
+    ``corpus_shuffle_order`` oracle applies verbatim."""
+    from ..operators.layout import shuffle_order_from_docs
+
+    docs = documents_file_stream(spark, sf_dir)
+    per_doc = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ct"))
+    return shuffle_order_from_docs(_run_to_memory(per_doc, "complete").drop("_ct"))
+
+
 def flow_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ordered token-budget selection as a live stream — the
     "current best-B-tokens training slice" maintained as shards arrive:
@@ -1771,6 +1833,8 @@ STREAM_BUILDERS = {
     "flow_rfm_segments": flow_rfm_segments,
     "flow_retention_cohorts": flow_retention_cohorts,
     "flow_dup_lines": flow_dup_lines,
+    "flow_dup_lines_snapshot": flow_dup_lines_snapshot,
+    "flow_shuffle_order": flow_shuffle_order,
     "flow_token_budget": flow_token_budget,
     "flow_decayed_engagement": flow_decayed_engagement,
     "flow_incremental_dedup": flow_incremental_dedup,
@@ -1801,6 +1865,7 @@ def stream_oracles() -> dict[str, str]:
     from ..operators.stateful import ORACLES as ST
     from ..operators.text import ORACLES as TXT
 
+    from ..operators.layout import ORACLES as LAY
     from ..operators.timeseries import ORACLES as TS
 
     return {
@@ -1885,6 +1950,15 @@ def stream_oracles() -> dict[str, str]:
             SELECT bh AS block_hash, n_occ AS n_occurrences
             FROM c WHERE n_occ > 1
         """,
+        # the update-mode changelog compacts to the same final counts
+        "flow_dup_lines_snapshot": _DEDUP_MOD._LINE_BLOCKS_CTE.format(
+            toks=_DEDUP_MOD._TOKS_D
+        )
+        + """
+            SELECT bh AS block_hash, n_occ AS n_occurrences
+            FROM c WHERE n_occ > 1
+        """,
+        "flow_shuffle_order": LAY["corpus_shuffle_order"],
         "flow_token_budget": SAMP["sample_token_budget"],
         "flow_decayed_engagement": BEH["events_decayed_engagement"],
         "flow_value_tiers": REL["range_join_value_tiers"],

@@ -1655,3 +1655,51 @@ def test_pack_efficiency_consistent_with_manifest(tables):
         assert g["fill_permille"] == (total * 1000) // cap
         # a non-degenerate shard fills most of its capacity
         assert g["fill_permille"] > 500, src
+
+
+def test_shuffle_order_laws(tables):
+    """corpus_shuffle_order (r13): (a) positions are an exact
+    permutation 0..n−1 of the documents; (b) the no-key two-level rank
+    equals the naive global ``row_number() OVER (ORDER BY h, doc_id)``
+    form row-for-row (the single-reducer plan the operator exists to
+    avoid); (c) shard = pos div SHUF_SHARD_DOCS, contiguous slices of
+    the shuffled order; (d) deterministic — a second build yields the
+    identical manifest; (e) the order is genuinely shuffled relative
+    to doc_id order (some inversion exists)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.layout import (
+        SHUF_SHARD_DOCS,
+        corpus_shuffle_order,
+    )
+    from gmall_realtime_ck_spark.operators.text import H60_SPARK
+
+    out = corpus_shuffle_order(tables).collect()
+    n = tables["documents"].count()
+    assert sorted(r["pos"] for r in out) == list(range(n))
+    for r in out:
+        assert r["shard"] == r["pos"] // SHUF_SHARD_DOCS
+    # (b) naive window form — fine at test scale, the scale-killer at 100 TB
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in tables["documents"]
+        .select(
+            "doc_id",
+            F.expr(
+                H60_SPARK.format(c="concat('shuf:', cast(doc_id as string))")
+            ).alias("h"),
+        )
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("h", "doc_id")) - 1
+        )
+        .collect()
+    }
+    got = {r["doc_id"]: r["pos"] for r in out}
+    assert got == naive
+    # (d) deterministic
+    again = {r["doc_id"]: r["pos"] for r in corpus_shuffle_order(tables).collect()}
+    assert again == got
+    # (e) not the identity order on doc_id
+    by_id = [p for _, p in sorted(got.items())]
+    assert by_id != sorted(by_id)

@@ -186,6 +186,7 @@ BOUNDED_NLJ_OK = {
     "sample_token_budget",  # 1-row in-plan width-stats broadcast (r12);
     #   the level-offsets join itself is keyed on stop_ratio_permille
     "events_decayed_engagement",  # 1-row max-day anchor broadcast (r12)
+    "corpus_shuffle_order",  # 1-row in-plan width-stats broadcast (r13)
     # events_anomaly_mad dropped r11: the keyed in-plan stats join on
     # event_type, so the plan no longer contains any nested loop
 }
@@ -357,7 +358,9 @@ STREAM_PLAN_BOUNDED_OK = {
     "flow_ccnet_gate": {"bnlj"},  # 1-row in-plan width-stats broadcast
     "flow_rfm_segments": {"bnlj"},  # 1-row in-plan boundary broadcast (r11)
     "flow_token_budget": {"bnlj"},  # 1-row in-plan width-stats broadcast (r12)
-    "flow_decayed_engagement": {"bnlj"},  # 1-row max-day anchor broadcast (r12)
+    "flow_decayed_engagement": {"bnlj"},  # 1-row max-day anchor + 1-row
+    #   compaction max-day anchor broadcasts (r12; compaction r13)
+    "flow_shuffle_order": {"bnlj"},  # 1-row in-plan width-stats broadcast (r13)
     "flow_overlap_kmv": {"bnlj", "rank"},  # |types|²-pairing over K=1024-row
     #   sketches; rank over the K-row sketch
     "flow_t_closeness": {"bnlj", "rank"},  # QI-class grid × m-row sensitive

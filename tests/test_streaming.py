@@ -871,3 +871,93 @@ def test_flow_dp_release_closed_midnight_boundary(spark, tmp_path):
     assert release_days(
         ["2024-01-03 10:00:00", "2024-01-04 09:00:00", "2024-01-04 23:59:59.999999"]
     ) == ["2024-01-03"]
+
+
+def test_dup_lines_snapshot_changelog_contract(spark, tmp_path):
+    """flow_dup_lines_snapshot (VERDICT r12 #6): the blacklist's
+    update-mode changelog must (a) emit a key ONLY in batches where
+    its count changed, (b) stamp every emission with upd == the new
+    count — per-key strictly increasing, i.e. a valid
+    ReplacingMergeTree / compacted-topic version — and (c) compact to
+    exactly the final batch counts, whose >1-occurrence slice is the
+    serving blacklist."""
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_realtime_ck_spark.operators.dedup import line_blocks
+    from gmall_realtime_ck_spark.streaming.pipelines import compact_latest_snapshot
+    from pyspark.sql import functions as F
+
+    # one 8-token block per doc (LINE_TOKENS = 8)
+    X = "x1 x2 x3 x4 x5 x6 x7 x8"
+    Y = "y1 y2 y3 y4 y5 y6 y7 y8"
+    Z = "z1 z2 z3 z4 z5 z6 z7 z8"
+    batches = [
+        [(1, X), (2, X), (3, Y)],  # b1: X→2, Y→1 (both emit)
+        [(4, X)],                  # b2: X→3 (only X emits)
+        [(5, Z)],                  # b3: Z→1 (only Z emits)
+        [(6, "")],                 # b4: zero-token doc — nothing emits
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    now = time.time() - 60
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + i, now + i))
+
+    docs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = (
+        line_blocks(docs)
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("upd", F.col("n_occ"))
+    )
+    name = "dupchg" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    # block hashes for the three texts
+    import hashlib
+
+    hx, hy, hz = (hashlib.md5(s.encode()).hexdigest() for s in (X, Y, Z))
+    per_key = {}
+    for r in emitted:
+        assert r["upd"] == r["n_occ"]  # (b) version IS the count
+        per_key.setdefault(r["bh"], []).append(r["n_occ"])
+    # (a)+(b): exactly the changed snapshots, strictly increasing
+    assert sorted(per_key[hx]) == [2, 3]
+    assert per_key[hy] == [1]
+    assert per_key[hz] == [1]
+    assert len(emitted) == 4  # b4 emitted nothing
+    # (c) compaction = final counts; serving slice = blocks seen >1×
+    snap = {
+        r["bh"]: r["n_occ"]
+        for r in compact_latest_snapshot(spark.table(name), "bh").collect()
+    }
+    assert snap == {hx: 3, hy: 1, hz: 1}
+    serving = {k: v for k, v in snap.items() if v > 1}
+    assert serving == {hx: 3}

@@ -84,8 +84,16 @@ R13_QUEUE: set[str] = {
 #: operators added DURING round 13 (after its window froze at rotation)
 #: — the seed of the round-14 rotation; each ships with oracle +
 #: invariant tests + sf0.001/sf0.01/sf0.1 vanilla preflights in its
-#: own commit.
-R14_QUEUE: set[str] = set()
+#: own commit. flow_dup_lines_snapshot is the VERDICT r12 #6 bounded-
+#: serving blacklist changelog (upd = the monotone occurrence count,
+#: compact_latest_snapshot serving view); the shuffle-order pair is
+#: the deterministic global training-order manifest (no-key two-level
+#: rank — no single-reducer ORDER BY window).
+R14_QUEUE: set[str] = {
+    "flow_dup_lines_snapshot",
+    "corpus_shuffle_order",
+    "flow_shuffle_order",
+}
 
 #: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
 #: flow_repetition's ≥1-shingle row filter moved from the shingle
