@@ -1024,6 +1024,71 @@ def corpus_pack_efficiency(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: candidate context lengths for the truncation-loss report
+CTX_CANDIDATES = (512, 1024, 2048, 4096)
+
+
+def corpus_truncation_waste(t: dict[str, DataFrame]) -> DataFrame:
+    """Context-length truncation report — the other half of the
+    packing decision (``corpus_pack_efficiency`` reports padding waste
+    under packing; this reports TOKEN LOSS under plain
+    truncate-to-context training): for each candidate context length,
+    how many documents exceed it and what permille of all corpus
+    tokens falls past the boundary and is never trained on. The two
+    reports together are how a pipeline picks context length and
+    packing strategy.
+
+    Scale: one tokenize scan reduced to ONE 1-row global aggregate —
+    2·|CTX_CANDIDATES| conditional sums beside the corpus totals, all
+    map-side combinable (the Heaps-curve conditional-sum posture) —
+    then exploded to |CTX_CANDIDATES| output rows. No per-length
+    rescan, no join, no shuffle beyond the single aggregate.
+    """
+    from .text import TOKENS_SPARK
+
+    per_doc = t["documents"].select(
+        F.size(F.expr(TOKENS_SPARK.format(c="text"))).cast("bigint").alias("nt")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens_total"),
+    ]
+    for ctx in CTX_CANDIDATES:
+        aggs.append(
+            F.sum(F.when(F.col("nt") > ctx, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_dt_{ctx}")
+        )
+        aggs.append(
+            F.sum(F.greatest(F.col("nt") - ctx, F.lit(0)))
+            .cast("bigint")
+            .alias(f"_tl_{ctx}")
+        )
+    structs = ", ".join(
+        f"struct(CAST({ctx} AS BIGINT) AS ctx_len, _dt_{ctx} AS docs_truncated, "
+        f"_tl_{ctx} AS tokens_lost)"
+        for ctx in CTX_CANDIDATES
+    )
+    return (
+        per_doc.agg(*aggs)
+        .select(
+            F.explode(F.expr(f"array({structs})")).alias("s"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        )
+        .select(
+            F.col("s.ctx_len").alias("ctx_len"),
+            "n_docs",
+            F.col("s.docs_truncated").alias("docs_truncated"),
+            "tokens_total",
+            F.col("s.tokens_lost").alias("tokens_lost"),
+            F.expr(
+                "(1000 * s.tokens_lost) div greatest(tokens_total, 1)"
+            ).alias("loss_permille"),
+        )
+    )
+
+
 _TOKS_D = TOKENS_DUCK.format(c="text")
 _H28S_D = H28_DUCK.format(c="s")
 _SH3_D = shingles_duck("tk", 3)
@@ -1438,7 +1503,29 @@ ORACLES["sample_token_budget"] = f"""
     FROM s WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
+ORACLES["corpus_truncation_waste"] = f"""
+    WITH per_doc AS (
+        SELECT len({_TOKS_D})::BIGINT AS nt FROM documents
+    ), one AS (
+        SELECT COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS tokens_total,
+               {", ".join(
+                   f"SUM(CASE WHEN nt > {c} THEN 1 ELSE 0 END)::BIGINT AS dt_{c}, "
+                   f"SUM(greatest(nt - {c}, 0))::BIGINT AS tl_{c}"
+                   for c in CTX_CANDIDATES
+               )}
+        FROM per_doc
+    )
+    {" UNION ALL ".join(
+        f"SELECT {c}::BIGINT AS ctx_len, n_docs, dt_{c} AS docs_truncated, "
+        f"tokens_total, tl_{c} AS tokens_lost, "
+        f"((1000 * tl_{c}) // greatest(tokens_total, 1))::BIGINT AS loss_permille "
+        f"FROM one"
+        for c in CTX_CANDIDATES
+    )}
+"""
+
 BUILDERS = {
+    "corpus_truncation_waste": corpus_truncation_waste,
     "corpus_e2e_verdict": corpus_e2e_verdict,
     "corpus_card_by_source": corpus_card_by_source,
     "lang_confusion_matrix": lang_confusion_matrix,

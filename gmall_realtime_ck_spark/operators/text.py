@@ -845,6 +845,80 @@ def _space_saving_candidates(toks: DataFrame, capacity: int = HH_CAPACITY) -> Da
     return toks.mapInPandas(sketch, "token string")
 
 
+#: candidate vocabulary sizes for the coverage-at-K report
+VOCAB_COVERAGE_KS = (1000, 10000, 50000)
+
+
+def corpus_vocab_coverage(t: dict[str, DataFrame]) -> DataFrame:
+    """Vocabulary coverage at candidate sizes — the tokenizer-design
+    diagnostic: for K in ``VOCAB_COVERAGE_KS``, what permille of all
+    token OCCURRENCES is covered by the K most frequent types (ties
+    broken by token text, so the cut is deterministic in both
+    engines)? The curve tells you where a vocab size stops paying —
+    the standard first look before fitting a subword tokenizer
+    (out-of-vocab mass = 1000 − coverage goes to <unk>/byte
+    fallback). Emits one row per K: vocabulary size, covered / total
+    occurrences, coverage permille.
+
+    Scale: type counts are ONE keyed count with map-side partials
+    (vocabulary-sized shuffle, the same spine every vocab op rides);
+    the head slice comes from the two-level salted ``topk_per_key``
+    (exact — top-K sets compose; no reducer sorts more than ~1/16 of
+    the vocabulary) and everything after is 1-row aggregates over the
+    ≤ max(K) slice: per-K coverage = |Ks| conditional sums, joined to
+    the 1-row corpus totals by a bounded 1×1 nested loop, exploded to
+    |Ks| output rows. No full-vocab sort anywhere.
+    """
+    from .relational import topk_per_key
+
+    docs = t["documents"]
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK.format(c="text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_total"),
+        F.sum("ct").alias("tokens_total"),
+    )
+    top = topk_per_key(
+        counts,
+        [],
+        [F.desc("ct"), F.asc("token")],
+        max(VOCAB_COVERAGE_KS),
+        "token",
+    )
+    cov = top.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("ct")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_cov_{k}")
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    structs = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS vocab_k, _cov_{k} AS covered_tokens)"
+        for k in VOCAB_COVERAGE_KS
+    )
+    return (
+        cov.crossJoin(F.broadcast(totals))
+        .select(
+            F.explode(F.expr(f"array({structs})")).alias("s"),
+            F.col("vocab_total").cast("bigint").alias("vocab_total"),
+            F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        )
+        .select(
+            F.col("s.vocab_k").alias("vocab_k"),
+            "vocab_total",
+            F.col("s.covered_tokens").alias("covered_tokens"),
+            "tokens_total",
+            F.expr(
+                "(1000 * s.covered_tokens) div greatest(tokens_total, 1)"
+            ).alias("coverage_permille"),
+        )
+    )
+
+
 def corpus_heavy_tokens(t: dict[str, DataFrame]) -> DataFrame:
     """Exact φ-heavy-hitters over the corpus vocabulary (φ = 1/HH_K):
     tokens whose count clears total/HH_K, with exact counts and permille
@@ -1723,6 +1797,27 @@ def text_rake_keyphrases(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "corpus_vocab_coverage": f"""
+        WITH counts AS (
+            SELECT token, COUNT(*)::BIGINT AS ct FROM (
+                SELECT unnest({_TOKS_D}) AS token FROM documents
+            ) GROUP BY token
+        ), ranked AS (
+            SELECT ct, row_number() OVER (ORDER BY ct DESC, token) AS rk
+            FROM counts
+        ), tot AS (
+            SELECT COUNT(*)::BIGINT AS vocab_total, SUM(ct)::BIGINT AS tokens_total
+            FROM counts
+        )
+        SELECT k.vocab_k::BIGINT AS vocab_k, tot.vocab_total,
+               (SELECT COALESCE(SUM(ct), 0)::BIGINT FROM ranked
+                WHERE rk <= k.vocab_k) AS covered_tokens,
+               tot.tokens_total,
+               ((1000 * (SELECT COALESCE(SUM(ct), 0) FROM ranked
+                         WHERE rk <= k.vocab_k))
+                // greatest(tot.tokens_total, 1))::BIGINT AS coverage_permille
+        FROM (VALUES {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}) k(vocab_k), tot
+    """,
     "text_readability": f"""
         WITH counts AS (
             SELECT doc_id,
@@ -2486,6 +2581,7 @@ def corpus_tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
 
 
 BUILDERS = {
+    "corpus_vocab_coverage": corpus_vocab_coverage,
     "doc_gopher_rules": rules_gopher_quality,
     "text_ccnet_buckets": text_ccnet_buckets,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,

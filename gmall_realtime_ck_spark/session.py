@@ -30,6 +30,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferWindowGroupLimit only plants the per-partition top-k prune
+    # under rank filters with k BELOW this threshold (default 1000).
+    # corpus_vocab_coverage's 50k head slice — and any future big-k
+    # rank — would otherwise sort whole partitions unpruned; a 100k
+    # top-k heap per partition is trivially memory-safe, so raise it.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "100000",
 }
 
 

@@ -171,6 +171,15 @@ QUERIES = [
     # the decayed-engagement rollup: (user, day) keyed count + a 1-row
     # anchor broadcast — should track the keyed-count spine
     "events_decayed_engagement",
+    # round-13 addition: the global training-order rank — no-key
+    # two-level prefix scan (~4096-row bucket windows + |buckets|-row
+    # offsets); the curve guards that the no-key form stays scan-bound
+    # rather than collapsing into one reducer
+    "corpus_shuffle_order",
+    # round-13 addition: vocab-keyed count + WindowGroupLimit-pruned
+    # 50k head slice (cipher grows the vocabulary linearly — the
+    # worst case for the keyed count; the slice algebra is bounded)
+    "corpus_vocab_coverage",
 ]
 
 #: streaming builders (signature (spark, sf_dir)) probed on the synth dirs
@@ -206,7 +215,16 @@ STREAM_QUERIES = [
     "flow_token_budget",
     # live decayed leaderboard: state = (user, day) counts; poll
     # re-anchors the integer-dyadic decay at the current max day
+    # (poll-time stale-day compaction added r13 — same state, the
+    # curve now also covers the fold)
     "flow_decayed_engagement",
+    # round-13 additions: the blacklist CHANGELOG twin (same keyed
+    # count state as flow_dup_lines; update-mode emission + poll-time
+    # max-upd compaction — the curve measures the changelog overhead)
+    # and the live shuffle-order manifest (state = one row per doc;
+    # poll re-runs the no-key two-level rank)
+    "flow_dup_lines_snapshot",
+    "flow_shuffle_order",
 ]
 ID_OFF = 10_000_000
 LABEL_OFF = 100_000

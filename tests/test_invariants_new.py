@@ -1703,3 +1703,74 @@ def test_shuffle_order_laws(tables):
     # (e) not the identity order on doc_id
     by_id = [p for _, p in sorted(got.items())]
     assert by_id != sorted(by_id)
+
+
+def test_vocab_coverage_laws(tables):
+    """corpus_vocab_coverage (r13): recompute coverage directly from a
+    raw token-count collect — covered_tokens at each K must equal the
+    sum over the K most frequent types under the (ct DESC, token) tie
+    break; coverage is monotone nondecreasing in K, bounded by the
+    corpus total, and reaches the full total once K ≥ |vocab|."""
+    import re
+
+    from gmall_realtime_ck_spark.operators.text import (
+        VOCAB_COVERAGE_KS,
+        corpus_vocab_coverage,
+    )
+
+    texts = [r["text"] for r in tables["documents"].select("text").collect()]
+    counts: dict[str, int] = {}
+    for s in texts:
+        for tok in re.split(r"[^a-z0-9]+", s.lower()):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    got = {r["vocab_k"]: r for r in corpus_vocab_coverage(tables).collect()}
+    assert set(got) == set(VOCAB_COVERAGE_KS)
+    prev = -1
+    for k in sorted(VOCAB_COVERAGE_KS):
+        r = got[k]
+        want_cov = sum(ct for _, ct in ordered[:k])
+        assert r["covered_tokens"] == want_cov
+        assert r["tokens_total"] == total
+        assert r["vocab_total"] == len(counts)
+        assert r["coverage_permille"] == (1000 * want_cov) // max(total, 1)
+        assert r["covered_tokens"] >= prev  # monotone in K
+        prev = r["covered_tokens"]
+        if k >= len(counts):
+            assert r["covered_tokens"] == total
+
+
+def test_truncation_waste_laws(tables):
+    """corpus_truncation_waste (r13): recompute the report from raw
+    per-doc token counts — docs_truncated and tokens_lost must match
+    exactly per context length, both monotone NONINCREASING in the
+    context length, and the permille column is the exact integer
+    division."""
+    import re
+
+    from gmall_realtime_ck_spark.operators.sampling import (
+        CTX_CANDIDATES,
+        corpus_truncation_waste,
+    )
+
+    lens = [
+        len([w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w])
+        for r in tables["documents"].select("text").collect()
+    ]
+    total = sum(lens)
+    got = {r["ctx_len"]: r for r in corpus_truncation_waste(tables).collect()}
+    assert set(got) == set(CTX_CANDIDATES)
+    prev_dt, prev_tl = float("inf"), float("inf")
+    for ctx in sorted(CTX_CANDIDATES):
+        r = got[ctx]
+        want_dt = sum(1 for n in lens if n > ctx)
+        want_tl = sum(max(n - ctx, 0) for n in lens)
+        assert r["n_docs"] == len(lens)
+        assert r["docs_truncated"] == want_dt
+        assert r["tokens_total"] == total
+        assert r["tokens_lost"] == want_tl
+        assert r["loss_permille"] == (1000 * want_tl) // max(total, 1)
+        assert want_dt <= prev_dt and want_tl <= prev_tl
+        prev_dt, prev_tl = want_dt, want_tl

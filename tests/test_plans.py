@@ -187,6 +187,7 @@ BOUNDED_NLJ_OK = {
     #   the level-offsets join itself is keyed on stop_ratio_permille
     "events_decayed_engagement",  # 1-row max-day anchor broadcast (r12)
     "corpus_shuffle_order",  # 1-row in-plan width-stats broadcast (r13)
+    "corpus_vocab_coverage",  # 1-row coverage sums × 1-row corpus totals (r13)
     # events_anomaly_mad dropped r11: the keyed in-plan stats join on
     # event_type, so the plan no longer contains any nested loop
 }

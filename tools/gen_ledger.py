@@ -93,6 +93,8 @@ R14_QUEUE: set[str] = {
     "flow_dup_lines_snapshot",
     "corpus_shuffle_order",
     "flow_shuffle_order",
+    "corpus_vocab_coverage",
+    "corpus_truncation_waste",
 }
 
 #: queries REWIRED during round 12 AFTER their fresh r11 driver rows —
