@@ -1116,3 +1116,34 @@ def test_hamming_and_matryoshka_corpus_single_pass(tables):
         assert "MapInPandas" in p, (name, p)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_big_k_rank_keeps_window_group_limit(spark):
+    """r13: InferWindowGroupLimit silently skips rank filters with
+    k >= spark.sql.optimizer.windowGroupLimitThreshold (default 1000),
+    which would let corpus_vocab_coverage's 50k head slice — and any
+    future big-k topk_per_key — sort whole partitions unpruned while
+    the rank sweep still saw a bound-shaped filter. RUNTIME_CONFS
+    raises the threshold to 100k; pin that a configured session
+    actually plants the prune on topk_per_key's SALTED (partitioned)
+    window at k = 50000, so a Spark bump or conf rename fails loudly
+    here instead of as a silent plan regression. (The rule never fires
+    on an UN-partitioned window at any threshold — the reason
+    topk_per_key's final global re-rank over the ≤ 16·k salted
+    survivors is bounded by construction rather than by a plan node.)
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_ck_spark.operators.relational import topk_per_key
+    from gmall_realtime_ck_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    top = topk_per_key(df, [], [F.desc("ct"), F.asc("token")], 50000, "token")
+    p = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p, p[:2000]
