@@ -318,7 +318,21 @@ def events_anomaly_mad(t: dict[str, DataFrame]) -> DataFrame:
         .select("event_id", "event_type", "value")
         .filter(F.col("value").isNotNull())
     )
-    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct"))
+    # Materialized ONCE (r13 optimization): the MAD algebra references
+    # the histogram from ~6 plan positions (the med percentile pass
+    # alone inlines its input ~5× through the in-plan stats/prefix-sum
+    # joins), and Catalyst inlines every DataFrame reference as a
+    # plan-tree COPY — so without this the events scan+aggregate
+    # re-executed per copy (the streaming twin always had it
+    # materialized via its memory sink; this gives batch the same
+    # shape). The frame is the designed compressed distribution —
+    # |types × distinct values| rows, the same thing the twin keeps as
+    # stream state — so materializing it is linear and bounded.
+    hist = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("hct"))
+        .localCheckpoint()
+    )
     return anomaly_mad_outliers(ev, hist)
 
 
@@ -367,9 +381,21 @@ def anomaly_mad_outliers(ev: DataFrame, hist: DataFrame) -> DataFrame:
     """
     from .relational import exact_percentiles_from_counts
 
-    med = exact_percentiles_from_counts(
-        hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size="inplan"
-    ).select("event_type", "med").withColumnRenamed("event_type", "m_type")
+    med = (
+        exact_percentiles_from_counts(
+            hist, ["event_type"], "value", "hct", {"med": 0.5}, bucket_size="inplan"
+        )
+        .select("event_type", "med")
+        .withColumnRenamed("event_type", "m_type")
+        # |types| rows. The deviation histogram below is itself inlined
+        # ~5× by the mad percentile pass (each copy carrying this whole
+        # percentile subtree), so the med frame is pinned eagerly —
+        # Exchange count of the emit plan drops from ~70 to ~10 and the
+        # per-copy re-execution of the prefix-sum machinery disappears
+        # (r13; the r11 ride-through already removed the 116-exchange
+        # double-reference form, this removes the nesting multiplier).
+        .localCheckpoint()
+    )
     adev_hist = (
         hist.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
         .select(
@@ -380,6 +406,8 @@ def anomaly_mad_outliers(ev: DataFrame, hist: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "med", "adev")
         .agg(F.sum("hct").alias("hct"))
+        # same class as `hist`: |types × distinct deviations| rows
+        .localCheckpoint()
     )
     thr = exact_percentiles_from_counts(
         adev_hist,

@@ -696,6 +696,13 @@ def neardup_clusters(t: dict[str, DataFrame], threshold_permille: int = 300,
                     "cluster_id"
                 ),
             )
+            # EAGER on purpose (a lazy pin was tried in r13 and
+            # REVERTED): the first consumer is the limit(1) convergence
+            # probe, which short-circuits after one changed row — a
+            # lazy checkpoint would leave most partitions
+            # unmaterialized, so the next iteration's pass recomputes
+            # them through the old lineage and the plan compounds
+            # across iterations (A/B read ~1.7× slower lazy).
             .localCheckpoint()
         )
         if (

@@ -54,8 +54,17 @@ def graph_pagerank(t: dict[str, DataFrame]) -> DataFrame:
     # iteration re-executes the orders⋈lineitem + distinct + union
     # lineage (measured 6.2 s → 2.6 s at sf0.1). Production equivalent:
     # persist the edge list bucketed by src.
-    und = und.localCheckpoint()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r13: und and deg go LAZY — deg.count() below is a single-
+    # reference consumer that materializes both in one job chain,
+    # where the eager forms ran a standalone checkpoint job each and
+    # then re-ran the groupBy for every later deg reference (the
+    # und_deg join and the pr seed both consumed the unpinned deg).
+    # und_deg stays EAGER: the unrolled pr chain references it from 3
+    # plan positions in ONE job, and a lazy checkpoint materializes
+    # per-partition on first touch — concurrent same-job scans could
+    # duplicate the join work instead of sharing it.
+    und = und.localCheckpoint(eager=False)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
     n = deg.count()  # O(1) driver scalar (the rel_q22 pattern)
     und_deg = und.join(deg, "src").localCheckpoint()
 
@@ -143,6 +152,15 @@ def graph_markov_stationary(t: dict[str, DataFrame]) -> DataFrame:
     P = counts.join(totals, "src").select(
         "src", "dst", (F.col("ct") / F.col("tot")).alias("p")
     )
+    # r13: materialize the transition matrix ONCE. P is |event types|²
+    # rows, but it was referenced from ~6 plan positions (once per
+    # unrolled iteration, plus `states` and the count below) and
+    # Catalyst inlines every reference as a plan-tree COPY — so the
+    # per-user sessionization window over the FULL events table
+    # re-executed ~6× per run (census: 29 Exchanges in the emit plan).
+    # One pin runs it once; every power step is then algebra over the
+    # tiny checkpointed frame.
+    P = P.localCheckpoint()
     states = P.select(F.col("src").alias("state")).distinct()
     n = states.count()  # |event types| — O(1) driver scalar
     pi = states.select("state", F.lit(1.0 / n).alias("pi"))

@@ -29,7 +29,7 @@ from .dedup import (
     SIMHASH_BITS,
     SIMHASH_PAIR_HAMMING_MAX,
 )
-from .text import H60_DUCK, H60_SPARK
+from .text import H60_DUCK
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -421,47 +421,80 @@ def xmodal_phash_neardup(t: dict[str, DataFrame]) -> DataFrame:
     """
     k = 4
     media = media_from_docs(t)
-    s = media.select("media_id", F.expr("decode(payload, 'utf-8')").alias("s"))
-    grams = s.select(
-        "media_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN char_length(s) >= {k} THEN "
-                f"transform(sequence(1, char_length(s) - {k - 1}), i -> substring(s, i, {k})) "
-                f"ELSE array() END"
+    src = media.select("media_id", "payload")
+
+    # r13 fingerprint rewrite (guide §4.2/§8.3): the gram explode +
+    # md5-per-occurrence + 30-buffer SWAR aggregation (one JVM row and
+    # one md5 per payload BYTE — the whole-corpus gram stream shuffled
+    # into a keyed aggregate; the r12 SWAR pack had this stage at
+    # ~4.6 s of the query's 4.3-4.4 s) becomes ONE map-only Arrow pass:
+    # per media, byte 4-grams are folded to (unique gram, count) with
+    # numpy, md5 runs once per DISTINCT gram (cached across media
+    # within a task — guide §4.5), and the bit votes are one
+    # counts @ bits int64 matvec. BIT-IDENTICAL by construction:
+    # the gram multiset is the same (substring over the utf-8-decoded
+    # string ≡ byte windows on this ASCII corpus, with an exact
+    # char-gram fallback for any non-ASCII payload), H60 is the same
+    # md5[:15] integer, and the majority rule (2·ones_j > n, ties → 0)
+    # is the SWAR/±1-vote rule verbatim. int64 exactness: votes ≤ n
+    # < 2³¹ per media (2 GiB row cap), counts @ bits stays far inside
+    # int64. The fingerprint stage now shuffles NOTHING — 8 bytes/media
+    # emerge from the scan — which is the §8 "move heavy bytes once"
+    # posture; only the banded candidate join below shuffles.
+    def fingerprint(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        cache: dict[bytes, np.ndarray] = {}  # gram bytes -> (60,) int64 bit vector
+
+        def bits_for(gram: bytes) -> np.ndarray:
+            v = cache.get(gram)
+            if v is None:
+                h = int(hashlib.md5(gram).hexdigest()[:15], 16)
+                v = (h >> shifts) & 1
+                cache[gram] = v
+            return v
+
+        for pdf in batches:
+            out_ids, out_ph = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                s = b.decode("utf-8")
+                n = len(s) - (k - 1)
+                if n <= 0:
+                    continue
+                if s.isascii():
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    packed = (
+                        arr[: -(k - 1)].astype(np.uint32)
+                        | (arr[1:-2].astype(np.uint32) << 8)
+                        | (arr[2:-1].astype(np.uint32) << 16)
+                        | (arr[3:].astype(np.uint32) << 24)
+                    )
+                    uniq, cts = np.unique(packed, return_counts=True)
+                    grams = [int(g).to_bytes(4, "little") for g in uniq]
+                else:  # exact char-gram fallback (substring semantics)
+                    from collections import Counter
+
+                    c = Counter(s[i : i + k] for i in range(n))
+                    grams = [g.encode("utf-8") for g in c.keys()]
+                    cts = np.fromiter(c.values(), dtype=np.int64)
+                bits = np.stack([bits_for(g) for g in grams])
+                votes = cts.astype(np.int64) @ bits  # (60,) ones-counters
+                ph_bits = (2 * votes > n).astype(np.int64)
+                out_ids.append(mid)
+                out_ph.append(int((ph_bits << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "phash": pd.Series(out_ph, dtype="int64"),
+                }
             )
-        ).alias("g"),
-    ).withColumn("h", F.expr(H60_SPARK.format(c="g")))
-    # SWAR-packed bit votes (r12): two 32-bit ones-counters per 64-bit
-    # aggregate — 30 aggregation buffers + one count instead of 60
-    # CASE sums (measured 5.6 → 4.6 s for the fingerprint stage at
-    # sf0.1; per-row agg-buffer update cost dominates this stage).
-    # votes_j > 0 ⇔ 2·ones_j > n, so the reconstructed phash is
-    # BIT-IDENTICAL to the ±1-vote form. Overflow bound (ADVICE r12):
-    # each summed row value is ≤ 1 + 2³² (odd bit shifted to position
-    # 32), so the signed-bigint SUM stays under 2⁶³−1 only while the
-    # gram count n < 2³¹ — beyond that ANSI mode (the Spark 4 default)
-    # raises ArithmeticException rather than wrapping. n < 2³¹ holds
-    # structurally: a Spark string row caps at 2 GiB = 2³¹ bytes ⇒
-    # n ≤ 2³¹ − 3 grams per media, and the aggregate is per-media_id.
-    # (16-bit packing is ~20% faster still but silently overflows past
-    # 65k grams — a 64 KB payload — so it is not safe for real media.)
-    packed_aggs = [
-        F.sum(
-            F.expr(f"((h >> {2 * m}) & 1) | (((h >> {2 * m + 1}) & 1) << 32)")
-        ).alias(f"p{m}")
-        for m in range(SIMHASH_BITS // 2)
-    ]
-    combine = " + ".join(
-        f"(CASE WHEN 2 * ((p{j // 2} >> {32 * (j % 2)}) & 4294967295) > n "
-        f"THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_BITS)
-    )
-    ph = (
-        grams.groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n"), *packed_aggs)
-        .select("media_id", F.expr(combine).alias("phash"))
-    ).localCheckpoint()
+
+    ph = src.mapInPandas(fingerprint, "media_id long, phash long").localCheckpoint()
     bands = []
     for b in range(SIMHASH_BANDS):
         key = F.expr(f"(phash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}")

@@ -272,7 +272,13 @@ def dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
     the per-doc rollup, nothing fact-sized ever collected.
     """
     docs = t["documents"]
-    feat = dsir_features(docs)
+    # r13: materialize the hashed-feature stream once — the ratio fit
+    # and the scoring pass both consume it, and Catalyst's per-reference
+    # plan copies re-ran the tokenize + bigram + md5 explode per leg.
+    # (doc_id, f) pairs are linear in the corpus token count — the same
+    # feature materialization the DSIR recipe itself performs between
+    # its fit and score stages.
+    feat = dsir_features(docs).localCheckpoint()
     return dsir_score(feat.filter(F.col("doc_id") >= 10), dsir_ratio_table(feat))
 
 
@@ -291,19 +297,21 @@ def dsir_features(docs: DataFrame) -> DataFrame:
 def dsir_ratio_table(feat: DataFrame) -> DataFrame:
     """The ≤ DSIR_DIM-row per-feature log importance ratio table
     (target = doc_id < 10, raw = the rest), Laplace-smoothed."""
-    tgt = feat.filter(F.col("doc_id") < 10).groupBy("f").agg(
-        F.count(F.lit(1)).alias("t_ct")
-    )
-    raw = feat.filter(F.col("doc_id") >= 10).groupBy("f").agg(
-        F.count(F.lit(1)).alias("r_ct")
-    )
+    # r13: ONE conditional aggregate instead of two filtered counts +
+    # full-outer join — same row set (features occurring anywhere) and
+    # identical integer counts, at half the feature-stream scans and no
+    # join. The ≤ DSIR_DIM-row result is pinned eagerly: `totals` and
+    # the final select both reference it, and Catalyst would otherwise
+    # inline the whole feature-extraction subtree per reference (for
+    # the stream-static gate that re-ran the static tokenize+hash per
+    # poll).
     joined = (
-        tgt.join(raw, "f", "full_outer")
-        .select(
-            "f",
-            F.coalesce("t_ct", F.lit(0)).alias("t_ct"),
-            F.coalesce("r_ct", F.lit(0)).alias("r_ct"),
+        feat.groupBy("f")
+        .agg(
+            F.sum((F.col("doc_id") < 10).cast("bigint")).alias("t_ct"),
+            F.sum((F.col("doc_id") >= 10).cast("bigint")).alias("r_ct"),
         )
+        .localCheckpoint()
     )
     totals = joined.agg(F.sum("t_ct").alias("n_t"), F.sum("r_ct").alias("n_r"))
     return joined.crossJoin(F.broadcast(totals)).select(

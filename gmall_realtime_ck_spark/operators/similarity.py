@@ -333,6 +333,13 @@ def cosine_topk_ivf(t: dict[str, DataFrame], cells: DataFrame | None = None) -> 
         emb = emb.drop("label").join(
             cells.select("vec_id", F.col("cluster").cast("int").alias("label")), "vec_id"
         )
+        # r13: pin the re-labelled corpus ONCE — it is consumed by the
+        # centroid toPandas, the query-side collect, and the probe-scan
+        # join (three separate jobs), and Catalyst inlines each as a
+        # plan copy, so the whole upstream cell build (e.g. the 2-round
+        # Lloyd chain in cosine_topk_ivf_kmeans) re-executed 3×. Lazy:
+        # the centroid job is the first, single-reference consumer.
+        emb = emb.localCheckpoint(eager=False)
     spark = emb.sparkSession
 
     # 1. centroids: distributed (label, dim) sum/count, collected small
@@ -716,7 +723,12 @@ def embedding_neardup_lsh(t: dict[str, DataFrame]) -> DataFrame:
     """
     emb = _with_norm(t["embeddings"])
     dim = len(emb.select("embedding").first()[0])
-    sig = _hyperplane_signatures(t["embeddings"], dim)
+    # r13: pin the signature stage ONCE — both sides of the banded
+    # self-join consume it, and Catalyst inlines each reference as a
+    # plan copy, so the Arrow matmul signature pass (corpus scan +
+    # Python boundary) executed TWICE per run. 12 bytes/vec × bands,
+    # linear and bounded.
+    sig = _hyperplane_signatures(t["embeddings"], dim).localCheckpoint()
     a = sig.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
     b = sig.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
     cand = (
@@ -1113,13 +1125,21 @@ def embedding_pca_project(t: dict[str, DataFrame]) -> DataFrame:
 
     vec = gs.groupBy("i").agg(F.sum("gs").alias("v"))  # step 1: G·1
     for _ in range(PCA_ITERS - 1):
+        # r13: pin each power step's |dims|-row vector. rescale()
+        # references `vec` twice (the vmax aggregate and the rescaled
+        # projection), and Catalyst inlines each reference as a plan
+        # copy — so the plan DOUBLED per iteration (2⁴ copies of the
+        # step-1 aggregate; census: 46 Exchanges). Lazy checkpoint:
+        # the vmax aggregate materializes it inside its own job, the
+        # projection and the next step reuse the cached partitions.
+        vec = vec.localCheckpoint(eager=False)
         axis = rescale(vec)
         vec = (
             gs.join(axis, gs.j == axis.pos)
             .groupBy("i")
             .agg(F.sum(F.col("gs") * F.col("w")).alias("v"))
         )
-    axis = rescale(vec)
+    axis = rescale(vec.localCheckpoint(eager=False))  # final vec: same two-reference shape
     return (
         comp.join(axis, "pos")
         .groupBy("vec_id")
@@ -1165,24 +1185,41 @@ def embedding_label_outliers(t: dict[str, DataFrame]) -> DataFrame:
         return emb.select("vec_id", "label").limit(0).select(
             "vec_id", "label", F.lit(0).alias("dist_micro2"), F.lit(0).alias("is_outlier")
         )
-    arms = F.array(
-        *[
-            F.struct(
-                F.lit(lbl).cast("bigint").alias("l"),
-                F.expr(
-                    "aggregate(zip_with(xm, array("
-                    + ",".join(f"{int(v)}L" for v in vec)
-                    + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-                ).alias("d"),
+    # r13 (guide §4.2): the per-row |labels|-arm HOF fold (every row
+    # evaluated a zip_with/aggregate against EVERY label's inlined
+    # centroid array, and the two downstream consumers re-ran that
+    # whole pass via Catalyst plan copies) becomes one Arrow pass:
+    # centroids broadcast as an int64 dict, distances one vectorized
+    # (x−c)² sum per batch — BIT-IDENTICAL integers (micro-unit int64,
+    # |d| ≲ 9e13, far inside int64). Pinned EAGERLY because the p99
+    # histogram machinery and the final join both consume it (a lazy
+    # pin could double-compute inside one job).
+    import numpy as np
+    import pandas as pd
+
+    cent_map = {int(lbl): np.asarray(vec, dtype=np.int64) for lbl, vec in rows.items()}
+    bc = emb.sparkSession.sparkContext.broadcast(cent_map)
+
+    def score(batches):
+        cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            X = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["xm"]])
+            C = np.stack([cm[int(lb)] for lb in labels])
+            diff = X - C
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "label": labels,
+                    "dist_micro2": (diff * diff).sum(axis=1),
+                }
             )
-            for lbl, vec in sorted(rows.items())
-        ]
-    )
-    scored = emb.select(
-        "vec_id",
-        "label",
-        F.filter(arms, lambda s: s["l"] == F.col("label"))[0]["d"].alias("dist_micro2"),
-    )
+
+    scored = emb.mapInPandas(
+        score, "vec_id long, label long, dist_micro2 long"
+    ).localCheckpoint()
     # exact_percentiles_by_counts, not the built-in percentile: a
     # label's whole distance→count map would otherwise buffer in ONE
     # reducer (|label members| entries); the histogram form distributes
@@ -2437,25 +2474,63 @@ def embedding_recall_at_k(t: dict[str, DataFrame]) -> DataFrame:
     this eval on a SAMPLED query set, which this operator models with
     the QUERY_MOD subset.
     """
+    # r13 (guide §4.2): the ground-truth leg's Q×C integer-L2 scoring
+    # moved from a chunked join + per-pair zip_with/aggregate fold
+    # (~190k interpreted 64-element HOF evaluations at sf0.1) to the
+    # package's established Arrow batch-matmul shape (cosine_topk_pandas):
+    # queries broadcast as one int64 matrix, each corpus batch scored
+    # with ONE numpy GEMM, per-batch top-k emitted, global keyed window
+    # unchanged. BIT-IDENTICAL by construction — d = q²+c²−2q·c over
+    # int64 micro-units (|xm| ≤ ~6e5 ⇒ |d| ≤ ~9e13, far inside int64;
+    # numpy int64 arithmetic is exact there), ties broken (d, vec_id)
+    # exactly as before; a per-batch top-k always contains the global
+    # top-k members of that batch, so the window sees a superset of the
+    # winners. The query side stays capped by _collect_query_side's
+    # MAX_QUERY_ROWS failure contract; the corpus is never collected.
+    import numpy as np
+    import pandas as pd
+
     emb = _emb_micro(t)
-    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0).select(
-        "vec_id",
-        "xm",
-        F.pmod(F.xxhash64("vec_id"), F.lit(TWO_SIDED_CHUNKS)).alias("chunk"),
+    spark = emb.sparkSession
+    qpdf = _collect_query_side(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "xm"),
+        "embedding_recall_at_k",
     )
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("xm").alias("qm"),
-        F.explode(F.sequence(F.lit(0), F.lit(TWO_SIDED_CHUNKS - 1))).alias("q_chunk"),
-    )
-    scored = corpus.join(queries, F.col("chunk") == F.col("q_chunk")).withColumn(
-        "d",
-        F.expr("aggregate(zip_with(qm, xm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"),
-    )
-    local_w = Window.partitionBy("q_id", "chunk").orderBy(F.asc("d"), F.asc("vec_id"))
-    local_top = scored.withColumn("lr", F.row_number().over(local_w)).filter(
-        F.col("lr") <= TOP_K
-    )
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0).select("vec_id", "xm")
+    if len(qpdf):
+        q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(x, dtype=np.int64) for x in qpdf["xm"]])
+        q_sq = (q_mat * q_mat).sum(axis=1)
+        bc = spark.sparkContext.broadcast((q_ids, q_mat, q_sq))
+
+        def exact_topk(batches):
+            b_ids, b_mat, b_sq = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                c_mat = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["xm"]])
+                c_sq = (c_mat * c_mat).sum(axis=1)
+                # (n_queries, batch) exact int64 squared-L2 distances
+                d = b_sq[:, None] + c_sq[None, :] - 2 * (b_mat @ c_mat.T)
+                k = min(TOP_K, d.shape[1])
+                # ties broken (d, vec_id): lexsort is stable over both keys
+                order = np.lexsort((np.broadcast_to(c_ids, d.shape), d), axis=1)[:, :k]
+                rows = np.repeat(np.arange(len(b_ids)), k)
+                cols = order.ravel()
+                yield pd.DataFrame(
+                    {
+                        "q_id": b_ids[rows],
+                        "vec_id": c_ids[cols],
+                        "d": d[rows, cols],
+                    }
+                )
+
+        local_top = corpus.mapInPandas(exact_topk, "q_id long, vec_id long, d long")
+    else:  # no query rows — keep the empty-result contract
+        local_top = corpus.select(
+            F.col("vec_id").alias("q_id"), "vec_id", F.lit(0).cast("long").alias("d")
+        ).limit(0)
     w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id"))
     gt = (
         local_top.withColumn("rank", F.row_number().over(w))

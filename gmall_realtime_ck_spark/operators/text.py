@@ -1126,6 +1126,12 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
         "lang",
         F.explode(F.expr(_TRIGRAMS_SPARK.format(ch="ch"))).alias("g"),
     )
+    # r13 note: a per-doc count fold + localCheckpoint (sharing the
+    # explode between the profile and scoring legs) was tried here and
+    # REVERTED — interleaved A/B read it 12-16% slower at sf0.1 in both
+    # eager and lazy forms: the materialized (doc, g) frame is larger
+    # than the raw trigram stream it folds, so the saved second explode
+    # never pays for the persist. The two-reference form stands.
     train = tri.filter(F.col("doc_id") % 5 != 0)
     profile = topk_per_key(
         train.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("ct")),
@@ -2525,6 +2531,17 @@ def ccnet_tercile_assign(ranked: DataFrame) -> DataFrame:
     scoring plan just for (min, max, count)."""
     from .relational import ntile_expr, prefix_sum_per_key
 
+    # r13: pin the scored input ONCE. This function references `ranked`
+    # from five plan positions (the in-plan stats aggregate, the
+    # prefix-sum's bucket/offset legs and their join, and n_by_lang),
+    # and Catalyst inlines each reference as a full plan-tree copy — for
+    # the batch caller that re-executed the whole bigram-LM scoring
+    # plan ~5× (116 Exchanges at sf0.1); for the streaming poll it
+    # re-joined the memory table per copy. The frame is |docs| rows of
+    # (doc_id, lang, avg_nll) — linear in the corpus, the same
+    # materialization CCNet itself performs between scoring and
+    # bucketing.
+    ranked = ranked.localCheckpoint()
     ranked = ranked.withColumn("_one", F.lit(1).cast("bigint"))
     rk = prefix_sum_per_key(
         ranked, ["lang"], "avg_nll", "_one", "_rk", bucket_size="inplan",

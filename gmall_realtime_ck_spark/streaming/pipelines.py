@@ -1013,10 +1013,20 @@ def flow_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (stats, bucket scan, deviation re-key), so hash-repartitioning it
     # once both parallelizes every branch and gives the copies a shared
     # exchange shape (measured ~25% off the poll at sf0.1)
-    hist = _run_to_memory(
-        ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct")),
-        "complete",
-    ).repartition(8, "event_type", "value")
+    hist = (
+        _run_to_memory(
+            ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct")),
+            "complete",
+        )
+        .repartition(8, "event_type", "value")
+        # r13: pin the repartitioned histogram once — the threshold
+        # algebra's remaining ~6 plan references each re-ran the
+        # LocalTableScan + hash repartition as their own shuffle
+        # (Catalyst inlines references as copies); one materialization
+        # feeds all of them, pairing with the med/adev_hist pins inside
+        # anomaly_mad_outliers.
+        .localCheckpoint()
+    )
     log = _run_to_memory(ev, "append")
     return anomaly_mad_outliers(log, hist)
 
