@@ -898,6 +898,9 @@ def basket_lift_pairs(t: dict[str, DataFrame]) -> DataFrame:
         .localCheckpoint()
     )
     n_orders = baskets.select("ok").distinct().count()  # one scalar job
+    # NOT pinned (r13 tried a localCheckpoint here and reverted it —
+    # A/B neutral: re-aggregating the already-checkpointed basket
+    # table per lift leg is as cheap as reading a pinned copy).
     item = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("item_ct"))
     b2 = baskets.select(F.col("ok"), F.col("pk").alias("pk_b"))
     pairs = (

@@ -185,6 +185,13 @@ def _neardup_chain(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # r13: pinned like the other two spine frames — every verify
+        # consumer references the candidate set from ≥2 plan positions
+        # (the intersection leg and the final assembly join), and each
+        # Catalyst plan copy re-ran the banded self-join + distinct.
+        # The frame is the LSH candidate set — bounded by design, far
+        # smaller than the shingle table already checkpointed above.
+        .localCheckpoint()
     )
     return sh_sets, sigs, pairs
 
@@ -416,7 +423,13 @@ def novelty_decay_curve(t: dict[str, DataFrame]) -> DataFrame:
     ).first()
     span = max(int(hi) - int(lo) + 1, 1) if n else 1
     width = max(1, min(span, span * 4096 // max(int(n or 0), 1)))
-    nov = ngram_novelty(t).withColumn("_one", F.lit(1).cast("bigint"))
+    # r13: pin the novelty table ONCE — the prefix-sum rank references
+    # it from ~3 plan positions (bucket leg, offset leg, their join)
+    # and n_tot is a 4th, and Catalyst inlines each reference as a
+    # plan-tree copy, so the whole shingle→first-seen→rollup plan
+    # re-executed ~4× (census: 11 shuffle Exchanges in the emit plan).
+    # |docs| rows of counters — linear and bounded.
+    nov = ngram_novelty(t).withColumn("_one", F.lit(1).cast("bigint")).localCheckpoint()
     ranked = prefix_sum_per_key(
         nov, [], "doc_id", "_one", "rank", bucket_size=width
     ).drop("_one")

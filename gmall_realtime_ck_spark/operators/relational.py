@@ -1187,6 +1187,21 @@ def exact_percentiles_by_counts(
     while ct_c in df.columns:
         ct_c += "_"
     counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias(ct_c))
+    if not df.isStreaming:
+        # r13: pin the histogram ONCE. The selection core references it
+        # from several plan positions (the width stats, the prefix-sum
+        # bucket/offset legs and their join, per-key totals), and
+        # Catalyst inlines each reference as a plan-tree copy — so the
+        # caller's UPSTREAM (a per-user lag window over all events for
+        # the dwell median, a full corpus scan for length percentiles)
+        # re-executed per copy. The histogram is the designed
+        # compressed distribution — the same frame the streaming twins
+        # keep as their only state — so materializing it is linear and
+        # bounded, and strictly cheaper than one upstream re-execution.
+        # (Streaming inputs can't checkpoint; they keep the in-plan
+        # width machinery and maintain the histogram as stream state
+        # via exact_percentiles_from_counts instead.)
+        counts = counts.localCheckpoint()
     return exact_percentiles_from_counts(
         counts, keys, val_col, ct_c, targets, n_col, bucket_size, origin
     )

@@ -515,17 +515,29 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
        Q×N×k rows, then one keyed window on q_id takes the global
        top-k.
 
-    Scoring uses the same deterministic sequential-fold DOT as
-    ``cosine_topk``, so the output is bit-identical to the all-pairs
-    SQL oracle. Compute is the unavoidable exact Q×C dot products;
-    wall-clock scales down with executors because every chunk scores
-    independently.
+    Scoring follows ``cosine_topk``'s two-phase exactness discipline
+    (r13 rewrite, guide §4.2): numpy GEMM proposes top-(k+pad)
+    candidates per (query, chunk) inside a chunk-cogrouped Arrow pass
+    — the Q×C pair blowup never materializes as JVM rows and the
+    ~Q×C interpreted fold evaluations of the join form are gone —
+    then ONLY the ≤ Q×chunks×(k+pad) surviving pairs are re-scored
+    with the deterministic sequential-fold DOT and re-ranked, so the
+    output stays bit-identical to the all-pairs SQL oracle (the pad
+    absorbs any BLAS-vs-fold ulp reordering, same argument as
+    ``cosine_topk``). Both sides stay distributed: the query side is
+    replicated to the chunks via one explode (Q×chunks rows, linear,
+    never driver-side) and co-grouped with each corpus chunk — a
+    keyed shuffle, NOT a cartesian; the corpus never collects. Peak
+    task memory is one chunk + its query replicas, the documented
+    chunk-sizing contract.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _with_norm(t["embeddings"])
     corpus = emb.select(
         "vec_id",
         "embedding",
-        "norm",
         F.pmod(F.xxhash64("vec_id"), F.lit(TWO_SIDED_CHUNKS)).alias("chunk"),
     )
     queries = (
@@ -533,27 +545,62 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
             F.explode(F.sequence(F.lit(0), F.lit(TWO_SIDED_CHUNKS - 1))).alias("q_chunk"),
         )
     )
-    scored = corpus.join(
-        queries, (F.col("chunk") == F.col("q_chunk")) & (F.col("vec_id") != F.col("q_id"))
-    ).withColumn(
-        "cos",
-        F.expr(DOT.format(a="q_emb", b="embedding")) / (F.col("q_norm") * F.col("norm")),
+    n_cand = TOP_K + CAND_PAD
+
+    def propose(key, cpdf: "pd.DataFrame", qpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"q_id": [], "neighbor_id": []}).astype("int64")
+        c_ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qpdf["q_emb"].to_numpy()).astype(np.float64)
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+        cos = q_mat @ c_mat.T
+        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self pairs excluded
+        k = min(n_cand, cos.shape[1])
+        # deterministic (cos DESC, id ASC) order — exact-cos ties (e.g.
+        # duplicated vectors) propose the same ids the fold re-rank
+        # keeps, so the pad only ever absorbs sub-ulp BLAS drift
+        idx = np.lexsort((np.broadcast_to(c_ids, cos.shape), -cos), axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(q_ids)), k)
+        return pd.DataFrame({"q_id": q_ids[rows], "neighbor_id": c_ids[idx.ravel()]})
+
+    cand = (
+        corpus.groupBy("chunk")
+        .cogroup(queries.groupBy("q_chunk"))
+        .applyInPandas(propose, "q_id long, neighbor_id long")
+        # tiny chunks can surface the -inf-masked self row — drop it
+        .filter(F.col("q_id") != F.col("neighbor_id"))
     )
-    local_w = Window.partitionBy("q_id", "chunk").orderBy(F.desc("cos"), F.asc("vec_id"))
-    local_top = scored.withColumn("lr", F.row_number().over(local_w)).filter(
-        F.col("lr") <= TOP_K
+    qside = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cside = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    rescored = (
+        qside.join(F.broadcast(cand), "q_id")
+        .join(cside, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(DOT.format(a="q_emb", b="n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        local_top.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -2461,18 +2508,20 @@ def embedding_recall_at_k(t: dict[str, DataFrame]) -> DataFrame:
     and valuable: index-quality regressions show up as value changes,
     not statistical drift.
 
-    Ground truth: full-vector micro-unit squared-L2 top-k, computed
-    with the chunked two-sided shape (:func:`topk_two_sided_exact`):
-    corpus chunks via a static hash, queries replicated per chunk,
-    per-chunk local top-k, global window — exact Q×C scoring without
-    collecting either side (the chunking never changes the RESULT, so
-    the all-pairs SQL oracle stays valid). The approximate leg is
-    :func:`ann_ivf_pq_topk` unchanged. recall_e4 = hits·10⁴ / k.
+    Ground truth: full-vector micro-unit squared-L2 top-k in the
+    ``cosine_topk_pandas`` batch-matmul shape (r13): the SAMPLED query
+    side collects under ``_collect_query_side``'s hard cap and
+    broadcasts as one int64 matrix, each corpus batch is scored with a
+    single exact int64 GEMM, per-batch top-k feeds one keyed global
+    window — the corpus never collects, and the arithmetic is integer,
+    so the all-pairs SQL oracle stays bit-valid. The approximate leg
+    is :func:`ann_ivf_pq_topk` unchanged. recall_e4 = hits·10⁴ / k.
 
-    Scale: the exact leg is the designed Q×C arithmetic bound
-    (SCALE.md documents it on topk_two_sided_exact) — production runs
-    this eval on a SAMPLED query set, which this operator models with
-    the QUERY_MOD subset.
+    Scale: the exact leg is the designed Q×C arithmetic bound —
+    production runs this eval on a SAMPLED query set, which this
+    operator models with the QUERY_MOD subset (the cap fails loudly if
+    the sample stops being sample-sized; the uncapped two-sided shape
+    lives in :func:`topk_two_sided_exact`).
     """
     # r13 (guide §4.2): the ground-truth leg's Q×C integer-L2 scoring
     # moved from a chunked join + per-pair zip_with/aggregate fold

@@ -331,6 +331,12 @@ def bigram_lm_table(docs: DataFrame) -> DataFrame:
     bg = tk0.select(
         "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
     )
+    # NOT pinned on purpose (a localCheckpoint was tried in r13 and
+    # REVERTED): interleaved A/B read the pinned form consistently
+    # ~40% SLOWER for doc_perplexity_bigram and ~17% slower for the
+    # streaming gate — serializing the vocab²-row string-keyed model
+    # through the block manager costs more than re-running the
+    # codegen tokenize+count per plan copy at this frame's size.
     model = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("bg_ct"))
     ctx = (
         model.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
@@ -464,6 +470,9 @@ def doc_perplexity_kneser_ney(t: dict[str, DataFrame]) -> DataFrame:
     bg = tk0.select(
         "doc_id", "lang", F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram")
     )
+    # NOT pinned on purpose (same tried-and-reverted r13 result as
+    # bigram_lm_table: the string-keyed vocab² frame costs more to
+    # checkpoint than its plan copies cost to re-aggregate).
     model = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("bg_ct"))
     parts = model.select(
         "lang",
@@ -530,6 +539,10 @@ def corpus_pmi_bigrams(t: dict[str, DataFrame]) -> DataFrame:
     docs = t["documents"]
     tk0 = docs.select(F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
     tok = tk0.select(F.explode("tk").alias("tok"))
+    # NOT pinned on purpose (r13 tried localCheckpoints on `uni` and
+    # `pair_all` and REVERTED them — the A/B read ~15-20% slower:
+    # same lesson as bigram_lm_table, string-keyed vocab frames are
+    # cheaper to re-aggregate under codegen than to checkpoint).
     uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
     n_tokens = uni.agg(F.sum("ct").alias("n_tokens"))
     bg = tk0.select(F.explode(F.expr(shingles_from_tokens("tk", 2))).alias("bigram"))

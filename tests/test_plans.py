@@ -988,14 +988,18 @@ def test_sql_text_path_plans_like_dataframe(tables):
 
 
 def test_two_sided_exact_is_keyed_join(tables):
-    """topk_two_sided_exact must join corpus chunks to replicated
-    queries as a KEYED join on chunk (hash/sort-merge), never a
-    cartesian or broadcast-nested-loop — the whole point of the
-    chunk-id is to turn exact Q×C scoring into a co-located equi-join
-    whose wall-clock divides across executors."""
+    """topk_two_sided_exact must co-locate corpus chunks with their
+    replicated queries through KEYED machinery (the chunk-cogrouped
+    Arrow propose pass since r13, with the candidate rescore as keyed
+    joins), never a cartesian or broadcast-nested-loop — the whole
+    point of the chunk-id is to turn exact Q×C scoring into co-located
+    per-chunk work whose wall-clock divides across executors."""
     p = plan_of(tables, "topk_two_sided_exact")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the propose pass is chunk-cogrouped Arrow (keyed, not pairwise)
+    assert "FlatMapCoGroupsInPandas" in p or "FlatMapCoGroupsInArrow" in p, p
+    # the fold rescore attaches candidates through keyed joins
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
 
 
