@@ -40,13 +40,34 @@ def test_append_watermark_withholds_open_window(spark, tables):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .count()
     )
-    result = pipelines._run_to_memory(agg, "append")
+    # no_data_batches=True: the closed windows of an un-sentineled
+    # append-mode aggregate emit exactly in the final flush batch —
+    # the semantics this test pins (the flow_dp_release_closed cadence).
+    result = pipelines._run_to_memory(agg, "append", no_data_batches=True)
     batch_windows = (
         tables["events"].groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count()
     )
     n_stream, n_batch = result.count(), batch_windows.count()
     assert n_stream < n_batch  # tail windows withheld…
     assert n_stream >= n_batch - 2 * 5  # …but only around the last hour (≤2 windows × 5 types)
+
+
+def test_run_to_memory_default_skips_flush_batch(spark, tables):
+    """The bounded-run default (no_data_batches=False) skips the final
+    no-data micro-batch, so an un-sentineled append-mode watermark
+    aggregate emits NOTHING — the r13 contract that makes every other
+    bounded pipeline one stateful commit cycle cheaper. Any pipeline
+    whose emission depends on the flush batch must opt in (see
+    flow_dp_release_closed), and this test pins the default so a silent
+    flip back would surface here instead of in the bench."""
+    ev = pipelines.events_file_stream(spark, SF_DIR)
+    agg = (
+        ev.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    result = pipelines._run_to_memory(agg, "append")
+    assert result.count() == 0  # watermark from batch 0 only applies in a batch that never runs
 
 
 def test_user_register_stream_equals_batch(spark, tables):
@@ -76,8 +97,13 @@ def test_user_register_append_watermark_5s(spark, tables):
         .withWatermark("ts", "5 seconds")
         .select(F.col("ts").alias("et"))
     )
+    # no_data_batches=True: this test pins watermark-FIRED window
+    # emission (the reference's fire-at-watermark-passage), which for
+    # an un-sentineled append aggregate happens in the flush batch.
     result = pipelines._run_to_memory(
-        dws_user_register_window(ev, size="5 seconds", ts_col="et"), "append"
+        dws_user_register_window(ev, size="5 seconds", ts_col="et"),
+        "append",
+        no_data_batches=True,
     )
     reg = tables["events"].filter(F.col("event_type") == "signup").select(
         F.col("ts").alias("et")
