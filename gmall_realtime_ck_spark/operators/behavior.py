@@ -889,15 +889,19 @@ def basket_lift_pairs(t: dict[str, DataFrame]) -> DataFrame:
     swaps the e6 units for doubles.
     """
     li = t["lineitem"]
-    # the basket table feeds four consumers (n_orders scalar, item
-    # counts, both legs of the self-join) — materialize the
-    # scan+distinct once instead of re-running it per consumer
+    # the basket table feeds four consumers (the in-plan n_orders
+    # aggregate, item counts, both legs of the self-join) — materialize
+    # the scan+distinct once instead of re-running it per consumer
     baskets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
         .localCheckpoint()
     )
-    n_orders = baskets.select("ok").distinct().count()  # one scalar job
+    # r13: the basket count rides IN-PLAN as a 1-row broadcast (the
+    # rel_q22 pattern) instead of a driver count() — the scalar job
+    # was a full extra round-trip per execution over the checkpointed
+    # basket table just to inline a constant the plan can join in.
+    n_orders_df = baskets.agg(F.countDistinct("ok").alias("_n_orders"))
     # NOT pinned (r13 tried a localCheckpoint here and reverted it —
     # A/B neutral: re-aggregating the already-checkpointed basket
     # table per lift leg is as cheap as reading a pinned copy).
@@ -915,11 +919,12 @@ def basket_lift_pairs(t: dict[str, DataFrame]) -> DataFrame:
     scored = (
         pairs.join(ia, "pk")
         .join(ib, "pk_b")
+        .crossJoin(F.broadcast(n_orders_df))
         .select(
             F.col("pk").alias("part_a"),
             F.col("pk_b").alias("part_b"),
             "pair_ct",
-            F.expr(f"(pair_ct * {n_orders}L * 1000000L) div (ct_a * ct_b)").alias(
+            F.expr("(pair_ct * _n_orders * 1000000L) div (ct_a * ct_b)").alias(
                 "lift_e6"
             ),
         )

@@ -224,8 +224,13 @@ def graph_hits(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale: the edge list materializes once (localCheckpoint, the
     pagerank lesson); each iteration is two keyed join+aggregate
-    shuffles over edges; the two final normalizers are O(1) driver
-    scalars (the rel_q22 pattern). Scores rounded to 9 decimals.
+    shuffles over edges; the two final normalizers are 1-row IN-PLAN
+    aggregates riding broadcast nested loops (the rel_q22 pattern —
+    r13: they were driver ``first()`` scalars, which cost two extra
+    job round-trips per execution purely to fetch numbers the plan
+    can divide by itself; both aggregate over already-checkpointed
+    frames, so the in-plan copies re-read blocks, not the chain).
+    Scores rounded to 9 decimals.
     """
     orders = t["orders"].select("o_orderkey", "o_custkey")
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
@@ -247,17 +252,21 @@ def graph_hits(t: dict[str, DataFrame]) -> DataFrame:
             auth = auth.localCheckpoint()
         hub = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
     hub = hub.localCheckpoint()
-    z_a = float(auth.agg(F.sum("a")).first()[0])
-    z_h = float(hub.agg(F.sum("h")).first()[0])
-    return hub.select(
-        F.col("c").alias("node"),
-        F.lit("hub").alias("side"),
-        F.round(F.col("h") / F.lit(z_h), 9).alias("score"),
-    ).unionAll(
-        auth.select(
-            (F.col("s") + PR_SUPP_OFFSET).alias("node"),
-            F.lit("authority").alias("side"),
-            F.round(F.col("a") / F.lit(z_a), 9).alias("score"),
+    z_a = auth.agg(F.sum("a").alias("_za"))
+    z_h = hub.agg(F.sum("h").alias("_zh"))
+    return (
+        hub.crossJoin(F.broadcast(z_h))
+        .select(
+            F.col("c").alias("node"),
+            F.lit("hub").alias("side"),
+            F.round(F.col("h") / F.col("_zh"), 9).alias("score"),
+        )
+        .unionAll(
+            auth.crossJoin(F.broadcast(z_a)).select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("node"),
+                F.lit("authority").alias("side"),
+                F.round(F.col("a") / F.col("_za"), 9).alias("score"),
+            )
         )
     )
 

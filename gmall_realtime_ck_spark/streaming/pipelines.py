@@ -183,13 +183,25 @@ def _run_to_memory(
     — this scoping exists precisely because bounded verification runs
     are where the flush batch is usually dead weight.
     """
-    spark = df.sparkSession
-    name = "m" + uuid.uuid4().hex[:12]
-    # Under _TEMP_ROOT so a SIGKILL'd run (no atexit) still lands in the
-    # directory the entrypoint sweep reaps — mkdtemp in the shared system
-    # tempdir would strand orphans exactly where the sweep no longer
-    # looks (the r6 incident class; r8 advisor finding).
-    ckpt = _process_tempdir("ckpt_")
+    return _run_many_to_memory(
+        [(df, output_mode)], shuffle_partitions, no_data_batches
+    )[0]
+
+
+def _run_many_to_memory(
+    dfs_modes: list[tuple[DataFrame, str]],
+    shuffle_partitions: int = 8,
+    no_data_batches: bool = False,
+) -> list[DataFrame]:
+    """Start EVERY (df, output_mode) bounded query, then await them all
+    — the guide-§2.6 overlap for pipelines composed of independent
+    bounded streams (flow_anomaly_mad's histogram + raw-log pair): the
+    second query's micro-batch back-fills executors the first one's
+    tail has already freed, instead of paying two full sequential
+    start→batch→commit cycles. Semantics per query are identical to
+    ``_run_to_memory`` (same trigger, confs, checkpoint hygiene);
+    result tables return in input order."""
+    spark = dfs_modes[0][0].sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -197,17 +209,28 @@ def _run_to_memory(
         "spark.sql.streaming.noDataMicroBatches.enabled",
         "true" if no_data_batches else "false",
     )
-    q = None
+    started: list[tuple] = []  # (query | None, name, ckpt)
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        for df, output_mode in dfs_modes:
+            name = "m" + uuid.uuid4().hex[:12]
+            # Under _TEMP_ROOT so a SIGKILL'd run (no atexit) still
+            # lands in the directory the entrypoint sweep reaps —
+            # mkdtemp in the shared system tempdir would strand orphans
+            # exactly where the sweep no longer looks (the r6 incident
+            # class; r8 advisor finding).
+            ckpt = _process_tempdir("ckpt_")
+            started.append((None, name, ckpt))
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            started[-1] = (q, name, ckpt)
+        for q, _, _ in started:
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
@@ -223,17 +246,21 @@ def _run_to_memory(
         # awaitTermination raised/was interrupted with the query still
         # active, deleting state-store files under it produces
         # confusing secondary errors — defer those to atexit instead.
-        try:
-            active = q is not None and q.isActive
-        except Exception:
-            active = False
-        if active:
-            _PROCESS_TEMP_DIRS.append(ckpt)
-        else:
-            threading.Thread(
-                target=shutil.rmtree, args=(ckpt,), kwargs={"ignore_errors": True}, daemon=True
-            ).start()
-    return spark.table(name)
+        for q, _, ckpt in started:
+            try:
+                active = q is not None and q.isActive
+            except Exception:
+                active = False
+            if active:
+                _PROCESS_TEMP_DIRS.append(ckpt)
+            else:
+                threading.Thread(
+                    target=shutil.rmtree,
+                    args=(ckpt,),
+                    kwargs={"ignore_errors": True},
+                    daemon=True,
+                ).start()
+    return [spark.table(name) for _, name, _ in started]
 
 
 def compact_latest_snapshot(tbl: DataFrame, key: str) -> DataFrame:
@@ -1052,12 +1079,19 @@ def flow_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (stats, bucket scan, deviation re-key), so hash-repartitioning it
     # once both parallelizes every branch and gives the copies a shared
     # exchange shape (measured ~25% off the poll at sf0.1)
+    # r13: the histogram and raw-log ingests are INDEPENDENT bounded
+    # queries over the same staged source — start both, await both
+    # (guide §2.6 job overlap) instead of paying two sequential
+    # start→batch→commit cycles; the stateless log batch back-fills
+    # the executors the histogram's commit tail leaves idle.
+    hist_tbl, log = _run_many_to_memory(
+        [
+            (ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct")), "complete"),
+            (ev, "append"),
+        ]
+    )
     hist = (
-        _run_to_memory(
-            ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hct")),
-            "complete",
-        )
-        .repartition(8, "event_type", "value")
+        hist_tbl.repartition(8, "event_type", "value")
         # r13: pin the repartitioned histogram once — the threshold
         # algebra's remaining ~6 plan references each re-ran the
         # LocalTableScan + hash repartition as their own shuffle
@@ -1066,7 +1100,6 @@ def flow_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         # anomaly_mad_outliers.
         .localCheckpoint()
     )
-    log = _run_to_memory(ev, "append")
     return anomaly_mad_outliers(log, hist)
 
 

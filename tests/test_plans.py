@@ -188,6 +188,8 @@ BOUNDED_NLJ_OK = {
     "events_decayed_engagement",  # 1-row max-day anchor broadcast (r12)
     "corpus_shuffle_order",  # 1-row in-plan width-stats broadcast (r13)
     "corpus_vocab_coverage",  # 1-row coverage sums × 1-row corpus totals (r13)
+    "graph_hits",  # two 1-row L1-normalizer broadcasts (r13, ex-driver scalars)
+    "behavior_basket_lift",  # 1-row basket-count broadcast (r13, ex-driver scalar)
     # events_anomaly_mad dropped r11: the keyed in-plan stats join on
     # event_type, so the plan no longer contains any nested loop
 }
