@@ -23,6 +23,26 @@ def test_stream_source_sees_batch_event_time(spark, tables):
     assert (s_min, s_max) == (b_min, b_max)
 
 
+def test_run_many_to_memory_equals_sequential_runs(spark, tables):
+    """The r13 job-overlap runner (start all bounded queries, then
+    await all — flow_anomaly_mad's histogram+log pair) must be a pure
+    scheduling change: results in input order, each identical to its
+    own sequential _run_to_memory run, and the scoped confs restored."""
+    ev = pipelines.events_file_stream(spark, SF_DIR).select(
+        "event_id", "event_type", "value"
+    )
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    both = pipelines._run_many_to_memory([(agg, "complete"), (ev, "append")])
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    assert spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == prev_nd
+    seq_agg = pipelines._run_to_memory(agg, "complete")
+    seq_ev = pipelines._run_to_memory(ev, "append")
+    assert sorted(map(tuple, both[0].collect())) == sorted(map(tuple, seq_agg.collect()))
+    assert sorted(map(tuple, both[1].collect())) == sorted(map(tuple, seq_ev.collect()))
+
+
 def test_stream_dedup_counts_match_batch(spark, tables):
     out = pipelines.flow_dedup_first(spark, SF_DIR)
     n_keys = tables["events"].select("user_id", "event_type").distinct().count()
