@@ -35,6 +35,15 @@ def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 #: candidate set on real-valued data.
 CAND_PAD = 10
 
+#: ulp-drift margin for the propose-containment runtime check in
+#: ``topk_two_sided_exact``: a float64 dot over these dims drifts by
+#: ~1e-14 between BLAS GEMM and the sequential fold; 1e-9 is six
+#: orders above that while far below any meaningful cosine gap, so the
+#: check never fires on drift alone — only on a genuine containment
+#: pathology. Exact ties (duplicate vectors) satisfy cos ≥ bd − eps
+#: with equality margin, so tie-heavy data cannot raise spuriously.
+PROPOSE_DRIFT_EPS = 1e-9
+
 
 #: Hard cap on the rows collected for a broadcast query set. The ANN
 #: operators collect ONLY the bounded query side (never the corpus);
@@ -552,7 +561,9 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
 
     def propose(key, cpdf: "pd.DataFrame", qpdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(cpdf) == 0 or len(qpdf) == 0:
-            return pd.DataFrame({"q_id": [], "neighbor_id": []}).astype("int64")
+            return pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "bd": []}
+            ).astype({"q_id": "int64", "neighbor_id": "int64", "bd": "float64"})
         c_ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
         c_mat = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
         c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
@@ -567,12 +578,27 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         # keeps, so the pad only ever absorbs sub-ulp BLAS drift
         idx = np.lexsort((np.broadcast_to(c_ids, cos.shape), -cos), axis=1)[:, :k]
         rows = np.repeat(np.arange(len(q_ids)), k)
-        return pd.DataFrame({"q_id": q_ids[rows], "neighbor_id": c_ids[idx.ravel()]})
+        # bd = the GEMM score of the LAST proposed candidate per
+        # (query, chunk) — the propose-boundary the containment check
+        # below compares against — but only when candidates were
+        # actually CUT OFF (chunk larger than k+pad); a fully-proposed
+        # chunk has no unproposed vectors and contributes -inf.
+        if cos.shape[1] > k:
+            bd = cos[np.arange(len(q_ids)), idx[:, k - 1]]
+        else:
+            bd = np.full(len(q_ids), -np.inf)
+        return pd.DataFrame(
+            {
+                "q_id": q_ids[rows],
+                "neighbor_id": c_ids[idx.ravel()],
+                "bd": np.repeat(bd, k),
+            }
+        )
 
     cand = (
         corpus.groupBy("chunk")
         .cogroup(queries.groupBy("q_chunk"))
-        .applyInPandas(propose, "q_id long, neighbor_id long")
+        .applyInPandas(propose, "q_id long, neighbor_id long, bd double")
         # tiny chunks can surface the -inf-masked self row — drop it
         .filter(F.col("q_id") != F.col("neighbor_id"))
     )
@@ -586,8 +612,20 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
     )
+    # Propose-boundary guard (r14, VERDICT r13 #6): the containment
+    # argument ("global top-k ⊆ union of per-chunk top-(k+pad), pad
+    # absorbs BLAS-vs-fold ulp drift") becomes a runtime CHECK. Every
+    # kept row's fold-rescored cos must be ≥ the worst propose
+    # boundary for its query minus an ulp margin: ≥ k+pad candidates
+    # score ≥ bd under GEMM, so the kth best fold is ≥ bd − drift —
+    # a violation means drift exceeded the pad's absorption and a true
+    # neighbor may have been cut off, so the query RAISES instead of
+    # silently dropping it. |queries|-row aggregate + broadcast join;
+    # the guard expression feeds the output rank, so it cannot be
+    # pruned, and it is evaluated only on the final Q×k rows.
+    bound = cand.groupBy("q_id").agg(F.max("bd").alias("_max_bd"))
     rescored = (
-        qside.join(F.broadcast(cand), "q_id")
+        qside.join(F.broadcast(cand.drop("bd")), "q_id")
         .join(cside, "neighbor_id")
         .withColumn(
             "cos",
@@ -595,13 +633,29 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    guarded_rank = F.when(
+        F.col("cos") >= F.col("_max_bd") - F.lit(PROPOSE_DRIFT_EPS),
+        F.col("rank"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "topk_two_sided_exact: propose containment violated for "
+                "q_id=%s (fold cos %s < propose boundary %s - eps) — "
+                "BLAS-vs-fold drift exceeded CAND_PAD's absorption",
+                F.col("q_id"),
+                F.col("cos"),
+                F.col("_max_bd"),
+            )
+        ).cast("int")
+    )
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .join(F.broadcast(bound), "q_id")
         .select(
             "q_id",
             "neighbor_id",
-            F.col("rank").cast("bigint").alias("rank"),
+            guarded_rank.cast("bigint").alias("rank"),
         )
     )
 

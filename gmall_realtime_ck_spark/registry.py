@@ -101,81 +101,80 @@ BENCH_ONLY = {
 #: the seven new rel_q* TPC-H shapes; rel_q22 and the win_* window
 #: analytics rotate in next round.
 _PRIORITY_HEAD = [
-    # --- Round-13 window (the driver verifies the first 50 positions of
-    # queries(); the cap is positional — confirmed r2-r12). Composition,
-    # per the r12 verdict's rotation plan (#1):
-    #   (a) the 7 R13_QUEUE post-r12-freeze additions
-    #       (tools/gen_ledger.py::R13_QUEUE) — the only oracled names
-    #       without a driver hash row (all 7 preflighted hash-green on
-    #       vanilla sessions at three scales in their own r12 commits
-    #       and independently re-preflighted by the r12 judge),
-    #   (b) 43 re-certification slots for the stalest surviving green
-    #       rows: the 25-name r7-era cohort remainder
-    #       (dws_user_register_window .. text_readability, alphabetical
-    #       — the r12 window took the cohort through
-    #       dws_trade_order_window) then the r8-era cohort
-    #       alphabetically through flow_ohlc (18 of its 48; the
-    #       remainder rotates in round 14).
+    # --- Round-14 window (the driver verifies the first 50 positions of
+    # queries(); the cap is positional — confirmed r2-r13). Composition,
+    # per the r13 verdict's rotation plan (#2):
+    #   (a) the 5 R14_QUEUE additions from the interrupted pre-r13
+    #       BUILD session (tools/gen_ledger.py::R14_QUEUE) — the only
+    #       oracled names without a driver hash row (all 5 preflighted
+    #       hash-green on vanilla sessions in their own commits and
+    #       re-preflighted green in the r13 round-final preflights),
+    #   (b) 45 re-certification slots for the stalest surviving green
+    #       rows: the 30-name r8-era cohort remainder
+    #       (flow_overlap_kmv .. win_rolling_revenue, alphabetical —
+    #       the r13 window took the cohort through flow_ohlc), then
+    #       the r9-era cohort alphabetically through flow_gopher_rules
+    #       (15 of its 47; the remainder rotates next round).
     # The 5 permanently-rows-only-by-design names (approx_uv_window,
     # approx_uv_sketch_rollup, cosine_topk_ivf, topk_two_sided_ann,
     # flow_dedup_first) are excluded from staleness rotation. After
     # this round every oracled declared query has a driver hash row
-    # (the 7 queue names land theirs) and every latest green row is
-    # r8+ except the rows-only set.
+    # (the 5 queue names land theirs) and every latest green row is
+    # r9+ except the rows-only set.
     # Window history: COVERAGE.md cross-round ledger.
-    # --- (a) R13_QUEUE: post-r12-freeze additions, never driver-checked ---
-    "text_line_dedup",
-    "flow_dup_lines",
-    "sample_token_budget",
-    "flow_token_budget",
-    "events_decayed_engagement",
-    "flow_decayed_engagement",
-    "corpus_pack_efficiency",
-    # --- (b) re-certification: r7-era cohort remainder, alphabetical ---
-    "dws_user_register_window",
-    "embedding_semdedup",
-    "flow_kmv",
-    "flow_pii_redaction",
-    "flow_quality_filter",
-    "flow_readability",
-    "join_anti_silent_customers",
-    "join_market_share",
-    "join_nation_traffic",
-    "join_semi_returned_orders",
-    "promo_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "rel_q02_min_cost_supplier",
-    "rel_q11_value_share",
-    "rel_q13_orders_histogram",
-    "rel_q16_supplier_variety",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
-    "repetition_ratio",
-    "source_overlap",
-    "text_bigram_topk",
-    "text_feature_hashing",
-    "text_readability",
-    # --- (b cont.) re-certification: r8-era cohort, alphabetical ---
-    "agg_salted_event_stats",
-    "approx_join_keys_kmv",
-    "approx_overlap_kmv",
-    "attr_last_touch",
-    "cohort_weekly_retention",
-    "corpus_drift_psi",
-    "corpus_heavy_tokens",
-    "doc_perplexity_bigram",
-    "doc_quality_classifier",
-    "embedding_kmeans_assign",
-    "embedding_neardup_pairs",
-    "embedding_neardup_scoped",
-    "flow_cumulate",
-    "flow_daily_uv",
-    "flow_funnel",
-    "flow_interval_join",
-    "flow_left_outer",
-    "flow_ohlc",
+    # --- (a) R14_QUEUE: pre-r13-session additions, never driver-checked ---
+    "flow_dup_lines_snapshot",
+    "corpus_shuffle_order",
+    "flow_shuffle_order",
+    "corpus_vocab_coverage",
+    "corpus_truncation_waste",
+    # --- (b) re-certification: r8-era cohort remainder, alphabetical ---
+    "flow_overlap_kmv",
+    "flow_session_windows",
+    "flow_simpson_diversity",
+    "flow_user_register",
+    "flow_window_counts",
+    "funnel_conversion",
+    "graph_pagerank",
+    "layout_zorder_orders",
+    "path_transition_matrix",
+    "quality_checks",
+    "quality_profile_orders",
+    "rel_q19_disjunctive",
+    "rel_q20_surplus_suppliers",
+    "rel_q21_waiting_suppliers",
+    "rel_q22_inactive_balance",
+    "sample_domain_cap",
+    "sample_mixture_resample",
+    "ship_priority_semi",
+    "ship_returnflag_priority",
+    "supplier_nation_profit",
+    "supplier_top_revenue",
+    "table_cdc_snapshot_merge",
+    "text_minhash_lsh_pairs",
+    "text_span_dedup",
+    "ts_gap_fill_daily",
+    "ts_linreg_forecast",
+    "ts_ohlc_hourly",
+    "win_cumulate_counts",
+    "win_order_gaps",
+    "win_rolling_revenue",
+    # --- (b cont.) re-certification: r9-era cohort, alphabetical ---
+    "behavior_top_paths",
+    "corpus_bpe_pair_counts",
+    "corpus_card_by_source",
+    "corpus_dup_inflation",
+    "corpus_e2e_verdict",
+    "corpus_inverted_index",
+    "corpus_length_percentiles",
+    "diag_key_skew",
+    "embedding_label_outliers",
+    "embedding_pq_codes",
+    "events_unpivot_metrics",
+    "flow_backfill_ohlc",
+    "flow_domain_cap",
+    "flow_epoch_schedule",
+    "flow_gopher_rules",
 ]
 
 

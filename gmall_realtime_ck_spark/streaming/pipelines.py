@@ -165,11 +165,18 @@ def _run_to_memory(
     after the last data batch, AvailableNow otherwise appends an extra
     empty batch whose only purpose is watermark-driven state flush — a
     full stateful commit cycle across every state store that, for most
-    of these bounded pipelines, can never emit a row: complete-mode
-    aggregates re-emit everything on the last data batch; dedup/TTL
-    states emit on arrival and time out on ProcessingTimeTimeout (not
-    watermark); and the sentinel pipelines (outer join) get their
-    horizon advanced by far-future SENTINEL FILES riding real batches
+    of these bounded pipelines, can never emit a row. The invariant
+    that makes the skip safe is NOT "all state timeouts are
+    processing-time" but the per-operator property that no state
+    timeout/eviction path EMITS rows on the flush batch — verify that
+    property per operator before relying on the default here:
+    complete-mode aggregates re-emit everything on the last data
+    batch; the dedup/TTL states emit on arrival only (their evictions
+    — ProcessingTimeTimeout for the applyInPandasWithState TTL maps,
+    watermark eviction for dropDuplicatesWithinWatermark, event-time
+    timeout for kmv_sketch_stream — discard state without emitting);
+    and the sentinel pipelines (outer join) get their horizon advanced
+    by far-future SENTINEL FILES riding real batches
     (_events_stream_sentineled), not by empty batches. Verified
     result-identical over every declared flow query (oracle preflight)
     and measured up to ~40% off stateful-join/dedup runs
@@ -200,7 +207,18 @@ def _run_many_to_memory(
     tail has already freed, instead of paying two full sequential
     start→batch→commit cycles. Semantics per query are identical to
     ``_run_to_memory`` (same trigger, confs, checkpoint hygiene);
-    result tables return in input order."""
+    result tables return in input order.
+
+    Single-threaded assumption: ``noDataMicroBatches`` (and the
+    shuffle-partition scoping) are flipped SESSION-globally for the
+    run window and restored after — a streaming query started
+    concurrently elsewhere in the session would capture the disabled
+    flush batch, which (unlike the perf-only partition scoping) can
+    change that query's RESULTS. Bench/preflight/tests run bounded
+    queries sequentially from one thread, which is what keeps this
+    safe; a concurrent caller must serialize entry here."""
+    if not dfs_modes:
+        raise ValueError("_run_many_to_memory: dfs_modes is empty")
     spark = dfs_modes[0][0].sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")

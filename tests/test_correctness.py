@@ -174,27 +174,24 @@ def test_ledger_queue_names_resolve():
     ):
         missing = sorted(q - declared - mod.RETIRED)
         assert not missing, f"{qname} names not declared: {missing}"
-    # Round-13 rotation contract (VERDICT r12 #1): the 7 post-r12-freeze
-    # additions (R13_QUEUE — the only oracled names without a driver
+    # Round-14 rotation contract (VERDICT r13 #2): the 5 pre-r13-session
+    # additions (R14_QUEUE — the only oracled names without a driver
     # hash row) sit inside the 50-slot window, the window is exactly
-    # 50 names, and every freshly-r12-certified cohort (R12_QUEUE,
-    # R12_REWIRED — all green in CORRECTNESS_r12 and none re-rewired
-    # since) has rotated out to free re-certification slots for the
-    # stalest surviving rows (the r7-era remainder + the r8-era head).
+    # 50 names, and every freshly-certified cohort (the whole r13
+    # window: R13_QUEUE + the r7/r8-era re-certs, all green in
+    # CORRECTNESS_r13) has rotated out to free re-certification slots
+    # for the stalest surviving rows (the r8-era remainder + the
+    # r9-era head).
     head = set(registry._PRIORITY_HEAD)
     assert len(registry._PRIORITY_HEAD) == 50
     assert len(head) == 50, "duplicate names in _PRIORITY_HEAD"
-    assert mod.R13_QUEUE <= head, sorted(mod.R13_QUEUE - head)
+    assert mod.R14_QUEUE <= head, sorted(mod.R14_QUEUE - head)
     # Only the RECENTLY-certified cohorts are excluded from the window
     # (burning a slot on a fresh green row wastes it); older historical
-    # queues (R5-R8) may legitimately re-enter as their rows go stale.
+    # queues (R5-R9) may legitimately re-enter as their rows go stale.
+    assert not (mod.R13_QUEUE & head), sorted(mod.R13_QUEUE & head)
     assert not (mod.R12_QUEUE & head), sorted(mod.R12_QUEUE & head)
     assert not (mod.R12_REWIRED & head), sorted(mod.R12_REWIRED & head)
     assert not (mod.R11_QUEUE & head), sorted(mod.R11_QUEUE & head)
     assert not (mod.R11_REWIRED & head), sorted(mod.R11_REWIRED & head)
     assert not (mod.R11_RECERT_R5 & head), sorted(mod.R11_RECERT_R5 & head)
-    assert not (mod.R10_QUEUE & head), sorted(mod.R10_QUEUE & head)
-    assert not (mod.R9_QUEUE & head), sorted(mod.R9_QUEUE & head)
-    # post-freeze round-13 additions (if any) queue for the round-14
-    # rotation
-    assert not (mod.R14_QUEUE & head), sorted(mod.R14_QUEUE & head)

@@ -71,3 +71,23 @@ def test_resize_media_plumbing(media):
     assert all(again[m] == r["n_bytes"] for m, r in rows.items())
     with pytest.raises(NotImplementedError):
         mm.resize_image(b"xx", "image/jpeg", 64, 64)
+
+
+def test_phash_gram_cache_is_pure_memoization(tables, monkeypatch):
+    """Law (r14, VERDICT r13 #5): the per-task md5 gram cache inside
+    the phash fingerprint is BOUNDED (PHASH_GRAM_CACHE_CAP) and pure —
+    running the whole near-dup query with the cache effectively
+    disabled (cap 0 ⇒ cleared on every insert) must produce identical
+    pairs. The cap is captured as a closure value at BUILD time, so
+    patching the module constant before building is sufficient."""
+    baseline = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in mm.xmodal_phash_neardup(tables).collect()
+    )
+    assert baseline, "fixture produced no near-dup pairs"
+    monkeypatch.setattr(mm, "PHASH_GRAM_CACHE_CAP", 0)
+    uncached = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in mm.xmodal_phash_neardup(tables).collect()
+    )
+    assert uncached == baseline

@@ -171,3 +171,50 @@ def test_pca_axis_tracks_float_krylov(tables):
     proj = np.array([got[r["vec_id"]] for r in rows], dtype=np.float64)
     corr = abs(np.corrcoef(proj, ref)[0, 1])
     assert corr > 0.999, corr
+
+
+def test_two_sided_exact_duplicate_vector_ties(spark):
+    """Tie + propose-boundary stress for topk_two_sided_exact (r14,
+    VERDICT r13 #6): 200 vectors drawn from 5 duplicated directions
+    give 40 exact copies per direction, so every chunk is CUT OFF
+    (25 rows avg > k+pad = 15) with exact-cos ties spanning the
+    propose boundary — the worst case for both the deterministic
+    (cos DESC, id ASC) tie order and the runtime containment guard
+    (kept cos == boundary cos, which must satisfy the eps margin, not
+    raise). Expected ranks are brute-forced with the same sequential
+    float64 fold arithmetic the rescore uses."""
+    import math
+
+    pool = [
+        [1.0, 2.0, 3.0, 4.0],
+        [4.0, 3.0, 2.0, 1.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [2.0, 1.0, 0.0, 1.0],
+        [0.0, 1.0, 2.0, 0.0],
+    ]
+    vecs = {i: pool[i % len(pool)] for i in range(200)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = sim.topk_two_sided_exact({"embeddings": emb}).collect()
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    expected = {}
+    for q in range(0, 200, sim.QUERY_MOD):
+        scored = sorted(
+            (
+                (-(dot(vecs[q], vecs[c]) / (norms[q] * norms[c])), c)
+                for c in vecs
+                if c != q
+            ),
+        )[: sim.TOP_K]
+        for rank, (_, c) in enumerate(scored, start=1):
+            expected[(q, rank)] = c
+    got = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in out}
+    assert got == expected

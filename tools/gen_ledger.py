@@ -303,26 +303,26 @@ R5_QUEUE = {
 }
 
 HEADER = [
-    "## Cross-round driver-row ledger (r1–r12 recorded, r13 scheduled)",
+    "## Cross-round driver-row ledger (r1–r13 recorded, r14 scheduled)",
     "",
-    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..12}.json`",
+    "Generated by `tools/gen_ledger.py` from `CORRECTNESS_r{01..13}.json`",
     "(r1 names mapped through the rename table above; `hash` = full",
     "value-hash green, `rows-only` = declared without an oracle by design,",
-    "`FAIL` = a red row). Round 12 went 50/50 green (twelfth consecutive",
+    "`FAIL` = a red row). Round 13 went 50/50 green (thirteenth consecutive",
     "zero-red round). The full-vocab Zipf pair `text_zipf_fit`/`flow_zipf`",
     "was RETIRED from the registry in r10 (VERDICT r9 #2 — superseded by",
     "the head-slice pair; their historical rows live in the CORRECTNESS",
-    "files but no longer print here). `r13 window` = in the first 50",
-    "positions of `queries()` this round, per the r12 verdict's rotation",
-    "plan (#1): R13_QUEUE (7 post-r12-freeze additions, never",
+    "files but no longer print here). `r14 window` = in the first 50",
+    "positions of `queries()` this round, per the r13 verdict's rotation",
+    "plan (#2): R14_QUEUE (5 pre-r13-session additions, never",
     "driver-checked — the only oracled names without a driver hash row)",
-    "+ 43 slots for the stalest surviving green rows (the 25-name r7-era",
-    "cohort remainder, dws_user_register_window .. text_readability,",
-    "then the r8-era cohort alphabetically through flow_ohlc — 18 of its",
-    "48; the remainder rotates in round 14). The 5 permanently",
+    "+ 45 slots for the stalest surviving green rows (the 30-name r8-era",
+    "cohort remainder, flow_overlap_kmv .. win_rolling_revenue, then the",
+    "r9-era cohort alphabetically through flow_gopher_rules — 15 of its",
+    "47; the remainder rotates next round). The 5 permanently",
     "rows-only-by-design names are excluded from staleness rotation.",
     "",
-    "| query | driver rows | r13 window |",
+    "| query | driver rows | r14 window |",
     "|---|---|---|",
 ]
 
@@ -339,7 +339,7 @@ def main() -> int:
             rename[m.group(1).strip()] = m.group(2).strip()
 
     rows: dict[str, list[str]] = {}
-    for r in range(1, 13):
+    for r in range(1, 14):
         path = os.path.join(ROOT, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):
             continue
@@ -364,8 +364,8 @@ def main() -> int:
     out = list(HEADER)
     for n in sorted(declared):
         h = ", ".join(rows.get(n, [])) or (
-            "— (r13 window)" if n in window
-            else "— (r14 queue)" if n in R14_QUEUE
+            "— (r14 window)" if n in window
+            else "— (r15 queue)" if n in R14_QUEUE
             else "—"
         )
         out.append(f"| `{n}` | {h} | {'yes' if n in window else ''} |")
