@@ -229,28 +229,79 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: per-task cap on the simhash md5 token memo (same bound + rationale
+#: as multimodal.PHASH_GRAM_CACHE_CAP — pure memoization, any cap
+#: yields identical fingerprints)
+SIMHASH_TOKEN_CACHE_CAP = 1 << 16
+
+
 def simhash_docs(t: dict[str, DataFrame]) -> DataFrame:
     """60-bit SimHash per document over its token multiset: per bit,
     majority vote of token-hash bits (ties → 0 to keep both engines
-    exact). Computed as 60 map-side partial aggregates over the token
-    rows — no bit-position explode, so the shuffle stays |tokens|-sized
-    (the naive explode is 60× larger; the DuckDB oracle keeps that
-    shape for clarity).
+    exact).
+
+    r14 rewrite (guide §4.2, the xmodal_phash fingerprint template):
+    the token explode + md5-per-OCCURRENCE + 60 CASE-sum aggregates
+    (one JVM row and one md5 per token of the corpus, the whole token
+    stream flowing into a 60-buffer keyed aggregate) becomes ONE
+    map-only Arrow pass — tokens stay the JVM tokenizer's output (the
+    array column crosses Arrow, so there is no Python re-tokenization
+    to drift), each doc's multiset folds to (unique token, count) in
+    numpy, md5 runs once per DISTINCT token (memoized across docs
+    within a task, bounded), and the votes are one counts @ bits int64
+    matvec. BIT-IDENTICAL: H60 is the same md5[:15] integer over the
+    same utf-8 bytes, votes_j = 2·ones_j − n is the ±1 CASE-sum
+    verbatim, and the v > 0 majority rule (ties → 0) is unchanged.
+    The fingerprint stage now shuffles NOTHING — 8 bytes/doc leave the
+    scan (the §8 "move heavy bytes once" posture); zero-token docs
+    drop exactly as the explode dropped them.
     """
     docs = t["documents"]
-    toks = F.expr(TOKENS_SPARK.format(c="text"))
-    h = F.expr(H60_SPARK.format(c="tok"))
-    tok_rows = docs.select("doc_id", F.explode(toks).alias("tok")).withColumn("h", h)
-    vote_aggs = [
-        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    votes = tok_rows.groupBy("doc_id").agg(*vote_aggs)
-    combine = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_BITS)
+    cache_cap = SIMHASH_TOKEN_CACHE_CAP
+
+    def fingerprint(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        cache: dict[str, np.ndarray] = {}
+
+        def bits_for(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                v = (h >> shifts) & 1
+                if len(cache) >= cache_cap:
+                    cache.clear()
+                cache[tok] = v
+            return v
+
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for doc_id, tk in zip(pdf["doc_id"], pdf["tk"]):
+                # NULL/empty token arrays drop exactly as explode did
+                n = 0 if tk is None else len(tk)
+                if n == 0:
+                    continue
+                uniq, cts = np.unique(np.asarray(tk, dtype=object), return_counts=True)
+                bits = np.stack([bits_for(tok) for tok in uniq])
+                ones = cts.astype(np.int64) @ bits  # (60,) ones-counters
+                sh_bits = (2 * ones > n).astype(np.int64)  # v_j = 2·ones_j − n > 0
+                out_ids.append(doc_id)
+                out_sh.append(int((sh_bits << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "simhash": pd.Series(out_sh, dtype="int64"),
+                }
+            )
+
+    tokenized = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
     )
-    return votes.select("doc_id", F.expr(combine).alias("simhash"))
+    return tokenized.mapInPandas(fingerprint, "doc_id long, simhash long")
 
 
 #: SimHash banding: 4 bands × 15 bits; pairs within this Hamming radius
@@ -465,16 +516,31 @@ def source_minhash_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """
     docs = t["documents"]
     tokenized = docs.select("source", F.expr(TOKENS_SPARK.format(c="text")).alias("tk"))
+    # No cross-doc `.distinct()` (r14, guide §2.4): `min` is
+    # duplicate-idempotent, so the per-source signature over doc-level
+    # distinct shingles (array_distinct above) equals the signature
+    # over source-level distinct shingles EXACTLY. Plan-neutral in
+    # practice — Spark's RemoveRedundantAggregates had already
+    # eliminated the distinct below the duplicate-insensitive min
+    # (verified: before/after plans identical, A/B flat) — the
+    # explicit form just stops relying on the optimizer rule. (The
+    # DuckDB oracle keeps the distinct form — same value by the
+    # idempotence argument, hash-verified.)
     sh = tokenized.select(
         "source",
         F.explode(F.array_distinct(F.expr(shingles_from_tokens("tk", SHINGLE_K)))).alias("s"),
-    ).distinct()
+    )
     hashed = sh.withColumn("h", F.expr(H28_SPARK.format(c="s")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    sigs = hashed.groupBy("source").agg(*aggs)
+    # pinned ONCE (r14): the |sources|² pairwise compare below is a
+    # self-join, and Catalyst inlines each side as a plan-tree COPY —
+    # the whole tokenize→shingle→md5→16-min pipeline ran TWICE per
+    # execution (both legs visible in the before plan). The signature
+    # table is |sources| × 17 ints — broadcast-sized by construction.
+    sigs = hashed.groupBy("source").agg(*aggs).localCheckpoint()
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = sum(

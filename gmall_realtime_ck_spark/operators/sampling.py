@@ -923,13 +923,19 @@ def doc_quality_tokens(docs: DataFrame) -> DataFrame:
     arithmetic, bit-identical both engines)."""
     from .text import _stop_list_sql
 
-    toks = TOKENS_SPARK.format(c="text")
-    return docs.select(
+    # tokenize ONCE as a column (r14): the quality expression inlined
+    # the full tokenizer subtree 4× per row (see
+    # text.rules_gopher_quality — same fix, same provable
+    # once-evaluation via the multi-reference CollapseProject exemption)
+    tokenized = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK.format(c="text")).alias("tk")
+    )
+    return tokenized.select(
         "doc_id",
-        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr("size(tk)").cast("bigint").alias("n_tokens"),
         F.expr(
-            f"CASE WHEN size({toks}) > 0 THEN "
-            f"(size(filter({toks}, x -> x in ({_stop_list_sql()}))) * 1000) DIV size({toks}) "
+            "CASE WHEN size(tk) > 0 THEN "
+            f"(size(filter(tk, x -> x in ({_stop_list_sql()}))) * 1000) DIV size(tk) "
             "ELSE 0 END"
         )
         .cast("bigint")
@@ -990,8 +996,18 @@ def token_budget_select(d: DataFrame) -> DataFrame:
 
 
 def sample_token_budget(t: dict[str, DataFrame]) -> DataFrame:
-    """See :func:`token_budget_select` — batch entry over documents."""
-    return token_budget_select(doc_quality_tokens(t["documents"]))
+    """See :func:`token_budget_select` — batch entry over documents.
+
+    The per-doc quality frame is pinned ONCE (r14): the budget-select
+    machinery references it from many plan positions (the within-level
+    prefix scan, the per-level totals, their joins) and Catalyst
+    inlines each reference as a plan-tree COPY — the tokenizer pass
+    re-ran 11× per execution (measured by split-count in the plan).
+    The frame is |docs| rows × 3 ints — the r13 pin rule's paying
+    case (numeric frame, expensive upstream). The streaming twin
+    keeps the unpinned form (memory-table inputs cannot checkpoint;
+    its per-poll source is the already-materialized sink table)."""
+    return token_budget_select(doc_quality_tokens(t["documents"]).localCheckpoint())
 
 
 def corpus_pack_efficiency(t: dict[str, DataFrame]) -> DataFrame:

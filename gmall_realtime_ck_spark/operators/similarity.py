@@ -601,6 +601,13 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         .applyInPandas(propose, "q_id long, neighbor_id long, bd double")
         # tiny chunks can surface the -inf-masked self row — drop it
         .filter(F.col("q_id") != F.col("neighbor_id"))
+        # pinned ONCE (r14): the boundary aggregate below and the
+        # rescore broadcast are two plan references, and Catalyst
+        # inlines each as a plan-tree COPY — without the pin the whole
+        # chunk-cogrouped GEMM propose pass ran TWICE (Exchange 10→18
+        # measured when the guard first landed un-pinned). The frame
+        # is ≤ Q × chunks × (k+pad) rows by construction.
+        .localCheckpoint()
     )
     qside = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),

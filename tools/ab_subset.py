@@ -37,6 +37,10 @@ BATCH = [
     "corpus_card_by_source", "embedding_recall_at_k", "q1_pricing_summary",
     "text_dedup_exact", "text_bigram_topk", "best_parts_per_region",
     "sample_domain_cap",
+    # r14 (VERDICT r13 #1): extend to the top-10 cost queries of the
+    # r13 map so the round-bracketing A/B covers the expensive paths.
+    "corpus_e2e_verdict", "graph_pagerank", "embedding_neardup_lsh",
+    "text_neardup_clusters", "cosine_topk_ivf_kmeans",
 ]
 # flow_repetition added r12 (it was rewired that round and the fixed
 # subset had no coverage of it — its 4× regression would have been
@@ -46,6 +50,8 @@ BATCH = [
 STREAM = [
     "flow_funnel", "flow_dsir_gate", "flow_left_outer", "flow_daily_uv",
     "flow_repetition",
+    # r14 top-cost flows (VERDICT r13 #1)
+    "flow_anomaly_mad", "flow_t_closeness", "flow_bloom_contamination",
 ]
 
 spark = get_spark(app_name="ab_subset")
