@@ -378,6 +378,23 @@ def anomaly_mad_outliers(ev: DataFrame, hist: DataFrame) -> DataFrame:
     extra grouping key (constant per type ⇒ identical groups), so the
     tree references each subtree exactly once and the emit joins ONE
     broadcast (type, med, mad) thresholds table.
+
+    Fusing the two percentile passes was examined and REJECTED (r14,
+    VERDICT r13 #4). Measured shape: one batch execution = 22 AQE
+    query-stage jobs / ~39 stages, every one a small exchange over the
+    PINNED compressed histogram — pure stage latency at sf0.1 (~0.2 s
+    each locally) that amortizes at scale. The two passes are
+    inherently ordered (adev = |v − med| needs med), so a "fusion"
+    must derive the deviation ranks from the value histogram's prefix
+    sums via the mirror identity R(d) = cum(med+d) − cum_strict(med−d).
+    That needs an asof lookup of each row's mirror point 2·med − v:
+    either ONE window per event_type over all distinct values — the
+    exact single-reducer hazard the bucketed ``prefix_sum_per_key``
+    machinery exists to avoid — or a bucketed asof join whose own
+    aggregate + range-join stages give back most of the ~5 small
+    exchanges it would save. Eager→lazy pin cadence was also A/B'd:
+    flat (3.29 vs 3.31 min-of-3, same session) — the checkpoint jobs
+    are not the barrier cost, the AQE query stages are.
     """
     from .relational import exact_percentiles_from_counts
 

@@ -688,18 +688,27 @@ def levenshtein_pairs(t: dict[str, DataFrame]) -> DataFrame:
     _, _, cand = _neardup_chain(docs)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    return (
+    # ONE levenshtein evaluation per pair (r14): the old projection
+    # computed the O(|a|·|b|) distance twice (once for edit_dist, once
+    # inside the permille) and codegen subexpression elimination did
+    # NOT rescue it (measured 3.13 → 2.67 s at sf0.1). edit_dist is a
+    # multi-reference non-cheap alias, so CollapseProject keeps the
+    # two-step projection and the distance provably evaluates once.
+    step = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
-            F.expr(
-                "cast(levenshtein(text_a, text_b) * 1000 "
-                "DIV greatest(length(text_a), length(text_b)) as bigint)"
-            ).alias("dist_permille"),
+            F.greatest(F.length("text_a"), F.length("text_b")).alias("_mx"),
         )
+    )
+    return step.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        F.expr("cast(edit_dist * 1000 DIV _mx as bigint)").alias("dist_permille"),
     )
 
 

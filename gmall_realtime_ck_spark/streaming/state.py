@@ -350,7 +350,10 @@ def user_quota_stream(events: DataFrame, quota: int) -> DataFrame:
         # order, diverging from the table_user_quota batch oracle's
         # global (ts, event_id) order. Memory is one key's micro-batch.
         pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values(["ts", "event_id"])
-        prior = pdf["cur_date"].map(lambda d: counts.get(d, 0))
+        # r14: skip the per-row dict lookup when the key has no prior
+        # state (every key's first micro-batch — the entire bounded
+        # run); the map(lambda) was ~a third of the per-key cost.
+        prior = pdf["cur_date"].map(lambda d: counts.get(d, 0)) if counts else 0
         within_batch = pdf.groupby("cur_date").cumcount()
         admitted = ((prior + within_batch) < quota).astype("int64")
         for d, n in pdf["cur_date"].value_counts().items():
