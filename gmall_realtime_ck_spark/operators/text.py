@@ -1168,11 +1168,12 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
         F.explode(F.expr(_TRIGRAMS_SPARK.format(ch="ch"))).alias("g"),
     )
     # r13 note: a per-doc count fold + localCheckpoint (sharing the
-    # explode between the profile and scoring legs) was tried here and
+    # explode between the profile and scoring legs) was tried and
     # REVERTED — interleaved A/B read it 12-16% slower at sf0.1 in both
     # eager and lazy forms: the materialized (doc, g) frame is larger
     # than the raw trigram stream it folds, so the saved second explode
-    # never pays for the persist. The two-reference form stands.
+    # never pays for the persist. (Since the r14 scoring rewrite below,
+    # `tri` has a single reference anyway — only the fit leg explodes.)
     train = tri.filter(F.col("doc_id") % 5 != 0)
     profile = topk_per_key(
         train.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("ct")),
@@ -1181,27 +1182,55 @@ def text_langid_ngram(t: dict[str, DataFrame]) -> DataFrame:
         LANGID_TOP,
         salt_on="g",
     ).select(F.col("lang").alias("plang"), "g")
-    doc_tri = tri.select("doc_id", "g").distinct()
-    scored = (
-        doc_tri.join(F.broadcast(profile), "g")
-        .groupBy("doc_id", "plang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    # r14 scoring-leg rewrite (guide §4.2): the old apply side exploded
+    # every document's trigrams a second time, DISTINCT-shuffled the
+    # |doc × trigram| stream, broadcast-joined the profile, aggregated
+    # hits and ran a keyed argmax window — three exchanges over
+    # trigram-sized data to compute what is per-doc set arithmetic.
+    # The profile is |langs| × LANGID_TOP rows BY CONSTRUCTION (the
+    # same bounded-collect contract as cosine_topk's centroid table),
+    # so it collects once and the scoring becomes ONE map-only Arrow
+    # pass: the JVM computes each doc's trigram array (identical
+    # expression — no Python re-tokenization to drift), Python scores
+    # |set(trigrams) ∩ profile(lang)| per lang and takes the
+    # (hits DESC, lang ASC) argmax — hits counted over DISTINCT
+    # trigrams and ties to the alphabetically first language, exactly
+    # the old distinct + window semantics; docs with no profile hits
+    # (or < 3 chars) emit ('unk', 0) exactly as the old left join did.
+    prof_pdf = profile.toPandas()
+    prof_items = sorted(
+        (lang, frozenset(grp["g"])) for lang, grp in prof_pdf.groupby("plang")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(wdoc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("plang").alias("lang_pred"), "hits")
-    )
-    return (
-        docs.select("doc_id", F.col("lang").alias("lang_label"))
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang_label",
-            F.coalesce("lang_pred", F.lit("unk")).alias("lang_pred"),
-            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
-        )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            preds, hits_out = [], []
+            for tg in pdf["tg"]:
+                s = set(tg) if tg is not None else set()
+                best_h, best_lang = 0, "unk"
+                if s:
+                    for lang, ps in prof_items:  # lang ASC ⇒ strict > keeps ties
+                        h = len(s & ps)
+                        if h > best_h:
+                            best_h, best_lang = h, lang
+                preds.append(best_lang)
+                hits_out.append(best_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang_label": pdf["lang"],
+                    "lang_pred": pd.Series(preds, dtype="object"),
+                    "hits": pd.Series(hits_out, dtype="int64"),
+                }
+            )
+
+    tg_docs = docs.select(
+        "doc_id", "lang", F.expr("split(lower(text), '')").alias("ch")
+    ).select("doc_id", "lang", F.expr(_TRIGRAMS_SPARK.format(ch="ch")).alias("tg"))
+    return tg_docs.mapInPandas(
+        score, "doc_id long, lang_label string, lang_pred string, hits long"
     )
 
 

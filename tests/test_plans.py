@@ -1029,13 +1029,16 @@ def test_sq8_encode_is_pure_map(tables):
     assert "Join" not in p, p
 
 
-def test_langid_profile_join_is_broadcast(tables):
-    """The trigram-profile join must broadcast the |langs|×K profile —
-    the corpus-side trigram stream must never shuffle for the join."""
+def test_langid_scoring_is_map_only(tables):
+    """The corpus-side trigram stream must never shuffle for scoring:
+    since r14 the |langs|×K profile (bounded by construction) collects
+    once and scoring is ONE map-only Arrow pass — the apply plan must
+    contain no join and no exchange at all (the old contract was a
+    broadcast join; this is strictly stronger)."""
     p = plan_of(tables, "text_langid_ngram")
-    assert "BroadcastHashJoin" in p
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p, p
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
 
 
 def test_quantile_rollup_aggregates_before_window(tables):
