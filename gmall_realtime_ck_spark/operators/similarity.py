@@ -601,13 +601,12 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         .applyInPandas(propose, "q_id long, neighbor_id long, bd double")
         # tiny chunks can surface the -inf-masked self row — drop it
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        # pinned ONCE (r14): the boundary aggregate below and the
-        # rescore broadcast are two plan references, and Catalyst
-        # inlines each as a plan-tree COPY — without the pin the whole
-        # chunk-cogrouped GEMM propose pass ran TWICE (Exchange 10→18
-        # measured when the guard first landed un-pinned). The frame
-        # is ≤ Q × chunks × (k+pad) rows by construction.
-        .localCheckpoint()
+        # single plan reference (the rescore broadcast carries bd, and
+        # the guard's per-query boundary max rides the ranking window)
+        # — no pin needed; an earlier guard form with a separate
+        # boundary aggregate was a second reference that re-ran the
+        # whole cogrouped GEMM propose pass (Exchange 10→18) until
+        # pinned, and the pin's checkpoint job itself cost ~0.2 s.
     )
     qside = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -627,12 +626,15 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
     # score ≥ bd under GEMM, so the kth best fold is ≥ bd − drift —
     # a violation means drift exceeded the pad's absorption and a true
     # neighbor may have been cut off, so the query RAISES instead of
-    # silently dropping it. |queries|-row aggregate + broadcast join;
-    # the guard expression feeds the output rank, so it cannot be
-    # pruned, and it is evaluated only on the final Q×k rows.
-    bound = cand.groupBy("q_id").agg(F.max("bd").alias("_max_bd"))
+    # silently dropping it. The per-query boundary max RIDES THE
+    # EXISTING q_id WINDOW (bd travels on the broadcast candidate
+    # rows; max over the partition shares the ranking exchange) — the
+    # first form, a separate aggregate + broadcast join, cost two
+    # extra jobs and read 1.3–1.6× on the pair (interleaved A/B).
+    # The guard expression feeds the output rank, so it cannot be
+    # pruned, and the raise branch is evaluated only on kept rows.
     rescored = (
-        qside.join(F.broadcast(cand.drop("bd")), "q_id")
+        qside.join(F.broadcast(cand), "q_id")
         .join(cside, "neighbor_id")
         .withColumn(
             "cos",
@@ -640,6 +642,7 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    wq = Window.partitionBy("q_id")
     guarded_rank = F.when(
         F.col("cos") >= F.col("_max_bd") - F.lit(PROPOSE_DRIFT_EPS),
         F.col("rank"),
@@ -657,8 +660,8 @@ def topk_two_sided_exact(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w))
+        .withColumn("_max_bd", F.max("bd").over(wq))
         .filter(F.col("rank") <= TOP_K)
-        .join(F.broadcast(bound), "q_id")
         .select(
             "q_id",
             "neighbor_id",
